@@ -1,0 +1,136 @@
+"""Loading / storage operators (SURVEY.md §2.1 S8-S12).
+
+Reference: ``src/components/loading.py`` — Hive-partitioned ZSTD parquet with
+metadata sidecar, type narrowing, storage stats, filtered read-back.
+
+Spark-first differences (each an explicit improvement, SURVEY §4.1):
+- dynamic partition overwrite (``partitionOverwriteMode=dynamic``) ≙ the
+  reference's ``delete_matching`` existing-data behavior;
+- the frame is repartitioned by the partition columns before the write so each
+  Hive partition gets a bounded number of files (the reference wrote 24 files
+  for 72 records, ``README.md:321-327``);
+- read-back filters are partition-pruned by Catalyst (the reference reads all
+  then filters in pandas, admitted at ``loading.py:350-352``).
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from satsure_agri_datapipeline_spark.config import PipelineConfig
+from satsure_agri_datapipeline_spark.operators.validation import (
+    ValidationResult,
+    quality_score,
+)
+
+PIPELINE_VERSION = "1.0.0"
+
+
+def prepare_for_storage(
+    df: DataFrame, validation: ValidationResult, narrow_types: bool = True
+) -> DataFrame:
+    """F12 + type narrowing (``loading.py:113-175``): add storage metadata
+    columns; optionally narrow floats→float32 and counters→int32.
+
+    Data is stored even when validation failed — flagged via
+    ``data_quality_passed`` (reference behavior, ``loading.py:74-76``).
+    """
+    score = quality_score(validation.quality_metrics)
+    out = (
+        df.withColumn("data_quality_passed", F.lit(bool(validation.passed)))
+        .withColumn("validation_timestamp", F.lit(datetime.now().isoformat()))
+        .withColumn("pipeline_version", F.lit(PIPELINE_VERSION))
+        .withColumn("quality_score", F.lit(float(score)))
+        .withColumn("total_issues", F.lit(len(validation.issues_found)))
+    )
+    if "date" not in out.columns:
+        out = out.withColumn("date", F.to_date("timestamp"))
+    if narrow_types:
+        for c, t in out.dtypes:
+            if t == "double" and c not in ("quality_score",):
+                out = out.withColumn(c, F.col(c).cast("float"))
+        out = out.withColumn("total_issues", F.col("total_issues").cast("int"))
+    return out
+
+
+def write_partitioned(
+    df: DataFrame,
+    output_dir: str | Path,
+    partition_by: list[str] | None = None,
+    compression: str = "zstd",
+    mode: str = "overwrite",
+) -> None:
+    """S8 — Hive-partitioned parquet sink (``loading.py:177-236``).
+
+    ``repartition(*partition_by)`` bounds files per partition; AQE coalesces
+    small shuffle partitions so tiny datasets still produce few files.
+    """
+    partition_by = partition_by or ["date", "sensor_id"]
+    (
+        df.repartition(*[F.col(c) for c in partition_by])
+        .write.partitionBy(*partition_by)
+        .option("compression", compression)
+        .mode(mode)
+        .parquet(str(output_dir))
+    )
+
+
+def write_validation_metadata(
+    output_dir: str | Path, validation: ValidationResult, storage_stats: dict[str, Any]
+) -> Path:
+    """S9 — ``_validation_metadata.json`` sidecar (``loading.py:275-303``)."""
+    path = Path(output_dir) / "_validation_metadata.json"
+    path.parent.mkdir(parents=True, exist_ok=True)
+    payload = {
+        "validation_passed": validation.passed,
+        "total_records": validation.total_records,
+        "issues_found": validation.issues_found,
+        "quality_metrics": validation.quality_metrics,
+        "quality_score": quality_score(validation.quality_metrics),
+        "storage_stats": storage_stats,
+        "pipeline_version": PIPELINE_VERSION,
+        "stored_at": datetime.now().isoformat(),
+    }
+    path.write_text(json.dumps(payload, indent=2, default=str))
+    return path
+
+
+def query_stored_data(
+    spark: SparkSession,
+    output_dir: str | Path,
+    date_filter: str | None = None,
+    sensor_filter: str | None = None,
+) -> DataFrame:
+    """S11 — read-back with partition-pruned filters (``loading.py:338-372``).
+
+    Catalyst prunes Hive partitions from the directory listing — verify with
+    ``.explain``: PartitionFilters shows the date/sensor predicates.
+    """
+    df = spark.read.parquet(str(output_dir))
+    if date_filter is not None:
+        df = df.where(F.col("date") == date_filter)
+    if sensor_filter is not None:
+        df = df.where(F.col("sensor_id") == sensor_filter)
+    return df
+
+
+def storage_stats(output_dir: str | Path) -> dict[str, Any]:
+    """S12 — file count / bytes / partition inventory (``loading.py:238-273``).
+
+    Driver-side FS walk of the output tree — metadata only, no data read.
+    """
+    base = Path(output_dir)
+    files = [p for p in base.rglob("*.parquet") if p.is_file()]
+    partitions = {str(p.parent.relative_to(base)) for p in files if p.parent != base}
+    return {
+        "files_written": len(files),
+        "bytes_written": sum(p.stat().st_size for p in files),
+        "partitions_created": len(partitions),
+        "partition_list": sorted(partitions),
+    }

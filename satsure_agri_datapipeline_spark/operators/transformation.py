@@ -1,0 +1,233 @@
+"""Transformation operators (SURVEY.md §2 P1-P4, A1-A3, W1, F1-F3, F10).
+
+Every function is a pure lazy ``DataFrame -> DataFrame`` transform — the whole
+stage chain is a single Catalyst lineage with no materialization between
+steps (unlike the reference, which ``.copy()``s the full pandas frame per
+stage, ``src/components/transformation.py:104,160,197,240,284``).
+
+Scale notes (100 TB):
+
+- daily/rolling averages are window functions over
+  ``partitionBy(sensor_id, reading_type)`` — ONE shuffle serves both (the
+  daily window's key is a superset; Catalyst reuses the exchange when the
+  partitioning is compatible). No self-join (the reference merges a groupby
+  back onto the fact table, ``transformation.py:250-254``).
+- median imputation uses exact ``F.median`` per sensor via window (Spark ≥3.4)
+  with a global-median fallback; at extreme scale switch to
+  ``F.percentile_approx`` (flag ``approx=True``) — documented semantic change.
+- z-score flags use ``stddev_pop`` (scipy's zscore default ddof=0 —
+  reference ``transformation.py:295``), computed per ``reading_type`` with a
+  window; reading-type cardinality is tiny so the per-type stats could also be
+  a broadcast agg-join — the window form keeps one less job and AQE handles
+  the low-cardinality exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from satsure_agri_datapipeline_spark.config import PipelineConfig
+
+CRITICAL_FIELDS = ["sensor_id", "timestamp", "reading_type", "value"]
+
+
+def drop_exact_duplicates(df: DataFrame) -> DataFrame:
+    """P1 — exact duplicate elimination over all columns
+    (reference ``transformation.py:107-110``)."""
+    return df.dropDuplicates()
+
+
+def drop_null_critical(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """P2 — drop rows with null critical fields (``transformation.py:120-122``)."""
+    return df.na.drop(subset=subset or CRITICAL_FIELDS)
+
+
+def impute_battery_median(
+    df: DataFrame, column: str = "battery_level", approx: bool = False
+) -> DataFrame:
+    """A2 — per-sensor median fill with global-median fallback
+    (``transformation.py:126-140``).
+
+    Pure column expressions, no UDF: window median per sensor, window median
+    over the whole frame as fallback for all-null sensors. ``approx=True``
+    switches to ``percentile_approx`` for 100 TB-scale exactness relaxation.
+    """
+    med = (lambda c: F.expr(f"percentile_approx({c}, 0.5)")) if approx else F.median
+    sensor_w = Window.partitionBy("sensor_id")
+    # Global fallback as a broadcast 1-row aggregate, NOT an empty-partition
+    # window (which would funnel all rows through a single partition).
+    global_med = df.select(med(column).alias("__global_median"))
+    return (
+        df.crossJoin(F.broadcast(global_med))
+        .withColumn(
+            column,
+            F.coalesce(
+                F.col(column),
+                med(column).over(sensor_w),
+                F.col("__global_median"),
+            ),
+        )
+        .drop("__global_median")
+    )
+
+
+def calibrate(df: DataFrame, config: PipelineConfig) -> DataFrame:
+    """F1 — affine calibration ``value*multiplier + offset`` per reading_type
+    (``transformation.py:163-185``; params ``config/default.yaml:41-47``).
+
+    The calibration table is a handful of rows — folded into a CASE expression
+    so the hot path stays inside whole-stage codegen (no join at all). Unknown
+    reading types get the identity calibration (``models.py:147-149``).
+    """
+    if not config.calibration:
+        return df
+    mult = F.lit(1.0)
+    off = F.lit(0.0)
+    for rt, cal in config.calibration.items():
+        cond = F.col("reading_type") == rt
+        mult = F.when(cond, F.lit(cal.multiplier)).otherwise(mult)
+        off = F.when(cond, F.lit(cal.offset)).otherwise(off)
+    return df.withColumn("value", F.col("value") * mult + off)
+
+
+def convert_timezone(df: DataFrame, timezone: str, column: str = "timestamp") -> DataFrame:
+    """F2 — naive timestamps assumed UTC, rendered in the target zone
+    (``transformation.py:187-228``).
+
+    Spark timestamps are instants; the reference's "+05:30 wall clock" is
+    reproduced by shifting the instant with ``from_utc_timestamp`` so that
+    derived fields (date, hour buckets) match the reference's local-time
+    semantics. ``timezone`` accepts the reference's ``UTC+05:30`` form.
+    """
+    from satsure_agri_datapipeline_spark.session import normalize_timezone
+
+    zone = normalize_timezone(timezone)
+    if zone in ("UTC", "+00:00", "Z"):
+        return df
+    return df.withColumn(column, F.from_utc_timestamp(F.col(column), zone))
+
+
+def derive_daily_average(
+    df: DataFrame, use_join: bool = False
+) -> DataFrame:
+    """A1/J1 — per (sensor_id, reading_type, date) mean of value, attached to
+    every row (``transformation.py:243-254``).
+
+    Default: window aggregate — no self-join, one shuffle on the group key.
+    ``use_join=True`` keeps the reference's groupby-then-left-join shape for
+    plan-parity experiments.
+    """
+    df = df.withColumn("date", F.to_date("timestamp"))
+    if use_join:
+        daily = df.groupBy("sensor_id", "reading_type", "date").agg(
+            F.avg("value").alias("daily_avg_value")
+        )
+        return df.join(daily, ["sensor_id", "reading_type", "date"], "left")
+    w = Window.partitionBy("sensor_id", "reading_type", "date")
+    return df.withColumn("daily_avg_value", F.avg("value").over(w))
+
+
+def derive_rolling_average(
+    df: DataFrame,
+    window_days: int = 7,
+    time_based: bool = False,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """W1 — rolling mean per (sensor_id, reading_type) ordered by timestamp
+    (``transformation.py:257-269``).
+
+    Reference semantics: a row-count frame of ``window_days*24`` rows
+    (hourly-data proxy for a time window), ``min_periods=1`` ⇒ mean over
+    available preceding rows — exactly ``rowsBetween(-(N-1), 0)``.
+    ``time_based=True`` gives the time-faithful ``rangeBetween`` variant
+    (idiomatic option, different results on irregular data).
+    """
+    if time_based:
+        w = (
+            Window.partitionBy("sensor_id", "reading_type")
+            .orderBy(F.col("timestamp").cast("long"))
+            .rangeBetween(-window_days * 86400 + 1, 0)
+        )
+    else:
+        n = window_days * 24
+        order = ["timestamp", *(tiebreak_cols or [])]
+        w = (
+            Window.partitionBy("sensor_id", "reading_type")
+            .orderBy(*order)
+            .rowsBetween(-(n - 1), 0)
+        )
+    return df.withColumn("rolling_avg_value", F.avg("value").over(w))
+
+
+def flag_anomalies(df: DataFrame, config: PipelineConfig) -> DataFrame:
+    """A3 + A11 + F10 — z-score and range anomaly flags OR-merged into
+    ``anomalous_reading`` (``transformation.py:284-326``).
+
+    Reference edge cases mirrored exactly:
+    - z-score uses POPULATION std (scipy ddof=0, ``transformation.py:295``);
+    - groups with a single reading or zero std are never z-flagged
+      (``transformation.py:294-302``);
+    - range flags come from the per-reading_type [min,max] config
+      (``config/default.yaml:29-38``);
+    - battery_level violations are tracked separately and NOT flagged on the
+      row (``transformation.py:317-326``) — callers needing the count can
+      aggregate ``battery_range_violation``.
+    """
+    t = config.transformation.z_score_threshold
+    w = Window.partitionBy("reading_type")
+    mean_c = F.avg("value").over(w)
+    std_c = F.stddev_pop("value").over(w)
+    cnt_c = F.count("value").over(w)
+    zflag = (
+        (cnt_c > 1)
+        & (std_c > 0)
+        & (F.abs((F.col("value") - mean_c) / std_c) > F.lit(t))
+    )
+
+    range_flag = F.lit(False)
+    for rt, bound in config.ranges.items():
+        if rt == "battery_level":
+            continue
+        range_flag = F.when(
+            (F.col("reading_type") == rt)
+            & ((F.col("value") < bound.min) | (F.col("value") > bound.max)),
+            F.lit(True),
+        ).otherwise(range_flag)
+
+    out = df.withColumn(
+        "anomalous_reading", F.coalesce(zflag, F.lit(False)) | range_flag
+    )
+    if "battery_level" in config.ranges:
+        b = config.ranges["battery_level"]
+        out = out.withColumn(
+            "battery_range_violation",
+            F.col("battery_level").isNotNull()
+            & ((F.col("battery_level") < b.min) | (F.col("battery_level") > b.max)),
+        )
+    return out
+
+
+def handle_outliers(df: DataFrame, mode: str = "flag") -> DataFrame:
+    """P4 — ``remove`` filters flagged rows; ``flag`` keeps them
+    (``transformation.py:336-344``; config ``default.yaml:60``)."""
+    if mode == "remove":
+        return df.where(~F.col("anomalous_reading"))
+    return df
+
+
+def transform(df: DataFrame, config: PipelineConfig) -> DataFrame:
+    """Full transformation stage in the reference's fixed order
+    (``transformation.py:42-91``): clean → calibrate → timezone → derive →
+    anomaly → outlier handling. One lazy lineage, zero intermediate actions.
+    """
+    df = drop_exact_duplicates(df)
+    df = drop_null_critical(df)
+    df = impute_battery_median(df)
+    df = calibrate(df, config)
+    df = convert_timezone(df, config.project.timezone)
+    df = derive_daily_average(df)
+    df = derive_rolling_average(df, config.transformation.rolling_window_days)
+    df = flag_anomalies(df, config)
+    df = handle_outliers(df, config.transformation.outlier_handling)
+    return df

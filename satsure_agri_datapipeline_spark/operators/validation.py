@@ -1,0 +1,349 @@
+"""Validation battery (SURVEY.md §2.4 A4-A13, §2.3 J2/J3, §2.9 G1).
+
+The reference runs ~10 DuckDB SQL queries against a registered pandas frame
+(``src/components/validation.py:56-124``). Here every check is a Spark
+aggregation over the same lazy DataFrame; only the *results* (per-type /
+per-sensor aggregate rows — tiny by construction) are collected to the driver
+to assemble the report. Data-plane rows are never collected.
+
+Scale notes:
+- the expected-clock grid is distinct(sensor, reading_type) × hourly series —
+  built distributed via ``sequence``/``explode``; with 1e5 sensors × years of
+  hours this is billions of rows but embarrassingly parallel, and
+  ``per_sensor_span=True`` shrinks it to each sensor's own [min, max] window;
+- the observed side of the anti-join is pre-aggregated to distinct
+  (sensor, type, hour) before the join, so the join input is bounded by the
+  grid size, not the raw row count;
+- ``approx=True`` swaps COUNT(DISTINCT) for approx_count_distinct.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from satsure_agri_datapipeline_spark.config import PipelineConfig
+
+
+def profile_missing_by_type(df: DataFrame) -> DataFrame:
+    """A4 — missing-value % per reading_type (``validation.py:343-352``)."""
+    return (
+        df.groupBy("reading_type")
+        .agg(
+            F.count(F.lit(1)).alias("total_records"),
+            F.sum(F.col("value").isNull().cast("long")).alias("missing_values"),
+            F.round(
+                100.0 * F.sum(F.col("value").isNull().cast("double")) / F.count(F.lit(1)), 2
+            ).alias("missing_percentage"),
+        )
+        .orderBy(F.desc("missing_percentage"))
+    )
+
+
+def profile_anomalies_by_type(df: DataFrame) -> DataFrame:
+    """A5 — anomaly % per reading_type (``validation.py:369-379``)."""
+    return (
+        df.where(F.col("anomalous_reading").isNotNull())
+        .groupBy("reading_type")
+        .agg(
+            F.count(F.lit(1)).alias("total_records"),
+            F.sum(F.col("anomalous_reading").cast("long")).alias("anomalous_count"),
+            F.round(
+                100.0 * F.sum(F.col("anomalous_reading").cast("double")) / F.count(F.lit(1)),
+                2,
+            ).alias("anomaly_percentage"),
+        )
+        .orderBy(F.desc("anomaly_percentage"))
+    )
+
+
+def profile_sensor_coverage(df: DataFrame) -> DataFrame:
+    """A6 — per-sensor coverage stats (``validation.py:396-407``)."""
+    return (
+        df.groupBy("sensor_id")
+        .agg(
+            F.countDistinct("reading_type").alias("reading_types_count"),
+            F.count(F.lit(1)).alias("total_readings"),
+            F.min("timestamp").alias("first_reading"),
+            F.max("timestamp").alias("last_reading"),
+            F.round(F.avg("battery_level"), 1).alias("avg_battery_level"),
+        )
+        .orderBy("sensor_id")
+    )
+
+
+def profile_overall_stats(df: DataFrame, approx: bool = False) -> DataFrame:
+    """A7 — global stats (``validation.py:422-430``); approx variant for scale."""
+    cd = F.approx_count_distinct if approx else F.countDistinct
+    return df.agg(
+        F.count(F.lit(1)).alias("total_records"),
+        cd("sensor_id").alias("unique_sensors"),
+        cd("reading_type").alias("unique_reading_types"),
+        F.round(F.avg("value"), 2).alias("avg_value"),
+        F.round(F.avg("battery_level"), 2).alias("avg_battery_level"),
+    )
+
+
+def validate_types(df: DataFrame) -> DataFrame:
+    """A12 — type-violation counters (``validation.py:137-167``).
+
+    ``value`` arrives as DOUBLE post-ingest so the TRY_CAST probe
+    (``validation.py:140``) degenerates to 0 unless the column is string —
+    handled generically via try-cast semantics of ``cast`` (null on failure).
+    """
+    value_bad = (
+        F.col("value").cast("double").isNull() & F.col("value").isNotNull()
+    ).cast("long")
+    battery_bad = (
+        F.col("battery_level").cast("double").isNull() & F.col("battery_level").isNotNull()
+    ).cast("long")
+    return df.agg(
+        F.sum(value_bad).alias("non_numeric_values"),
+        F.sum(battery_bad).alias("non_numeric_battery"),
+        F.sum(F.col("timestamp").isNull().cast("long")).alias("null_timestamps"),
+    )
+
+
+def validate_ranges(df: DataFrame, config: PipelineConfig) -> DataFrame:
+    """A11 — out-of-range counts per configured range, ONE pass
+    (reference runs one query per range, ``validation.py:176-216``).
+
+    Returns rows (range_key, out_of_range_count) including the
+    ``battery_level`` pseudo-type, which the reference checks against the
+    battery column over ALL rows.
+    """
+    aggs = []
+    for rt, bound in config.ranges.items():
+        if rt == "battery_level":
+            cond = (F.col("battery_level") < bound.min) | (F.col("battery_level") > bound.max)
+        else:
+            cond = (F.col("reading_type") == rt) & (
+                (F.col("value") < bound.min) | (F.col("value") > bound.max)
+            )
+        aggs.append(F.sum(cond.cast("long")).alias(rt))
+    wide = df.agg(*aggs)
+    # unpivot to long form (range_key, out_of_range)
+    pairs = ", ".join(f"'{rt}', `{rt}`" for rt in config.ranges)
+    return wide.selectExpr(
+        f"stack({len(config.ranges)}, {pairs}) as (range_key, out_of_range)"
+    )
+
+
+def detect_time_gaps(
+    df: DataFrame,
+    frequency_hours: int = 1,
+    per_sensor_span: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """G1 + J2 + J3 + A9 — expected-clock-grid gap detection
+    (``validation.py:218-330``).
+
+    Returns ``(gap_agg, time_range)``: per (sensor_id, reading_type) missing
+    interval counts with first/last gap, plus the 1-row global time range.
+
+    Grid construction is fully distributed: hourly ``sequence`` exploded per
+    (sensor, reading_type) combo. ``per_sensor_span=True`` uses each combo's
+    own [min, max] instead of the global span (scale mode; reference semantics
+    is the global span).
+    """
+    step = F.expr(f"interval {int(frequency_hours)} hours")
+    time_range = df.agg(
+        F.min("timestamp").alias("min_time"),
+        F.max("timestamp").alias("max_time"),
+        F.countDistinct("sensor_id").alias("sensor_count"),
+    )
+
+    if per_sensor_span:
+        combos = df.groupBy("sensor_id", "reading_type").agg(
+            F.min("timestamp").alias("min_time"), F.max("timestamp").alias("max_time")
+        )
+    else:
+        combos = df.select("sensor_id", "reading_type").distinct().crossJoin(
+            F.broadcast(time_range.select("min_time", "max_time"))
+        )
+
+    expected = combos.select(
+        "sensor_id",
+        "reading_type",
+        F.explode(F.sequence(F.col("min_time"), F.col("max_time"), step)).alias(
+            "expected_timestamp"
+        ),
+    )
+
+    observed = df.select(
+        "sensor_id",
+        "reading_type",
+        F.date_trunc("hour", F.col("timestamp")).alias("observed_hour"),
+    ).distinct()
+
+    missing = expected.withColumn(
+        "expected_hour", F.date_trunc("hour", F.col("expected_timestamp"))
+    ).join(
+        observed,
+        on=[
+            expected.sensor_id == observed.sensor_id,
+            expected.reading_type == observed.reading_type,
+            F.date_trunc("hour", expected.expected_timestamp) == observed.observed_hour,
+        ],
+        how="left_anti",
+    )
+
+    gap_agg = (
+        missing.groupBy("sensor_id", "reading_type")
+        .agg(
+            F.count(F.lit(1)).alias("missing_hours"),
+            F.min("expected_timestamp").alias("first_gap"),
+            F.max("expected_timestamp").alias("last_gap"),
+        )
+        .orderBy(F.desc("missing_hours"), "sensor_id", "reading_type")
+    )
+    return gap_agg, time_range
+
+
+# ---------------------------------------------------------------------------
+# Orchestration: thresholds, quality score, report
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ValidationResult:
+    passed: bool
+    total_records: int
+    issues_found: list[str] = field(default_factory=list)
+    quality_metrics: dict[str, Any] = field(default_factory=dict)
+
+
+def quality_score(quality_metrics: dict[str, Any]) -> float:
+    """F13 — the *code's* formula (``validation.py:616-647``; the README
+    variant differs and is not implemented): 100 − Σ min(missing%, 20)
+    − Σ min(anomaly%, 10) − min(2·total_missing_hours, 30), floored at 0."""
+    score = 100.0
+    for m in quality_metrics.get("missing_values_by_type", {}).values():
+        score -= min(m["missing_percentage"], 20)
+    for m in quality_metrics.get("anomalies_by_type", {}).values():
+        score -= min(m["anomaly_percentage"], 10)
+    if "total_missing_hours" in quality_metrics:
+        score -= min(quality_metrics["total_missing_hours"] * 2, 30)
+    return max(score, 0.0)
+
+
+def validate(df: DataFrame, config: PipelineConfig) -> ValidationResult:
+    """Full validation stage (``validation.py:56-124``): type checks, range
+    checks, gap detection, profiling, threshold assessment, quality report.
+
+    Collects only aggregate rows (O(reading_types + sensors + gap combos)).
+    """
+    v = config.validation
+    issues: list[str] = []
+    metrics: dict[str, Any] = {}
+
+    type_row = validate_types(df).first()
+    if type_row is None or type_row["non_numeric_values"] is None:
+        return ValidationResult(False, 0, ["No data provided for validation"], {})
+    if type_row["non_numeric_values"]:
+        issues.append(f"Found {type_row['non_numeric_values']} non-numeric values in 'value' column")
+    if type_row["non_numeric_battery"]:
+        issues.append(
+            f"Found {type_row['non_numeric_battery']} non-numeric values in 'battery_level' column"
+        )
+    if type_row["null_timestamps"]:
+        issues.append(f"Found {type_row['null_timestamps']} invalid/null timestamps")
+
+    for r in validate_ranges(df, config).collect():
+        if r["out_of_range"]:
+            bound = config.ranges[r["range_key"]]
+            col = "battery_level" if r["range_key"] == "battery_level" else r["range_key"]
+            issues.append(
+                f"Found {r['out_of_range']} {col} values outside range [{bound.min}, {bound.max}]"
+            )
+
+    gap_agg, time_range = detect_time_gaps(df, v.expected_frequency_hours)
+    tr = time_range.first()
+    gap_rows = gap_agg.collect()
+    total_gaps = sum(r["missing_hours"] for r in gap_rows)
+    significant = []
+    for r in gap_rows:
+        if r["missing_hours"] >= v.max_gap_hours:
+            significant.append(
+                {
+                    "sensor_id": r["sensor_id"],
+                    "reading_type": r["reading_type"],
+                    "missing_hours": r["missing_hours"],
+                    "first_gap": str(r["first_gap"]),
+                    "last_gap": str(r["last_gap"]),
+                }
+            )
+            issues.append(
+                f"Sensor {r['sensor_id']} ({r['reading_type']}): {r['missing_hours']} hour gap "
+                f"from {r['first_gap']} to {r['last_gap']}"
+            )
+    metrics.update(
+        {
+            "time_range_start": str(tr["min_time"]),
+            "time_range_end": str(tr["max_time"]),
+            "sensors_analyzed": tr["sensor_count"],
+            "total_missing_hours": total_gaps,
+            "significant_gaps": significant,
+            "gap_threshold_hours": v.max_gap_hours,
+        }
+    )
+
+    metrics["missing_values_by_type"] = {
+        r["reading_type"]: {
+            "total_records": r["total_records"],
+            "missing_values": r["missing_values"],
+            "missing_percentage": r["missing_percentage"],
+        }
+        for r in profile_missing_by_type(df).collect()
+    }
+    if "anomalous_reading" in df.columns:
+        metrics["anomalies_by_type"] = {
+            r["reading_type"]: {
+                "total_records": r["total_records"],
+                "anomalous_count": r["anomalous_count"],
+                "anomaly_percentage": r["anomaly_percentage"],
+            }
+            for r in profile_anomalies_by_type(df).collect()
+        }
+    metrics["sensor_coverage"] = {
+        r["sensor_id"]: {
+            "reading_types_count": r["reading_types_count"],
+            "total_readings": r["total_readings"],
+            "first_reading": str(r["first_reading"]),
+            "last_reading": str(r["last_reading"]),
+            "avg_battery_level": r["avg_battery_level"],
+        }
+        for r in profile_sensor_coverage(df).collect()
+    }
+    overall = profile_overall_stats(df).first()
+    metrics["overall_statistics"] = {
+        "total_records": overall["total_records"],
+        "unique_sensors": overall["unique_sensors"],
+        "unique_reading_types": overall["unique_reading_types"],
+        "avg_value": overall["avg_value"],
+        "avg_battery_level": overall["avg_battery_level"],
+    }
+
+    passed = _assess_quality(metrics, v.max_missing_percentage, v.max_anomaly_percentage)
+    return ValidationResult(
+        passed=passed,
+        total_records=metrics["overall_statistics"]["total_records"],
+        issues_found=issues,
+        quality_metrics=metrics,
+    )
+
+
+def _assess_quality(
+    metrics: dict[str, Any], max_missing_pct: float, max_anomaly_pct: float
+) -> bool:
+    """Threshold assessment (``validation.py:448-485``)."""
+    passed = True
+    for m in metrics.get("missing_values_by_type", {}).values():
+        if m["missing_percentage"] > max_missing_pct:
+            passed = False
+    for m in metrics.get("anomalies_by_type", {}).values():
+        if m["anomaly_percentage"] > max_anomaly_pct:
+            passed = False
+    return passed

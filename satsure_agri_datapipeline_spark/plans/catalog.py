@@ -1,0 +1,494 @@
+"""Query catalog: every SURVEY.md §2 operator as a (spark, sf_dir) -> DataFrame
+callable plus a DuckDB-ANSI oracle SQL string (the driver's correctness gate).
+
+Conventions for hash-stable results across Spark and DuckDB:
+- timestamps are emitted as epoch seconds (BIGINT) or formatted date strings;
+- doubles are ROUNDed (4dp for means, 2dp for big sums) in BOTH engines;
+- window orderings always carry a unique tiebreak column;
+- column names are aliased identically on both sides.
+
+The ``sensor_*`` family maps the ``events`` table onto the reference's
+sensor-reading shape (user_id → sensor_id, event_type → reading_type, ts →
+timestamp) and exercises the REAL operator implementations from
+``operators/transformation.py`` / ``operators/validation.py`` — the oracle
+mirrors the same mapping in a WITH clause, so the gate checks the engine's
+operators, not ad-hoc SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from satsure_agri_datapipeline_spark.config import Calibration, PipelineConfig, RangeBound
+from satsure_agri_datapipeline_spark.operators import transformation as tr
+from satsure_agri_datapipeline_spark.operators import validation as vl
+from satsure_agri_datapipeline_spark.sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# The events → sensor-readings mapping, shared by Spark and the oracle.
+# battery_level is synthesized with deterministic nulls (event_id % 10 == 0)
+# so the imputation path is actually exercised.
+READINGS_SQL = """
+    SELECT
+        'sensor_' || CAST(user_id AS VARCHAR) AS sensor_id,
+        ts AS timestamp,
+        event_type AS reading_type,
+        value,
+        CASE WHEN event_id % 10 = 0 THEN NULL ELSE 50.0 + value END AS battery_level,
+        event_id
+    FROM events
+"""
+
+
+def events_as_readings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(F.lit("sensor_"), F.col("user_id").cast("string")).alias("sensor_id"),
+        F.col("ts").alias("timestamp"),
+        F.col("event_type").alias("reading_type"),
+        "value",
+        F.when(F.col("event_id") % 10 == 0, F.lit(None).cast("double"))
+        .otherwise(F.lit(50.0) + F.col("value"))
+        .alias("battery_level"),
+        "event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sensor-pipeline family (reference operator parity over `events`)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sensor_dedup_exact",
+    f"""
+    WITH readings AS ({READINGS_SQL}),
+    deduped AS (SELECT DISTINCT sensor_id, reading_type, value FROM readings)
+    SELECT reading_type, COUNT(*) AS n_rows
+    FROM deduped GROUP BY reading_type ORDER BY reading_type
+    """,
+)
+def sensor_dedup_exact(spark, sf_dir):
+    """P1 — dropDuplicates over a projected row (transformation.py:107-110)."""
+    r = events_as_readings(spark, sf_dir).select("sensor_id", "reading_type", "value")
+    return (
+        tr.drop_exact_duplicates(r)
+        .groupBy("reading_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("reading_type")
+    )
+
+
+@query(
+    "sensor_drop_null_critical",
+    f"""
+    WITH readings AS ({READINGS_SQL})
+    SELECT reading_type, COUNT(*) AS n_rows
+    FROM readings
+    WHERE sensor_id IS NOT NULL AND timestamp IS NOT NULL
+      AND reading_type IS NOT NULL AND value IS NOT NULL
+    GROUP BY reading_type ORDER BY reading_type
+    """,
+)
+def sensor_drop_null_critical(spark, sf_dir):
+    """P2 — na.drop on critical fields (transformation.py:120-122)."""
+    r = events_as_readings(spark, sf_dir)
+    return (
+        tr.drop_null_critical(r)
+        .groupBy("reading_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("reading_type")
+    )
+
+
+@query(
+    "sensor_impute_median",
+    f"""
+    WITH readings AS ({READINGS_SQL}),
+    sensor_med AS (
+        SELECT sensor_id, MEDIAN(battery_level) AS med
+        FROM readings GROUP BY sensor_id
+    ),
+    global_med AS (SELECT MEDIAN(battery_level) AS gmed FROM readings)
+    SELECT r.sensor_id,
+           ROUND(AVG(COALESCE(r.battery_level, m.med, g.gmed)), 4) AS avg_imputed_battery
+    FROM readings r
+    LEFT JOIN sensor_med m ON r.sensor_id = m.sensor_id
+    CROSS JOIN global_med g
+    GROUP BY r.sensor_id
+    ORDER BY r.sensor_id
+    """,
+)
+def sensor_impute_median(spark, sf_dir):
+    """A2 — per-sensor median imputation w/ global fallback (transformation.py:126-140)."""
+    r = events_as_readings(spark, sf_dir)
+    return (
+        tr.impute_battery_median(r)
+        .groupBy("sensor_id")
+        .agg(F.round(F.avg("battery_level"), 4).alias("avg_imputed_battery"))
+        .orderBy("sensor_id")
+    )
+
+
+@query(
+    "sensor_calibration",
+    f"""
+    WITH readings AS ({READINGS_SQL})
+    SELECT reading_type,
+           ROUND(SUM(CASE
+               WHEN reading_type = 'click' THEN value * 2.0 + 1.0
+               WHEN reading_type = 'view' THEN value * 0.5 + 10.0
+               ELSE value * 1.0 + 0.0
+           END), 2) AS sum_calibrated
+    FROM readings GROUP BY reading_type ORDER BY reading_type
+    """,
+)
+def sensor_calibration(spark, sf_dir):
+    """F1 — affine calibration per reading_type (transformation.py:163-185)."""
+    cfg = PipelineConfig()
+    cfg.calibration = {
+        "click": Calibration(multiplier=2.0, offset=1.0),
+        "view": Calibration(multiplier=0.5, offset=10.0),
+    }
+    r = events_as_readings(spark, sf_dir)
+    return (
+        tr.calibrate(r, cfg)
+        .groupBy("reading_type")
+        .agg(F.round(F.sum("value"), 2).alias("sum_calibrated"))
+        .orderBy("reading_type")
+    )
+
+
+@query(
+    "sensor_timezone_shift",
+    f"""
+    WITH readings AS ({READINGS_SQL})
+    SELECT CAST(EXTRACT(HOUR FROM timestamp + INTERVAL 330 MINUTE) AS BIGINT) AS local_hour,
+           COUNT(*) AS n_rows
+    FROM readings GROUP BY 1 ORDER BY 1
+    """,
+)
+def sensor_timezone_shift(spark, sf_dir):
+    """F2 — UTC→+05:30 wall-clock shift (transformation.py:187-228)."""
+    r = tr.convert_timezone(events_as_readings(spark, sf_dir), "UTC+05:30")
+    return (
+        r.groupBy(F.hour("timestamp").cast("long").alias("local_hour"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("local_hour")
+    )
+
+
+@query(
+    "sensor_daily_avg",
+    f"""
+    WITH readings AS ({READINGS_SQL})
+    SELECT sensor_id, reading_type,
+           STRFTIME(CAST(timestamp AS DATE), '%Y-%m-%d') AS date_str,
+           ROUND(AVG(value), 4) AS daily_avg
+    FROM readings
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def sensor_daily_avg(spark, sf_dir):
+    """A1/J1/F3 — per (sensor, type, date) mean via window, deduped to group rows
+    (transformation.py:243-254; window form avoids the reference's self-join)."""
+    r = tr.derive_daily_average(events_as_readings(spark, sf_dir))
+    return (
+        r.select(
+            "sensor_id",
+            "reading_type",
+            F.date_format("date", "yyyy-MM-dd").alias("date_str"),
+            F.round("daily_avg_value", 4).alias("daily_avg"),
+        )
+        .distinct()
+        .orderBy("sensor_id", "reading_type", "date_str")
+    )
+
+
+@query(
+    "sensor_rolling_avg",
+    f"""
+    WITH readings AS ({READINGS_SQL})
+    SELECT event_id,
+           ROUND(AVG(value) OVER (
+               PARTITION BY sensor_id, reading_type
+               ORDER BY timestamp, event_id
+               ROWS BETWEEN 167 PRECEDING AND CURRENT ROW
+           ), 4) AS rolling_avg
+    FROM readings ORDER BY event_id
+    """,
+)
+def sensor_rolling_avg(spark, sf_dir):
+    """W1 — 168-row rolling mean (rows frame, min_periods=1 semantics;
+    transformation.py:257-269)."""
+    r = tr.derive_rolling_average(
+        events_as_readings(spark, sf_dir), window_days=7, tiebreak_cols=["event_id"]
+    )
+    return r.select("event_id", F.round("rolling_avg_value", 4).alias("rolling_avg")).orderBy(
+        "event_id"
+    )
+
+
+@query(
+    "sensor_zscore_anomalies",
+    f"""
+    WITH readings AS ({READINGS_SQL}),
+    stats AS (
+        SELECT event_id, value, reading_type,
+               AVG(value) OVER (PARTITION BY reading_type) AS mean_v,
+               STDDEV_POP(value) OVER (PARTITION BY reading_type) AS std_v,
+               COUNT(value) OVER (PARTITION BY reading_type) AS cnt_v
+        FROM readings
+    )
+    SELECT event_id
+    FROM stats
+    WHERE cnt_v > 1 AND std_v > 0 AND ABS((value - mean_v) / std_v) > 2.5
+    ORDER BY event_id
+    """,
+)
+def sensor_zscore_anomalies(spark, sf_dir):
+    """A3 — population-std z-score flags (transformation.py:287-302; ddof=0)."""
+    cfg = PipelineConfig()
+    cfg.transformation.z_score_threshold = 2.5
+    cfg.ranges = {}  # isolate the z-score path
+    r = tr.flag_anomalies(events_as_readings(spark, sf_dir), cfg)
+    return r.where(F.col("anomalous_reading")).select("event_id").orderBy("event_id")
+
+
+@query(
+    "sensor_range_violations",
+    f"""
+    WITH readings AS ({READINGS_SQL})
+    SELECT 'click' AS range_key,
+           SUM(CASE WHEN reading_type='click' AND (value < 0 OR value > 30) THEN 1 ELSE 0 END) AS out_of_range
+    FROM readings
+    UNION ALL
+    SELECT 'view', SUM(CASE WHEN reading_type='view' AND (value < 0 OR value > 20) THEN 1 ELSE 0 END)
+    FROM readings
+    UNION ALL
+    SELECT 'battery_level', SUM(CASE WHEN battery_level < 0 OR battery_level > 60 THEN 1 ELSE 0 END)
+    FROM readings
+    """,
+)
+def sensor_range_violations(spark, sf_dir):
+    """A11 — one-pass range-violation counts (validation.py:176-216)."""
+    cfg = PipelineConfig()
+    cfg.ranges = {
+        "click": RangeBound(min=0, max=30),
+        "view": RangeBound(min=0, max=20),
+        "battery_level": RangeBound(min=0, max=60),
+    }
+    return vl.validate_ranges(events_as_readings(spark, sf_dir), cfg)
+
+
+@query(
+    "sensor_missing_pct",
+    f"""
+    WITH readings AS ({READINGS_SQL})
+    SELECT reading_type,
+           COUNT(*) AS total_records,
+           SUM(CASE WHEN battery_level IS NULL THEN 1 ELSE 0 END) AS missing_values,
+           ROUND(100.0 * SUM(CASE WHEN battery_level IS NULL THEN 1.0 ELSE 0.0 END) / COUNT(*), 2) AS missing_percentage
+    FROM readings GROUP BY reading_type ORDER BY missing_percentage DESC, reading_type
+    """,
+)
+def sensor_missing_pct(spark, sf_dir):
+    """A4 — missing % per type (validation.py:343-352), on the synthesized-null
+    battery column (value itself has no nulls in the testdata)."""
+    r = events_as_readings(spark, sf_dir)
+    return (
+        r.groupBy("reading_type")
+        .agg(
+            F.count(F.lit(1)).alias("total_records"),
+            F.sum(F.col("battery_level").isNull().cast("long")).alias("missing_values"),
+            F.round(
+                100.0 * F.sum(F.col("battery_level").isNull().cast("double")) / F.count(F.lit(1)),
+                2,
+            ).alias("missing_percentage"),
+        )
+        .orderBy(F.desc("missing_percentage"), "reading_type")
+    )
+
+
+@query(
+    "sensor_coverage",
+    f"""
+    WITH readings AS ({READINGS_SQL})
+    SELECT sensor_id,
+           CAST(COUNT(DISTINCT reading_type) AS BIGINT) AS reading_types_count,
+           COUNT(*) AS total_readings,
+           CAST(EXTRACT(EPOCH FROM MIN(timestamp)) AS BIGINT) AS first_reading_epoch,
+           CAST(EXTRACT(EPOCH FROM MAX(timestamp)) AS BIGINT) AS last_reading_epoch,
+           ROUND(AVG(battery_level), 1) AS avg_battery_level
+    FROM readings GROUP BY sensor_id ORDER BY sensor_id
+    """,
+)
+def sensor_coverage(spark, sf_dir):
+    """A6 — multi-agg per-sensor coverage (validation.py:396-407)."""
+    r = events_as_readings(spark, sf_dir)
+    return (
+        vl.profile_sensor_coverage(r)
+        .select(
+            "sensor_id",
+            F.col("reading_types_count").cast("long").alias("reading_types_count"),
+            "total_readings",
+            F.unix_timestamp("first_reading").alias("first_reading_epoch"),
+            F.unix_timestamp("last_reading").alias("last_reading_epoch"),
+            "avg_battery_level",
+        )
+        .orderBy("sensor_id")
+    )
+
+
+@query(
+    "sensor_global_stats",
+    f"""
+    WITH readings AS ({READINGS_SQL})
+    SELECT COUNT(*) AS total_records,
+           CAST(COUNT(DISTINCT sensor_id) AS BIGINT) AS unique_sensors,
+           CAST(COUNT(DISTINCT reading_type) AS BIGINT) AS unique_reading_types,
+           ROUND(AVG(value), 2) AS avg_value,
+           ROUND(AVG(battery_level), 2) AS avg_battery_level
+    FROM readings
+    """,
+)
+def sensor_global_stats(spark, sf_dir):
+    """A7/A8 — global stats (validation.py:422-430)."""
+    r = events_as_readings(spark, sf_dir)
+    return vl.profile_overall_stats(r).select(
+        "total_records",
+        F.col("unique_sensors").cast("long").alias("unique_sensors"),
+        F.col("unique_reading_types").cast("long").alias("unique_reading_types"),
+        "avg_value",
+        "avg_battery_level",
+    )
+
+
+@query(
+    "sensor_type_violations",
+    f"""
+    WITH readings AS ({READINGS_SQL})
+    SELECT SUM(CASE WHEN value IS NOT NULL AND TRY_CAST(value AS DOUBLE) IS NULL THEN 1 ELSE 0 END) AS non_numeric_values,
+           SUM(CASE WHEN battery_level IS NOT NULL AND TRY_CAST(battery_level AS DOUBLE) IS NULL THEN 1 ELSE 0 END) AS non_numeric_battery,
+           SUM(CASE WHEN timestamp IS NULL THEN 1 ELSE 0 END) AS null_timestamps
+    FROM readings
+    """,
+)
+def sensor_type_violations(spark, sf_dir):
+    """A12/F7 — try-cast type probes (validation.py:137-167)."""
+    return vl.validate_types(events_as_readings(spark, sf_dir))
+
+
+@query(
+    "sensor_gap_detection",
+    f"""
+    WITH readings AS ({READINGS_SQL}),
+    bounds AS (SELECT MIN(timestamp) AS min_t, MAX(timestamp) AS max_t FROM readings),
+    expected_times AS (
+        SELECT UNNEST(GENERATE_SERIES(min_t, max_t, INTERVAL 1 HOUR)) AS expected_timestamp
+        FROM bounds
+    ),
+    combos AS (SELECT DISTINCT sensor_id, reading_type FROM readings),
+    expected AS (
+        SELECT c.sensor_id, c.reading_type, e.expected_timestamp
+        FROM combos c CROSS JOIN expected_times e
+    ),
+    observed AS (
+        SELECT DISTINCT sensor_id, reading_type, DATE_TRUNC('hour', timestamp) AS hr
+        FROM readings
+    ),
+    missing AS (
+        SELECT ex.sensor_id, ex.reading_type, ex.expected_timestamp
+        FROM expected ex
+        LEFT JOIN observed o
+          ON ex.sensor_id = o.sensor_id AND ex.reading_type = o.reading_type
+         AND DATE_TRUNC('hour', ex.expected_timestamp) = o.hr
+        WHERE o.sensor_id IS NULL
+    )
+    SELECT sensor_id, reading_type,
+           COUNT(*) AS missing_hours,
+           CAST(EXTRACT(EPOCH FROM MIN(expected_timestamp)) AS BIGINT) AS first_gap_epoch,
+           CAST(EXTRACT(EPOCH FROM MAX(expected_timestamp)) AS BIGINT) AS last_gap_epoch
+    FROM missing
+    GROUP BY sensor_id, reading_type
+    ORDER BY missing_hours DESC, sensor_id, reading_type
+    """,
+)
+def sensor_gap_detection(spark, sf_dir):
+    """G1+J2+J3+A9 — clock-grid gap detection (validation.py:218-330):
+    sequence/explode grid, distinct observed hours, anti-join, gap agg."""
+    r = events_as_readings(spark, sf_dir)
+    gaps, _ = vl.detect_time_gaps(r, frequency_hours=1)
+    return gaps.select(
+        "sensor_id",
+        "reading_type",
+        "missing_hours",
+        F.unix_timestamp("first_gap").alias("first_gap_epoch"),
+        F.unix_timestamp("last_gap").alias("last_gap_epoch"),
+    )
+
+
+@query(
+    "sensor_hourly_activity",
+    f"""
+    WITH readings AS ({READINGS_SQL})
+    SELECT CAST(EXTRACT(EPOCH FROM DATE_TRUNC('hour', timestamp)) AS BIGINT) AS hour_epoch,
+           reading_type, COUNT(*) AS n_events, ROUND(AVG(value), 4) AS avg_value
+    FROM readings GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def sensor_hourly_activity(spark, sf_dir):
+    """F5/F6 — hour truncation + conditional aggregation
+    (validation.py:282; experiments/data_exploration.py:128-137)."""
+    r = events_as_readings(spark, sf_dir)
+    return (
+        r.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "timestamp")).alias("hour_epoch"),
+            "reading_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .orderBy("hour_epoch", "reading_type")
+    )
+
+
+@query(
+    "sensor_dedup_keyed",
+    f"""
+    WITH readings AS ({READINGS_SQL}),
+    ranked AS (
+        SELECT event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY sensor_id, reading_type ORDER BY timestamp, event_id
+               ) AS rn
+        FROM readings
+    )
+    SELECT event_id FROM ranked WHERE rn = 1 ORDER BY event_id
+    """,
+)
+def sensor_dedup_keyed(spark, sf_dir):
+    """W2 — ROW_NUMBER keyed dedup probe (experiments/data_exploration.py:102-115)."""
+    r = events_as_readings(spark, sf_dir)
+    w = Window.partitionBy("sensor_id", "reading_type").orderBy("timestamp", "event_id")
+    return (
+        r.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id")
+        .orderBy("event_id")
+    )

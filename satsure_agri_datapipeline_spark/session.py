@@ -1,0 +1,70 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults are sized for local[N] development; on a real cluster every one of
+these is still a sane starting point (AQE on, shuffle partitions sized by the
+cluster, zstd parquet). The session timezone is set from the pipeline config
+(reference parity: ``config/default.yaml:6`` uses ``UTC+05:30``; Spark
+timestamps are instants rendered in the session zone — see SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "satsure_agri_datapipeline_spark",
+    master: str | None = None,
+    timezone: str = "UTC",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    AQE handles runtime partition coalescing and skew-join splitting, which is
+    the first line of defense at 100 TB; ``maxPartitionBytes`` keeps scan
+    partitions memory-friendly.
+    """
+    master = master or os.environ.get(
+        "SPARK_GRAFT_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    )
+    n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", timezone)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def normalize_timezone(tz: str) -> str:
+    """Translate the reference's ``UTC+05:30`` form into a Spark/Java zone id.
+
+    Mirrors the parse in reference ``src/components/transformation.py:203-214``
+    (``UTC±HH:MM`` → fixed-offset zone). Plain named zones pass through.
+    """
+    t = tz.strip()
+    if t.upper().startswith("UTC") and len(t) > 3:
+        return t[3:]  # "+05:30" — valid Java ZoneOffset id
+    if t.upper() == "UTC":
+        return "UTC"
+    return t

@@ -1,0 +1,70 @@
+"""Testdata table loader with nanosecond-timestamp normalization.
+
+Parquet written by pandas/pyarrow defaults to TIMESTAMP(NANOS), which Spark's
+parquet reader rejects for ``TimestampType`` ([PARQUET_TYPE_ILLEGAL]). The
+loader inspects footers (driver-side, metadata only), reads NANOS columns as
+longs (``spark.sql.legacy.parquet.nanosAsLong``), and converts with integer
+division — ``div 1000`` then ``timestamp_micros`` — so no precision is lost
+through doubles (ns-since-epoch exceeds double's 53-bit mantissa).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _nanos_timestamp_columns(path: str | Path) -> list[str]:
+    schema = pq.read_schema(str(path))
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def load_table(spark: SparkSession, sf_dir: str | Path, name: str) -> DataFrame:
+    """Read one testdata table, normalizing ns timestamps to TimestampType."""
+    path = str(Path(sf_dir) / f"{name}.parquet")
+    ns_cols = _nanos_timestamp_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str | Path, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    out = {}
+    for name in names or TABLE_NAMES:
+        if (Path(sf_dir) / f"{name}.parquet").exists():
+            out[name] = load_table(spark, sf_dir, name)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str | Path) -> dict[str, DataFrame]:
+    """Temp-view registration (S7 analog) for the SQL surface."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

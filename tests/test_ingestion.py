@@ -1,0 +1,115 @@
+"""Schema gate + checkpoint semantics (reference ``tests/test_ingestion.py``:
+missing/extra columns reject, order warns, wrong types reject, corrupt file
+isolation, incremental checkpoint)."""
+
+from datetime import datetime
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+from satsure_agri_datapipeline_spark.sources.checkpoint import FileCheckpoint
+from satsure_agri_datapipeline_spark.sources.parquet import (
+    build_struct_type,
+    read_sensor_parquet,
+    types_compatible,
+    validate_file_schema,
+)
+
+COLS = ["sensor_id", "timestamp", "reading_type", "value", "battery_level"]
+TYPES = {
+    "sensor_id": "VARCHAR",
+    "timestamp": "TIMESTAMP",
+    "reading_type": "VARCHAR",
+    "value": "DOUBLE",
+    "battery_level": "DOUBLE",
+}
+
+
+def _write(path: Path, drop=None, extra=False, value_as_str=False, shuffle=False):
+    df = pd.DataFrame(
+        {
+            "sensor_id": ["s1", "s2"],
+            "timestamp": [datetime(2023, 6, 1, 10), datetime(2023, 6, 1, 11)],
+            "reading_type": ["temperature", "humidity"],
+            "value": [20.0, 60.0],
+            "battery_level": [80.0, 90.0],
+        }
+    )
+    if drop:
+        df = df.drop(columns=[drop])
+    if extra:
+        df["extra_col"] = 1
+    if value_as_str:
+        df["value"] = df["value"].astype(str)
+    if shuffle:
+        df = df[list(reversed(df.columns))]
+    df.to_parquet(path)
+    return path
+
+
+def test_type_compat_groups():
+    assert types_compatible("TIMESTAMP", "TIMESTAMP_NS")
+    assert types_compatible("DOUBLE", "FLOAT")
+    assert types_compatible("VARCHAR", "STRING")
+    assert not types_compatible("DOUBLE", "VARCHAR")
+    assert not types_compatible("TIMESTAMP", "DOUBLE")
+
+
+def test_gate_accepts_good_file(tmp_path):
+    f = _write(tmp_path / "good.parquet")
+    ok, reason, warning = validate_file_schema(f, COLS, TYPES)
+    assert ok and reason is None and warning is None
+
+
+def test_gate_rejects_missing_and_extra(tmp_path):
+    ok, reason, _ = validate_file_schema(_write(tmp_path / "m.parquet", drop="battery_level"), COLS, TYPES)
+    assert not ok and "missing" in reason
+    ok, reason, _ = validate_file_schema(_write(tmp_path / "e.parquet", extra=True), COLS, TYPES)
+    assert not ok and "extra" in reason
+
+
+def test_gate_warns_on_order_rejects_on_type(tmp_path):
+    ok, _, warning = validate_file_schema(_write(tmp_path / "o.parquet", shuffle=True), COLS, TYPES)
+    assert ok and warning is not None
+    ok, reason, _ = validate_file_schema(_write(tmp_path / "t.parquet", value_as_str=True), COLS, TYPES)
+    assert not ok and "incompatible type" in reason
+
+
+def test_corrupt_file_isolated(tmp_path, spark):
+    _write(tmp_path / "good.parquet")
+    (tmp_path / "bad.parquet").write_bytes(b"not a parquet file")
+    df, gate = read_sensor_parquet(spark, tmp_path, COLS, TYPES)
+    assert len(gate.accepted) == 1 and len(gate.rejected) == 1
+    assert df.count() == 2
+
+
+def test_multifile_read_normalizes_order(tmp_path, spark):
+    _write(tmp_path / "a.parquet")
+    _write(tmp_path / "b.parquet", shuffle=True)
+    df, gate = read_sensor_parquet(spark, tmp_path, COLS, TYPES)
+    assert df.columns == COLS
+    assert df.count() == 4
+
+
+def test_checkpoint_roundtrip_and_quirk(tmp_path):
+    ckpt = FileCheckpoint(tmp_path / ".checkpoint")
+    files = [Path("f1.parquet"), Path("f2.parquet")]
+    assert ckpt.filter_new(files) == files
+    ckpt.update(attempted=files)
+    assert ckpt.filter_new(files) == []
+    # corrupt checkpoint → starts fresh
+    (tmp_path / ".checkpoint").write_text("{broken json")
+    assert ckpt.load() == set()
+    # fixed mode: only accepted files checkpointed
+    ckpt2 = FileCheckpoint(tmp_path / ".ck2", mark_failed_as_processed=False)
+    ckpt2.update(attempted=files, accepted=[files[0]])
+    assert ckpt2.load() == {"f1.parquet"}
+
+
+def test_build_struct_type():
+    s = build_struct_type(TYPES)
+    assert [f.name for f in s.fields] == COLS
+    assert s["value"].dataType.typeName() == "double"
+    with pytest.raises(ValueError):
+        build_struct_type({"x": "BLOB"})

@@ -1,0 +1,90 @@
+"""Validation battery: gap detection on a frame with known missing hours,
+profiling metrics, quality score, thresholds (reference
+``tests/test_validation.py`` semantics)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from satsure_agri_datapipeline_spark.config import PipelineConfig
+from satsure_agri_datapipeline_spark.operators.validation import (
+    detect_time_gaps,
+    profile_missing_by_type,
+    profile_overall_stats,
+    quality_score,
+    validate,
+    validate_ranges,
+)
+
+
+def _frame(spark, with_gap=True):
+    hours = [0, 1, 2, 5] if with_gap else [0, 1, 2, 3]  # gap at 3,4
+    rows = [
+        ("s1", datetime(2023, 6, 1, h), "temperature", 20.0 + h, 80.0, False) for h in hours
+    ]
+    return spark.createDataFrame(
+        rows,
+        "sensor_id string, timestamp timestamp, reading_type string, value double, "
+        "battery_level double, anomalous_reading boolean",
+    )
+
+
+def test_gap_detection_exact(spark):
+    gaps, time_range = detect_time_gaps(_frame(spark), frequency_hours=1)
+    rows = gaps.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.missing_hours == 2
+    assert r.first_gap == datetime(2023, 6, 1, 3)
+    assert r.last_gap == datetime(2023, 6, 1, 4)
+    assert time_range.first().sensor_count == 1
+
+
+def test_no_gaps_on_dense_frame(spark):
+    gaps, _ = detect_time_gaps(_frame(spark, with_gap=False), frequency_hours=1)
+    assert gaps.count() == 0
+
+
+def test_per_sensor_span_mode(spark):
+    gaps, _ = detect_time_gaps(_frame(spark), frequency_hours=1, per_sensor_span=True)
+    assert gaps.collect()[0].missing_hours == 2
+
+
+def test_missing_profile_and_ranges(spark):
+    df = spark.createDataFrame(
+        [
+            ("s1", datetime(2023, 6, 1), "temperature", None, 80.0, False),
+            ("s1", datetime(2023, 6, 1, 1), "temperature", 99.0, 150.0, True),
+            ("s1", datetime(2023, 6, 1, 2), "humidity", 50.0, 80.0, False),
+        ],
+        "sensor_id string, timestamp timestamp, reading_type string, value double, "
+        "battery_level double, anomalous_reading boolean",
+    )
+    prof = {r.reading_type: r for r in profile_missing_by_type(df).collect()}
+    assert prof["temperature"].missing_percentage == 50.0
+    assert prof["humidity"].missing_percentage == 0.0
+
+    ranges = {r.range_key: r.out_of_range for r in validate_ranges(df, PipelineConfig()).collect()}
+    assert ranges["temperature"] == 1  # 99 > 60
+    assert ranges["humidity"] == 0
+    assert ranges["battery_level"] == 1  # 150 > 100
+
+
+def test_quality_score_formula():
+    metrics = {
+        "missing_values_by_type": {"temperature": {"missing_percentage": 5.0}},
+        "anomalies_by_type": {"temperature": {"anomaly_percentage": 15.0}},  # capped at 10
+        "total_missing_hours": 20,  # 2*20=40 capped at 30
+    }
+    assert quality_score(metrics) == pytest.approx(100 - 5 - 10 - 30)
+    assert quality_score({}) == 100.0
+
+
+def test_validate_end_to_end(spark, config):
+    res = validate(_frame(spark), config)
+    assert res.total_records == 4
+    assert res.quality_metrics["total_missing_hours"] == 2
+    assert res.passed  # no missing values, no anomalies
+    assert any("gap" in i for i in res.issues_found)
+    assert profile_overall_stats(_frame(spark)).first().unique_sensors == 1
