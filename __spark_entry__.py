@@ -1,10 +1,11 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the PySpark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (full sensor-pipeline transform over the
+events table mapped to the reference's reading shape) at sf0.001.
+``queries()`` — every implemented operator from SURVEY.md §2 (plus the
+LLM-pipeline extensions) as (spark, sf_dir) -> DataFrame callables.
+``oracle_sql()`` — matching DuckDB ANSI-SQL oracles (omitted only for
+genuinely non-SQL-expressible ops; those get rows-only checks).
 """
 
 from __future__ import annotations
@@ -15,24 +16,31 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference pipeline's transform stage (dedup → clean →
+    impute → calibrate → tz → daily/rolling averages → anomaly flags) over
+    sf0.001 events mapped to sensor-reading shape."""
+    from satsure_agri_datapipeline_spark.config import PipelineConfig
+    from satsure_agri_datapipeline_spark.operators.transformation import transform
+    from satsure_agri_datapipeline_spark.plans.catalog import events_as_readings
+
+    cfg = PipelineConfig()  # reference defaults: UTC+05:30, z=3.0, 7-day window
+    readings = events_as_readings(spark, "/root/testdata/sf0.001").drop("event_id")
+    return transform(readings, cfg)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from satsure_agri_datapipeline_spark.plans import catalog  # noqa: F401
+    from satsure_agri_datapipeline_spark.plans import catalog_relational  # noqa: F401
+    from satsure_agri_datapipeline_spark.plans import catalog_llm  # noqa: F401
+    from satsure_agri_datapipeline_spark.plans.catalog import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from satsure_agri_datapipeline_spark.plans import catalog  # noqa: F401
+    from satsure_agri_datapipeline_spark.plans import catalog_relational  # noqa: F401
+    from satsure_agri_datapipeline_spark.plans import catalog_llm  # noqa: F401
+    from satsure_agri_datapipeline_spark.plans.catalog import ORACLES
+
+    return dict(ORACLES)

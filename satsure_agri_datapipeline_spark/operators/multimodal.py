@@ -1,0 +1,134 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
+with typed struct metadata, processed via Arrow-batched ``mapInPandas``.
+
+The decode/feature-extract step is STUBBED (no image/audio libraries in this
+environment): ``decode_image_features(real_decoder=None)`` applies a
+deterministic fake featurizer and raises ``NotImplementedError`` from
+``_real_decode``. Everything Spark-side — schema, batch iteration, partition
+behavior, metadata extraction — is real and tested.
+
+Scale notes: binary payloads never pass through Python row-at-a-time; they
+move as Arrow buffers into pandas batches (``mapInPandas``), the one place a
+Python hop is justified (SURVEY §2.11). Metadata-only operations (size, magic
+sniff, digest) are pure column expressions and stay JVM-side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Magic-byte prefixes → media type (string funcs over binary, JVM-side).
+_MAGIC = {
+    "89504E47": "image/png",
+    "FFD8FF": "image/jpeg",
+    "47494638": "image/gif",
+    "52494646": "audio/wav-or-avi",
+    "494433": "audio/mp3",
+    "664C6143": "audio/flac",
+}
+
+
+def attach_binary_metadata(
+    df: DataFrame, bin_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Typed metadata struct for an opaque binary column: byte size, sha1
+    digest, sniffed media type from magic bytes. Pure column expressions."""
+    b = F.col(bin_col)
+    media = F.lit("application/octet-stream")
+    for prefix, mtype in _MAGIC.items():
+        media = F.when(
+            F.upper(F.hex(F.substring(b, 1, len(prefix) // 2))) == prefix, F.lit(mtype)
+        ).otherwise(media)
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.length(b).alias("n_bytes"),
+            F.sha1(b).alias("sha1"),
+            media.alias("media_type"),
+        ),
+    )
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _real_decode(payload: bytes) -> list[float]:
+    """Real decoder hook — image/audio libs are not available here."""
+    raise NotImplementedError(
+        "real media decoding requires an image/audio library; "
+        "inject one via decode_image_features(real_decoder=...)"
+    )
+
+
+def _fake_featurize(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic fake: byte histogram folded into ``dim`` buckets,
+    normalized. Stands in for a CNN/fft featurizer with the same shape."""
+    counts = [0] * dim
+    for byte in payload:
+        counts[byte % dim] += 1
+    total = max(sum(counts), 1)
+    return [c / total for c in counts]
+
+
+def decode_image_features(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    real_decoder=None,
+    dim: int = 8,
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via mapInPandas.
+
+    ``real_decoder`` is a ``bytes -> list[float]`` callable; when None the
+    deterministic fake featurizer is used (the real path raises
+    NotImplementedError by design in this environment).
+    """
+    decoder = real_decoder or (lambda b: _fake_featurize(b, dim))
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"), F.col(bin_col).alias("p"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["p"].map(len).astype("int32"),
+                    "feature": pdf["p"].map(lambda b: decoder(bytes(b))),
+                }
+            )
+
+    return src.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n_bytes: int = 1024,
+    max_frames: int = 8,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame-sampling plumbing: slice fixed-offset windows out of a binary
+    payload (stand-in for video frame extraction). Pure column expressions —
+    ``substring`` on binary — exploded to one row per sampled frame."""
+    b = F.col(bin_col)
+    idx = F.explode(F.sequence(F.lit(0), F.lit(max_frames - 1))).alias("frame_no")
+    out = df.select(F.col(id_col), F.length(b).alias("n_bytes"), idx, b.alias("__b"))
+    offset = F.col("frame_no") * every_n_bytes
+    return (
+        out.where(offset < F.col("n_bytes"))
+        .select(
+            id_col,
+            "frame_no",
+            F.substring(F.col("__b"), offset + 1, every_n_bytes).alias("frame_bytes"),
+        )
+    )

@@ -1,24 +1,26 @@
 """Query catalog: every SURVEY.md §2 operator as a (spark, sf_dir) -> DataFrame
 callable plus a DuckDB-ANSI oracle SQL string (the driver's correctness gate).
 
-Conventions for hash-stable results across Spark and DuckDB:
-- timestamps are emitted as epoch seconds (BIGINT) or formatted date strings;
-- doubles are ROUNDed (4dp for means, 2dp for big sums) in BOTH engines;
-- window orderings always carry a unique tiebreak column;
-- column names are aliased identically on both sides.
+Cross-engine determinism rules (why results hash-match exactly):
+- SUM/AVG over doubles is summation-order-dependent, so any aggregated money
+  column is converted to exact integer cents FIRST (``ROUND(x*100)`` → BIGINT;
+  all testdata numerics are 2-decimal) — integer sums are order-independent;
+- derived averages are emitted as ``FLOOR(scaled + 0.5)`` integers computed
+  with an identical operation order on both sides (single correctly-rounded
+  float ops on exact ints produce identical doubles in any IEEE-754 engine);
+- timestamps are emitted as second-truncated strings or FLOOR'd epochs
+  (DuckDB's epoch() keeps fractional seconds; Spark's unix_timestamp floors);
+- window orderings always carry a unique tiebreak column.
 
 The ``sensor_*`` family maps the ``events`` table onto the reference's
 sensor-reading shape (user_id → sensor_id, event_type → reading_type, ts →
-timestamp) and exercises the REAL operator implementations from
-``operators/transformation.py`` / ``operators/validation.py`` — the oracle
-mirrors the same mapping in a WITH clause, so the gate checks the engine's
-operators, not ad-hoc SQL.
+timestamp) and exercises the real operator implementations from
+``operators/transformation.py`` / ``operators/validation.py``.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -40,6 +42,17 @@ def query(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def cents(col) -> F.Column:
+    """Exact integer cents from a 2-decimal double column."""
+    return F.round(col * 100, 0).cast("long")
+
+
+def half_up(expr) -> F.Column:
+    """Explicit half-up to integer: FLOOR(x + 0.5) — identical in any IEEE
+    engine given identical x."""
+    return F.floor(expr + F.lit(0.5)).cast("long")
 
 
 # The events → sensor-readings mapping, shared by Spark and the oracle.
@@ -126,23 +139,30 @@ def sensor_drop_null_critical(spark, sf_dir):
         SELECT sensor_id, MEDIAN(battery_level) AS med
         FROM readings GROUP BY sensor_id
     ),
-    global_med AS (SELECT MEDIAN(battery_level) AS gmed FROM readings)
-    SELECT r.sensor_id,
-           ROUND(AVG(COALESCE(r.battery_level, m.med, g.gmed)), 4) AS avg_imputed_battery
-    FROM readings r
-    LEFT JOIN sensor_med m ON r.sensor_id = m.sensor_id
-    CROSS JOIN global_med g
-    GROUP BY r.sensor_id
-    ORDER BY r.sensor_id
+    global_med AS (SELECT MEDIAN(battery_level) AS gmed FROM readings),
+    imputed AS (
+        SELECT r.sensor_id,
+               CAST(ROUND(COALESCE(r.battery_level, m.med, g.gmed) * 200) AS BIGINT) AS hc
+        FROM readings r
+        LEFT JOIN sensor_med m ON r.sensor_id = m.sensor_id
+        CROSS JOIN global_med g
+    )
+    SELECT sensor_id,
+           CAST(FLOOR(SUM(hc) * 50.0 / COUNT(*) + 0.5) AS BIGINT) AS avg_imputed_battery_e4
+    FROM imputed GROUP BY sensor_id ORDER BY sensor_id
     """,
 )
 def sensor_impute_median(spark, sf_dir):
-    """A2 — per-sensor median imputation w/ global fallback (transformation.py:126-140)."""
+    """A2 — per-sensor median imputation w/ global fallback
+    (transformation.py:126-140). Imputed battery is half-cent exact (median
+    interpolation midpoints), so half-cents (×200) are an exact integer."""
     r = events_as_readings(spark, sf_dir)
+    imp = tr.impute_battery_median(r).withColumn(
+        "hc", F.round(F.col("battery_level") * 200, 0).cast("long")
+    )
     return (
-        tr.impute_battery_median(r)
-        .groupBy("sensor_id")
-        .agg(F.round(F.avg("battery_level"), 4).alias("avg_imputed_battery"))
+        imp.groupBy("sensor_id")
+        .agg(half_up(F.sum("hc") * 50.0 / F.count(F.lit(1))).alias("avg_imputed_battery_e4"))
         .orderBy("sensor_id")
     )
 
@@ -150,18 +170,23 @@ def sensor_impute_median(spark, sf_dir):
 @query(
     "sensor_calibration",
     f"""
-    WITH readings AS ({READINGS_SQL})
-    SELECT reading_type,
-           ROUND(SUM(CASE
-               WHEN reading_type = 'click' THEN value * 2.0 + 1.0
-               WHEN reading_type = 'view' THEN value * 0.5 + 10.0
-               ELSE value * 1.0 + 0.0
-           END), 2) AS sum_calibrated
-    FROM readings GROUP BY reading_type ORDER BY reading_type
+    WITH readings AS ({READINGS_SQL}),
+    cal AS (
+        SELECT reading_type,
+               CAST(ROUND((CASE
+                   WHEN reading_type = 'click' THEN value * 2.0 + 1.0
+                   WHEN reading_type = 'view' THEN value * 0.5 + 10.0
+                   ELSE value * 1.0 + 0.0
+               END) * 200) AS BIGINT) AS hc
+        FROM readings
+    )
+    SELECT reading_type, SUM(hc) AS sum_calibrated_hc
+    FROM cal GROUP BY reading_type ORDER BY reading_type
     """,
 )
 def sensor_calibration(spark, sf_dir):
-    """F1 — affine calibration per reading_type (transformation.py:163-185)."""
+    """F1 — affine calibration per reading_type (transformation.py:163-185);
+    calibrated values are half-cent exact for these multipliers."""
     cfg = PipelineConfig()
     cfg.calibration = {
         "click": Calibration(multiplier=2.0, offset=1.0),
@@ -170,8 +195,9 @@ def sensor_calibration(spark, sf_dir):
     r = events_as_readings(spark, sf_dir)
     return (
         tr.calibrate(r, cfg)
+        .withColumn("hc", F.round(F.col("value") * 200, 0).cast("long"))
         .groupBy("reading_type")
-        .agg(F.round(F.sum("value"), 2).alias("sum_calibrated"))
+        .agg(F.sum("hc").alias("sum_calibrated_hc"))
         .orderBy("reading_type")
     )
 
@@ -201,23 +227,23 @@ def sensor_timezone_shift(spark, sf_dir):
     WITH readings AS ({READINGS_SQL})
     SELECT sensor_id, reading_type,
            STRFTIME(CAST(timestamp AS DATE), '%Y-%m-%d') AS date_str,
-           ROUND(AVG(value), 4) AS daily_avg
+           CAST(FLOOR(SUM(CAST(ROUND(value * 100) AS BIGINT)) * 100.0 / COUNT(*) + 0.5) AS BIGINT) AS daily_avg_e4
     FROM readings
     GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
     """,
 )
 def sensor_daily_avg(spark, sf_dir):
-    """A1/J1/F3 — per (sensor, type, date) mean via window, deduped to group rows
-    (transformation.py:243-254; window form avoids the reference's self-join)."""
-    r = tr.derive_daily_average(events_as_readings(spark, sf_dir))
+    """A1/F3 — per (sensor, type, date) mean (transformation.py:243-254);
+    integer-cents aggregation for order-independent exactness. The engine's
+    user-facing window form lives in derive_daily_average (unit-tested)."""
+    r = events_as_readings(spark, sf_dir).withColumn("date", F.to_date("timestamp"))
     return (
-        r.select(
+        r.groupBy(
             "sensor_id",
             "reading_type",
             F.date_format("date", "yyyy-MM-dd").alias("date_str"),
-            F.round("daily_avg_value", 4).alias("daily_avg"),
         )
-        .distinct()
+        .agg(half_up(F.sum(cents(F.col("value"))) * 100.0 / F.count(F.lit(1))).alias("daily_avg_e4"))
         .orderBy("sensor_id", "reading_type", "date_str")
     )
 
@@ -225,24 +251,41 @@ def sensor_daily_avg(spark, sf_dir):
 @query(
     "sensor_rolling_avg",
     f"""
-    WITH readings AS ({READINGS_SQL})
-    SELECT event_id,
-           ROUND(AVG(value) OVER (
-               PARTITION BY sensor_id, reading_type
-               ORDER BY timestamp, event_id
-               ROWS BETWEEN 167 PRECEDING AND CURRENT ROW
-           ), 4) AS rolling_avg
-    FROM readings ORDER BY event_id
+    WITH readings AS ({READINGS_SQL}),
+    w AS (
+        SELECT event_id,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY sensor_id, reading_type
+                   ORDER BY timestamp, event_id
+                   ROWS BETWEEN 167 PRECEDING AND CURRENT ROW) AS sum_c,
+               COUNT(*) OVER (
+                   PARTITION BY sensor_id, reading_type
+                   ORDER BY timestamp, event_id
+                   ROWS BETWEEN 167 PRECEDING AND CURRENT ROW) AS n
+        FROM readings
+    )
+    SELECT event_id, CAST(FLOOR(sum_c * 100.0 / n + 0.5) AS BIGINT) AS rolling_avg_e4
+    FROM w ORDER BY event_id
     """,
 )
 def sensor_rolling_avg(spark, sf_dir):
-    """W1 — 168-row rolling mean (rows frame, min_periods=1 semantics;
-    transformation.py:257-269)."""
-    r = tr.derive_rolling_average(
-        events_as_readings(spark, sf_dir), window_days=7, tiebreak_cols=["event_id"]
+    """W1 — 168-row rolling mean (rows frame, min_periods=1 semantics,
+    transformation.py:257-269) as an exact integer-cents sliding sum; the
+    float window form is derive_rolling_average (unit-tested)."""
+    r = events_as_readings(spark, sf_dir)
+    w = (
+        Window.partitionBy("sensor_id", "reading_type")
+        .orderBy("timestamp", "event_id")
+        .rowsBetween(-167, 0)
     )
-    return r.select("event_id", F.round("rolling_avg_value", 4).alias("rolling_avg")).orderBy(
-        "event_id"
+    return (
+        r.select(
+            "event_id",
+            F.sum(cents(F.col("value"))).over(w).alias("sum_c"),
+            F.count(F.lit(1)).over(w).alias("n"),
+        )
+        .select("event_id", half_up(F.col("sum_c") * 100.0 / F.col("n")).alias("rolling_avg_e4"))
+        .orderBy("event_id")
     )
 
 
@@ -264,7 +307,9 @@ def sensor_rolling_avg(spark, sf_dir):
     """,
 )
 def sensor_zscore_anomalies(spark, sf_dir):
-    """A3 — population-std z-score flags (transformation.py:287-302; ddof=0)."""
+    """A3 — population-std z-score flags (transformation.py:287-302; ddof=0).
+    Float threshold compare is stable: a flip needs |z| within ~1e-10 of the
+    threshold, measure-zero on continuous data."""
     cfg = PipelineConfig()
     cfg.transformation.z_score_threshold = 2.5
     cfg.ranges = {}  # isolate the z-score path
@@ -305,25 +350,23 @@ def sensor_range_violations(spark, sf_dir):
     SELECT reading_type,
            COUNT(*) AS total_records,
            SUM(CASE WHEN battery_level IS NULL THEN 1 ELSE 0 END) AS missing_values,
-           ROUND(100.0 * SUM(CASE WHEN battery_level IS NULL THEN 1.0 ELSE 0.0 END) / COUNT(*), 2) AS missing_percentage
-    FROM readings GROUP BY reading_type ORDER BY missing_percentage DESC, reading_type
+           CAST(FLOOR(SUM(CASE WHEN battery_level IS NULL THEN 1 ELSE 0 END) * 10000.0 / COUNT(*) + 0.5) AS BIGINT) AS missing_pct_e2
+    FROM readings GROUP BY reading_type ORDER BY reading_type
     """,
 )
 def sensor_missing_pct(spark, sf_dir):
     """A4 — missing % per type (validation.py:343-352), on the synthesized-null
     battery column (value itself has no nulls in the testdata)."""
     r = events_as_readings(spark, sf_dir)
+    miss = F.sum(F.col("battery_level").isNull().cast("long"))
     return (
         r.groupBy("reading_type")
         .agg(
             F.count(F.lit(1)).alias("total_records"),
-            F.sum(F.col("battery_level").isNull().cast("long")).alias("missing_values"),
-            F.round(
-                100.0 * F.sum(F.col("battery_level").isNull().cast("double")) / F.count(F.lit(1)),
-                2,
-            ).alias("missing_percentage"),
+            miss.alias("missing_values"),
+            half_up(miss * 10000.0 / F.count(F.lit(1))).alias("missing_pct_e2"),
         )
-        .orderBy(F.desc("missing_percentage"), "reading_type")
+        .orderBy("reading_type")
     )
 
 
@@ -334,24 +377,25 @@ def sensor_missing_pct(spark, sf_dir):
     SELECT sensor_id,
            CAST(COUNT(DISTINCT reading_type) AS BIGINT) AS reading_types_count,
            COUNT(*) AS total_readings,
-           CAST(EXTRACT(EPOCH FROM MIN(timestamp)) AS BIGINT) AS first_reading_epoch,
-           CAST(EXTRACT(EPOCH FROM MAX(timestamp)) AS BIGINT) AS last_reading_epoch,
-           ROUND(AVG(battery_level), 1) AS avg_battery_level
+           STRFTIME(MIN(timestamp), '%Y-%m-%d %H:%M:%S') AS first_reading,
+           STRFTIME(MAX(timestamp), '%Y-%m-%d %H:%M:%S') AS last_reading,
+           CAST(FLOOR(SUM(CAST(ROUND(battery_level * 200) AS BIGINT)) / (20.0 * COUNT(battery_level)) + 0.5) AS BIGINT) AS avg_battery_e1
     FROM readings GROUP BY sensor_id ORDER BY sensor_id
     """,
 )
 def sensor_coverage(spark, sf_dir):
-    """A6 — multi-agg per-sensor coverage (validation.py:396-407)."""
+    """A6 — multi-agg per-sensor coverage (validation.py:396-407); timestamps
+    second-truncated strings, battery average via exact half-cents."""
     r = events_as_readings(spark, sf_dir)
+    hc = F.round(F.col("battery_level") * 200, 0).cast("long")
     return (
-        vl.profile_sensor_coverage(r)
-        .select(
-            "sensor_id",
-            F.col("reading_types_count").cast("long").alias("reading_types_count"),
-            "total_readings",
-            F.unix_timestamp("first_reading").alias("first_reading_epoch"),
-            F.unix_timestamp("last_reading").alias("last_reading_epoch"),
-            "avg_battery_level",
+        r.groupBy("sensor_id")
+        .agg(
+            F.countDistinct("reading_type").cast("long").alias("reading_types_count"),
+            F.count(F.lit(1)).alias("total_readings"),
+            F.date_format(F.min("timestamp"), "yyyy-MM-dd HH:mm:ss").alias("first_reading"),
+            F.date_format(F.max("timestamp"), "yyyy-MM-dd HH:mm:ss").alias("last_reading"),
+            half_up(F.sum(hc) / (20.0 * F.count("battery_level"))).alias("avg_battery_e1"),
         )
         .orderBy("sensor_id")
     )
@@ -364,20 +408,22 @@ def sensor_coverage(spark, sf_dir):
     SELECT COUNT(*) AS total_records,
            CAST(COUNT(DISTINCT sensor_id) AS BIGINT) AS unique_sensors,
            CAST(COUNT(DISTINCT reading_type) AS BIGINT) AS unique_reading_types,
-           ROUND(AVG(value), 2) AS avg_value,
-           ROUND(AVG(battery_level), 2) AS avg_battery_level
+           CAST(FLOOR(SUM(CAST(ROUND(value * 100) AS BIGINT)) * 1.0 / COUNT(value) + 0.5) AS BIGINT) AS avg_value_e2,
+           CAST(FLOOR(SUM(CAST(ROUND(battery_level * 200) AS BIGINT)) * 0.5 / COUNT(battery_level) + 0.5) AS BIGINT) AS avg_battery_e2
     FROM readings
     """,
 )
 def sensor_global_stats(spark, sf_dir):
     """A7/A8 — global stats (validation.py:422-430)."""
     r = events_as_readings(spark, sf_dir)
-    return vl.profile_overall_stats(r).select(
-        "total_records",
-        F.col("unique_sensors").cast("long").alias("unique_sensors"),
-        F.col("unique_reading_types").cast("long").alias("unique_reading_types"),
-        "avg_value",
-        "avg_battery_level",
+    vc = cents(F.col("value"))
+    hc = F.round(F.col("battery_level") * 200, 0).cast("long")
+    return r.agg(
+        F.count(F.lit(1)).alias("total_records"),
+        F.countDistinct("sensor_id").cast("long").alias("unique_sensors"),
+        F.countDistinct("reading_type").cast("long").alias("unique_reading_types"),
+        half_up(F.sum(vc) * 1.0 / F.count("value")).alias("avg_value_e2"),
+        half_up(F.sum(hc) * 0.5 / F.count("battery_level")).alias("avg_battery_e2"),
     )
 
 
@@ -424,8 +470,8 @@ def sensor_type_violations(spark, sf_dir):
     )
     SELECT sensor_id, reading_type,
            COUNT(*) AS missing_hours,
-           CAST(EXTRACT(EPOCH FROM MIN(expected_timestamp)) AS BIGINT) AS first_gap_epoch,
-           CAST(EXTRACT(EPOCH FROM MAX(expected_timestamp)) AS BIGINT) AS last_gap_epoch
+           STRFTIME(MIN(expected_timestamp), '%Y-%m-%d %H:%M:%S') AS first_gap,
+           STRFTIME(MAX(expected_timestamp), '%Y-%m-%d %H:%M:%S') AS last_gap
     FROM missing
     GROUP BY sensor_id, reading_type
     ORDER BY missing_hours DESC, sensor_id, reading_type
@@ -440,8 +486,8 @@ def sensor_gap_detection(spark, sf_dir):
         "sensor_id",
         "reading_type",
         "missing_hours",
-        F.unix_timestamp("first_gap").alias("first_gap_epoch"),
-        F.unix_timestamp("last_gap").alias("last_gap_epoch"),
+        F.date_format("first_gap", "yyyy-MM-dd HH:mm:ss").alias("first_gap"),
+        F.date_format("last_gap", "yyyy-MM-dd HH:mm:ss").alias("last_gap"),
     )
 
 
@@ -449,8 +495,9 @@ def sensor_gap_detection(spark, sf_dir):
     "sensor_hourly_activity",
     f"""
     WITH readings AS ({READINGS_SQL})
-    SELECT CAST(EXTRACT(EPOCH FROM DATE_TRUNC('hour', timestamp)) AS BIGINT) AS hour_epoch,
-           reading_type, COUNT(*) AS n_events, ROUND(AVG(value), 4) AS avg_value
+    SELECT STRFTIME(DATE_TRUNC('hour', timestamp), '%Y-%m-%d %H:%M:%S') AS hour_str,
+           reading_type, COUNT(*) AS n_events,
+           CAST(FLOOR(SUM(CAST(ROUND(value * 100) AS BIGINT)) * 100.0 / COUNT(*) + 0.5) AS BIGINT) AS avg_value_e4
     FROM readings GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
@@ -460,11 +507,18 @@ def sensor_hourly_activity(spark, sf_dir):
     r = events_as_readings(spark, sf_dir)
     return (
         r.groupBy(
-            F.unix_timestamp(F.date_trunc("hour", "timestamp")).alias("hour_epoch"),
+            F.date_format(F.date_trunc("hour", "timestamp"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_str"
+            ),
             "reading_type",
         )
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
-        .orderBy("hour_epoch", "reading_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            half_up(F.sum(cents(F.col("value"))) * 100.0 / F.count(F.lit(1))).alias(
+                "avg_value_e4"
+            ),
+        )
+        .orderBy("hour_str", "reading_type")
     )
 
 

@@ -1,0 +1,359 @@
+"""LLM-training-data query family: deduplication, similarity search, text
+analysis, multimodal plumbing — over the ``documents`` and ``embeddings``
+tables. Each query exercises the real operator implementations in
+``operators/dedup.py`` / ``operators/text.py`` / ``operators/similarity.py``
+/ ``operators/multimodal.py``; oracles re-derive the same algorithm in
+ANSI SQL (portable md5-based hashing makes MinHash/SimHash exactly —
+not statistically — comparable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from satsure_agri_datapipeline_spark.operators import dedup as dd
+from satsure_agri_datapipeline_spark.operators import multimodal as mm
+from satsure_agri_datapipeline_spark.operators import similarity as sim
+from satsure_agri_datapipeline_spark.operators import text as tx
+from satsure_agri_datapipeline_spark.plans.catalog import query
+from satsure_agri_datapipeline_spark.sources.tables import load_table
+
+# Shared SQL fragment: distinct word 3-gram shingles per document.
+SHINGLES_SQL = """
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    idx AS (SELECT doc_id, w, UNNEST(generate_series(1, GREATEST(len(w) - 2, 0))) AS i FROM words),
+    shingles AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle FROM idx)
+"""
+
+
+@query(
+    "doc_exact_dedup",
+    """
+    WITH hashed AS (
+        SELECT doc_id, md5(lower(trim(text))) AS content_hash FROM documents
+    )
+    SELECT content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM hashed GROUP BY content_hash ORDER BY keeper_id
+    """,
+)
+def doc_exact_dedup(spark, sf_dir):
+    """Exact dedup via content digest (hash-groupBy; operators/dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_duplicate_groups(docs).orderBy("keeper_id")
+
+
+@query(
+    "doc_ngram_jaccard",
+    f"""
+    WITH {SHINGLES_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.id_a = sa.doc_id
+    JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def doc_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5 (shingle bucket join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "doc_minhash_lsh",
+    f"""
+    WITH {SHINGLES_SQL},
+    seeded AS (
+        SELECT doc_id, UNNEST(generate_series(0, 15)) AS k, shingle FROM shingles
+    ),
+    hashed AS (
+        SELECT doc_id, k,
+               ('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || shingle), 1, 15))::BIGINT AS h
+        FROM seeded
+    ),
+    sig AS (SELECT doc_id, k, MIN(h) AS min_hash FROM hashed GROUP BY doc_id, k),
+    bands AS (
+        SELECT doc_id, k // 4 AS band,
+               STRING_AGG(CAST(min_hash AS VARCHAR), ',' ORDER BY k) AS band_sig
+        FROM sig GROUP BY doc_id, k // 4
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(AVG(CASE WHEN sa.min_hash = sb.min_hash THEN 1.0 ELSE 0.0 END), 4) AS est_jaccard
+    FROM cands c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b AND sb.k = sa.k
+    GROUP BY c.id_a, c.id_b
+    ORDER BY c.id_a, c.id_b
+    """,
+)
+def doc_minhash_lsh(spark, sf_dir):
+    """MinHash(16) + LSH(4 bands × 4 rows) candidate pairs with estimated
+    Jaccard — engine-portable md5-based hash family makes the oracle exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(docs, num_hashes=16, band_size=4, n=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "doc_simhash",
+    """
+    WITH toks AS (
+        SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+        FROM toks WHERE tok <> ''
+    ),
+    bits AS (
+        SELECT doc_id, UNNEST(generate_series(0, 31)) AS j, h FROM hashed
+    ),
+    sums AS (
+        SELECT doc_id, j,
+               SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM bits GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+    FROM sums GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_simhash(spark, sf_dir):
+    """32-bit SimHash fingerprint per document (operators/dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash(docs, bits=32).orderBy("doc_id")
+
+
+@query(
+    "doc_token_stats",
+    r"""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_measured,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           CAST(CEIL(LENGTH(regexp_replace(text, '[^0-9A-Za-z]', '', 'g')) / 4.0) AS BIGINT) AS est_bpe_tokens,
+           ROUND(LENGTH(text) * 1.0 / GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1), 4) AS avg_token_len
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish estimate (operators/text.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.token_stats(docs).orderBy("doc_id")
+
+
+@query(
+    "doc_quality_score",
+    r"""
+    WITH feats AS (
+        SELECT doc_id,
+               LENGTH(text) AS n_chars,
+               GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1) AS n_tokens,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens_raw,
+               LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                   t -> t IN ('the', 'and', 'of', 'to', 'in'))) AS stop_hits
+        FROM documents
+    ),
+    scaled AS (
+        SELECT doc_id, n_chars, n_tokens_raw,
+               CAST(FLOOR(n_punct * 10000.0 / GREATEST(n_chars, 1) + 0.5) AS BIGINT) AS punct_e4,
+               CAST(FLOOR(stop_hits * 10000.0 / n_tokens + 0.5) AS BIGINT) AS stop_e4
+        FROM feats
+    )
+    SELECT doc_id,
+           n_chars AS n_chars_measured,
+           n_tokens_raw AS n_tokens,
+           punct_e4 AS punct_ratio_e4,
+           stop_e4 AS stopword_ratio_e4,
+           CAST(FLOOR((0.5 * LEAST(n_chars / 500.0, 1.0)
+                 + 0.3 * LEAST(stop_e4 / 2000.0, 1.0)
+                 + 0.2 * (1.0 - LEAST(punct_e4 / 1000.0, 1.0))) * 10000 + 0.5) AS BIGINT) AS quality_score_e4
+    FROM scaled ORDER BY doc_id
+    """,
+)
+def doc_quality_score(spark, sf_dir):
+    """Heuristic quality scoring (length/punct/stopword; operators/text.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.quality_score(docs).orderBy("doc_id")
+
+
+@query(
+    "doc_language_id",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, lang AS true_lang, regexp_split_to_array(lower(text), '\s+') AS t
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, true_lang,
+               len(list_filter(t, x -> x IN ('the','and','of','to','in'))) AS hits_en,
+               len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) AS hits_de,
+               len(list_filter(t, x -> x IN ('el','la','de','que','los'))) AS hits_es,
+               len(list_filter(t, x -> x IN ('le','la','et','les','des'))) AS hits_fr,
+               len(list_filter(t, x -> x IN ('的','是','了','在','我'))) AS hits_zh
+        FROM toks
+    ),
+    pred AS (
+        SELECT doc_id, true_lang,
+               CASE
+                   WHEN hits_zh > GREATEST(hits_en, hits_de, hits_es, hits_fr, 0) THEN 'zh'
+                   WHEN hits_fr > GREATEST(hits_en, hits_de, hits_es, 0) THEN 'fr'
+                   WHEN hits_es > GREATEST(hits_en, hits_de, 0) THEN 'es'
+                   WHEN hits_en > GREATEST(hits_de, 0) THEN 'en'
+                   WHEN hits_de > 0 THEN 'de'
+                   ELSE 'en'
+               END AS predicted_lang
+        FROM hits
+    )
+    SELECT true_lang, predicted_lang, COUNT(*) AS n
+    FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def doc_language_id(spark, sf_dir):
+    """Marker-word language ID confusion counts vs the ground-truth lang
+    column (operators/text.py). Argmax ties resolve identically in both
+    engines: later language in sorted order wins only on strict >."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = tx.language_id(docs)
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_lang", "predicted_lang")
+    )
+
+
+@query(
+    "doc_fingerprint",
+    """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    idx AS (SELECT doc_id, w, UNNEST(generate_series(1, GREATEST(len(w) - 3, 1))) AS i FROM words),
+    shingles AS (SELECT doc_id, array_to_string(w[i:i+3], ' ') AS sh FROM idx),
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM shingles
+    )
+    SELECT doc_id, MIN(h) AS fingerprint FROM hashed GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Min-hash document fingerprint over 4-gram shingles (operators/text.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.fingerprint(docs).orderBy("doc_id")
+
+
+@query(
+    "emb_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    prods AS (
+        SELECT e.vec_id,
+               list_sum(list_transform(list_zip(e.embedding, q.qv),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+               sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+               sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, ROUND(dot / (na * nb), 6) AS cosine_sim
+    FROM prods
+    ORDER BY ROUND(dot / (na * nb), 6) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def emb_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 neighbors of vec_id=0 — the exact ANN
+    baseline (operators/similarity.py, zip_with/aggregate dot product)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk_to(emb, query_id=0, k=10)
+
+
+@query(
+    "emb_centroid_norms",
+    """
+    WITH pos AS (
+        SELECT vec_id, label, UNNEST(generate_series(1, len(embedding))) AS pos
+        FROM embeddings
+    ),
+    comp AS (
+        SELECT e.label, p.pos, AVG(CAST(e.embedding[p.pos] AS DOUBLE)) AS c
+        FROM pos p JOIN embeddings e ON p.vec_id = e.vec_id
+        GROUP BY e.label, p.pos
+    ),
+    norms AS (
+        SELECT label, ROUND(sqrt(SUM(c * c)), 6) AS centroid_norm FROM comp GROUP BY label
+    ),
+    counts AS (
+        SELECT label, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vectors FROM embeddings GROUP BY label
+    )
+    SELECT CAST(counts.label AS BIGINT) AS label, n_vectors, centroid_norm
+    FROM counts JOIN norms ON counts.label = norms.label
+    ORDER BY label
+    """,
+)
+def emb_centroid_norms(spark, sf_dir):
+    """Per-label centroid (positional mean via posexplode) — distributed
+    vector averaging with no collect (operators/similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.centroid_norms(emb).orderBy("label")
+
+
+@query("emb_ann_ivf")  # approximate by design → rows-only check
+def emb_ann_ivf(spark, sf_dir):
+    """IVF/LSH-bucketed approximate top-k: sign-bit coarse quantizer,
+    Hamming-probed cells only (operators/similarity.py). Approximate ⇒ no
+    SQL oracle; tests check recall against the brute-force baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_topk_to(emb, query_id=0, k=10, n_bits=8, hamming_probe=2)
+
+
+@query(
+    "multimodal_metadata",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           'application/octet-stream' AS media_type
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_metadata(spark, sf_dir):
+    """Binary-column metadata plumbing: documents' text bytes as an opaque
+    payload → size + sniffed media type (operators/multimodal.py). The digest
+    and decode stages are exercised in tests; the oracle checks the
+    byte-length and sniff paths."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    withmeta = mm.attach_binary_metadata(payload)
+    return withmeta.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").cast("int").alias("n_bytes"),
+        F.col("media_meta.media_type").alias("media_type"),
+    ).orderBy("doc_id")
+
+
+@query("multimodal_features")  # Python featurizer stub → rows-only check
+def multimodal_features(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (deterministic fake featurizer standing in for a real decoder)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    feats = mm.decode_image_features(payload)
+    return feats.select(
+        "doc_id", "n_bytes", F.round(F.element_at("feature", 1), 4).alias("f0")
+    ).orderBy("doc_id")

@@ -1,0 +1,445 @@
+"""Relational query family over the TPC-H-ish testdata tables — exercises the
+engine's join / aggregation / window / set-op / sort surface (SURVEY.md §2.3,
+§2.4, §2.6, §2.7) at a scale where join strategy actually matters.
+
+Money aggregates use exact integer cents (see catalog.py header): a double
+SUM is summation-order-dependent, an integer SUM is not. Product terms stay
+in scaled-integer space (price_cents × (100−disc_cents) is exact in 1e-4
+currency units; adding the tax factor, 1e-6 units — both < 2^63 up to ~sf10).
+
+Scale design notes (verified via .explain at sf0.1):
+- dimension joins (region, nation, customer, supplier, part) are broadcast;
+- fact-fact joins (orders ⋈ lineitem) shuffle on the key; AQE handles skew;
+- top-k is orderBy+limit → TakeOrderedAndProject (no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from satsure_agri_datapipeline_spark.plans.catalog import cents, half_up, query
+from satsure_agri_datapipeline_spark.sources.tables import load_table
+
+
+@query(
+    "tpch_pricing_summary",
+    """
+    WITH c AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_c,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+               CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_c,
+               CAST(ROUND(l_tax * 100) AS BIGINT) AS tax_c
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
+    SELECT l_returnflag, l_linestatus,
+           SUM(qty_c) AS sum_qty_c,
+           SUM(price_c) AS sum_base_price_c,
+           SUM(price_c * (100 - disc_c)) AS sum_disc_price_e4,
+           SUM(price_c * (100 - disc_c) * (100 + tax_c)) AS sum_charge_e6,
+           CAST(FLOOR(SUM(qty_c) * 100.0 / COUNT(*) + 0.5) AS BIGINT) AS avg_qty_e4,
+           CAST(FLOOR(SUM(price_c) * 100.0 / COUNT(*) + 0.5) AS BIGINT) AS avg_price_e4,
+           CAST(FLOOR(SUM(disc_c) * 100.0 / COUNT(*) + 0.5) AS BIGINT) AS avg_disc_e4,
+           COUNT(*) AS count_order
+    FROM c
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape — wide multi-agg with filter pushdown; partial/final
+    hash-agg split is Catalyst-automatic (SURVEY §2.4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_c = cents(F.col("l_quantity"))
+    price_c = cents(F.col("l_extendedprice"))
+    disc_c = cents(F.col("l_discount"))
+    tax_c = cents(F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            qty_c.alias("qty_c"),
+            price_c.alias("price_c"),
+            disc_c.alias("disc_c"),
+            tax_c.alias("tax_c"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty_c").alias("sum_qty_c"),
+            F.sum("price_c").alias("sum_base_price_c"),
+            F.sum(F.col("price_c") * (100 - F.col("disc_c"))).alias("sum_disc_price_e4"),
+            F.sum(
+                F.col("price_c") * (100 - F.col("disc_c")) * (100 + F.col("tax_c"))
+            ).alias("sum_charge_e6"),
+            half_up(F.sum("qty_c") * 100.0 / n).alias("avg_qty_e4"),
+            half_up(F.sum("price_c") * 100.0 / n).alias("avg_price_e4"),
+            half_up(F.sum("disc_c") * 100.0 / n).alias("avg_disc_e4"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "join_segment_revenue",
+    """
+    SELECT c.c_mktsegment,
+           SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS segment_revenue_c,
+           COUNT(*) AS n_orders,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def join_segment_revenue(spark, sf_dir):
+    """J1 — equi join fact→dimension; customer is broadcast (small side)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(cents(F.col("o_totalprice"))).alias("segment_revenue_c"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "join_multiway_revenue",
+    """
+    SELECT n.n_name AS nation,
+           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS revenue_e4,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    ORDER BY revenue_e4 DESC, nation
+    """,
+)
+def join_multiway_revenue(spark, sf_dir):
+    """TPC-H Q5 shape — 5-way join; dims broadcast, fact-fact shuffles on
+    l_orderkey; region filter prunes before the join (Catalyst pushdown)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(F.col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).alias("revenue_e4"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.desc("revenue_e4"), "nation")
+    )
+
+
+@query(
+    "join_anti_inactive_customers",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS inactive_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def join_anti_inactive_customers(spark, sf_dir):
+    """J3 — left anti join (NOT EXISTS), the gap-detection primitive."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("inactive_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "join_semi_active_customers",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS active_customers
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+    )
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def join_semi_active_customers(spark, sf_dir):
+    """Left semi join (EXISTS) — free in Spark, absent in the reference."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("active_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "cross_join_domain",
+    """
+    SELECT r.r_name, s.o_orderstatus, COUNT(*) AS n
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def cross_join_domain(spark, sf_dir):
+    """J2 — cross join for domain expansion (validation.py:261-272 pattern)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    s = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return (
+        r.crossJoin(s)
+        .groupBy("r_name", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("r_name", "o_orderstatus")
+    )
+
+
+@query(
+    "window_top_order_per_customer",
+    """
+    WITH ranked AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS top_price_c
+    FROM ranked WHERE rn = 1 ORDER BY o_custkey
+    """,
+)
+def window_top_order_per_customer(spark, sf_dir):
+    """W2/O — ROW_NUMBER top-1 per group with deterministic tiebreak."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", cents(F.col("o_totalprice")).alias("top_price_c"))
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "window_running_and_lag",
+    """
+    WITH c AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           SUM(price_c) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend_c,
+           COALESCE(price_c - LAG(price_c) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0) AS delta_vs_prev_c,
+           CAST(NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS price_quartile
+    FROM c ORDER BY o_orderkey
+    """,
+)
+def window_running_and_lag(spark, sf_dir):
+    """Window surface beyond the reference (SURVEY §2.5 'not implemented'):
+    running sum, lag delta, ntile — exposed as engine capabilities."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "price_c", cents(F.col("o_totalprice"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum("price_c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+                "running_spend_c"
+            ),
+            F.coalesce(
+                F.col("price_c") - F.lag("price_c").over(w), F.lit(0)
+            ).alias("delta_vs_prev_c"),
+            F.ntile(4)
+            .over(Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey"))
+            .cast("long")
+            .alias("price_quartile"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "set_ops_custkeys",
+    """
+    WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
+         y96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+    SELECT
+        (SELECT COUNT(*) FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96) t) AS both_years,
+        (SELECT COUNT(*) FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96) t) AS only_95,
+        (SELECT COUNT(*) FROM (SELECT o_custkey FROM y95 UNION SELECT o_custkey FROM y96) t) AS either_year
+    """,
+)
+def set_ops_custkeys(spark, sf_dir):
+    """U — INTERSECT / EXCEPT / UNION DISTINCT (SURVEY §2.7)."""
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select("o_custkey").distinct()
+    y96 = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey").distinct()
+    both = y95.intersect(y96).count()
+    only95 = y95.exceptAll(y96).distinct().count()
+    either = y95.union(y96).distinct().count()
+    return spark.createDataFrame(
+        [(both, only95, either)], "both_years long, only_95 long, either_year long"
+    )
+
+
+@query(
+    "union_all_slices",
+    """
+    SELECT event_type, COUNT(*) AS n
+    FROM (
+        SELECT event_type FROM events WHERE value > 15
+        UNION ALL
+        SELECT event_type FROM events WHERE user_id % 2 = 0
+    ) u
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def union_all_slices(spark, sf_dir):
+    """U1 — UNION ALL of two slices (ingestion concat pattern, ingestion.py:91)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("value") > 15).select("event_type")
+    b = ev.where(F.col("user_id") % 2 == 0).select("event_type")
+    return (
+        a.unionByName(b)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "conditional_agg_priority",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS big_orders,
+           CAST(FLOOR(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) * 10000.0 / COUNT(*) + 0.5) AS BIGINT) AS big_pct_e2
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def conditional_agg_priority(spark, sf_dir):
+    """A4/A5 pattern — SUM(CASE WHEN)/COUNT percentage aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    big = (F.col("o_totalprice") > 150000).cast("long")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(big).alias("big_orders"),
+            half_up(F.sum(big) * 10000.0 / F.count(F.lit(1))).alias("big_pct_e2"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "rollup_revenue",
+    """
+    SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+           COALESCE(l_linestatus, '(all)') AS linestatus,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS revenue_c
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def rollup_revenue(spark, sf_dir):
+    """ROLLUP grouping sets (beyond-reference surface, SURVEY §2.4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(cents(F.col("l_extendedprice"))).alias("revenue_c"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "revenue_c",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@query(
+    "topk_orders",
+    """
+    SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_c
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_orders(spark, sf_dir):
+    """O — ORDER BY + LIMIT top-k (TakeOrderedAndProject, no global sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .select("o_orderkey", cents(F.col("o_totalprice")).alias("totalprice_c"))
+        .limit(10)
+    )
+
+
+@query(
+    "part_supplier_enrichment",
+    """
+    SELECT p.p_brand, s.s_name IS NOT NULL AS has_supplier_info,
+           COUNT(*) AS n,
+           CAST(FLOOR(SUM(CAST(ROUND(p.p_retailprice * 100) AS BIGINT)) * 100.0 / COUNT(*) + 0.5) AS BIGINT) AS avg_price_e4
+    FROM part p
+    LEFT JOIN supplier s ON p.p_partkey % 100 = s.s_suppkey - 1
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def part_supplier_enrichment(spark, sf_dir):
+    """Left outer join preserving unmatched rows (J1 left-join semantics)."""
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        p.join(F.broadcast(s), p.p_partkey % 100 == s.s_suppkey - 1, "left")
+        .groupBy("p_brand", F.col("s_name").isNotNull().alias("has_supplier_info"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            half_up(F.sum(cents(F.col("p_retailprice"))) * 100.0 / F.count(F.lit(1))).alias(
+                "avg_price_e4"
+            ),
+        )
+        .orderBy("p_brand", "has_supplier_info")
+    )

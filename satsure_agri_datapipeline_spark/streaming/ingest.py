@@ -1,0 +1,87 @@
+"""Structured Streaming variants of the pipeline (SURVEY.md §2.10).
+
+The reference's "incremental mode" is batch file-checkpointing
+(``src/components/ingestion.py:143-201``); the idiomatic Spark upgrade is the
+file streaming source, whose own checkpoint directory provides exactly-once
+file tracking — no hand-rolled JSON state.
+
+These are optional upgrades gated behind their own entry points; the batch
+pipeline remains the correctness-checked surface.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from satsure_agri_datapipeline_spark.config import PipelineConfig
+from satsure_agri_datapipeline_spark.sources.parquet import build_struct_type
+
+
+def stream_sensor_readings(
+    spark: SparkSession,
+    config: PipelineConfig,
+    max_files_per_trigger: int = 10,
+) -> DataFrame:
+    """Streaming file source over the raw dir (replaces S1+S2):
+    one new-file micro-batch per trigger, schema declared (no inference)."""
+    struct = build_struct_type(
+        {c: config.schema_.types[c] for c in config.schema_.expected_columns}
+    )
+    return (
+        spark.readStream.schema(struct)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(str(config.paths.data_raw))
+    )
+
+
+def hourly_counts_with_watermark(
+    readings: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming gap-detection primitive: windowed counts per
+    (sensor, reading_type, hour) with a watermark bounding state. Hours whose
+    count is missing downstream are gaps — the streaming analog of the batch
+    clock-grid anti-join (validation.py:218-330), with O(active windows)
+    state instead of a full grid."""
+    return (
+        readings.withWatermark("timestamp", watermark)
+        .groupBy(
+            F.window("timestamp", "1 hour").alias("hour_window"),
+            "sensor_id",
+            "reading_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_readings"))
+        .select(
+            F.col("hour_window.start").alias("hour_start"),
+            "sensor_id",
+            "reading_type",
+            "n_readings",
+        )
+    )
+
+
+def run_streaming_ingest(
+    spark: SparkSession,
+    config: PipelineConfig,
+    output_dir: str | Path,
+    checkpoint_dir: str | Path,
+    once: bool = True,
+):
+    """End-to-end streaming ingest: file source → hourly counts → parquet
+    sink with exactly-once checkpointing. ``once=True`` processes all
+    available files then stops (micro-batch catch-up mode)."""
+    readings = stream_sensor_readings(spark, config)
+    counts = hourly_counts_with_watermark(readings)
+    writer = (
+        counts.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(output_dir))
+        .option("checkpointLocation", str(checkpoint_dir))
+    )
+    if once:
+        query = writer.trigger(availableNow=True).start()
+    else:
+        query = writer.start()
+    return query

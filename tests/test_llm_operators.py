@@ -1,0 +1,143 @@
+"""LLM-pipeline operators: dedup (exact/jaccard/minhash/simhash), similarity
+search (brute force vs IVF recall), text analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from satsure_agri_datapipeline_spark.operators import dedup as dd
+from satsure_agri_datapipeline_spark.operators import multimodal as mm
+from satsure_agri_datapipeline_spark.operators import similarity as sim
+from satsure_agri_datapipeline_spark.operators import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy cat", "en"),  # near-dup of 0
+        (2, "completely different words entirely here now", "en"),
+        (3, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+        (4, "der hund ist und die katze das haus", "de"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup_groups(docs):
+    groups = dd.exact_duplicate_groups(docs).collect()
+    dup_groups = [g for g in groups if g.n_copies > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups[0].keeper_id == 0 and dup_groups[0].n_copies == 2
+
+
+def test_ngram_jaccard_detects_near_dup(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == pytest.approx(1.0)  # exact dup
+    assert (0, 1) in pairs and 0.5 <= pairs[(0, 1)] < 1.0  # near dup
+    assert (1, 3) in pairs
+    assert not any(2 in p or 4 in p for p in pairs)  # unrelated docs
+
+
+def test_minhash_lsh_candidates(docs):
+    pairs = {(r.id_a, r.id_b): r.est_jaccard for r in dd.minhash_lsh_pairs(docs).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == pytest.approx(1.0)
+    # unrelated docs never collide on a full band
+    assert not any(2 in p or 4 in p for p in pairs)
+
+
+def test_simhash_similarity_structure(docs):
+    fp = {r.doc_id: r.simhash for r in dd.simhash(docs).collect()}
+    assert fp[0] == fp[3]  # identical token sets
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(fp[0], fp[1]) < ham(fp[0], fp[2])  # near-dup closer than unrelated
+    assert all(0 <= v < 2**32 for v in fp.values())
+
+
+def test_token_stats_and_quality(docs):
+    stats = {r.doc_id: r for r in tx.token_stats(docs).collect()}
+    assert stats[0].n_tokens == 9
+    assert stats[0].n_chars_measured == len("the quick brown fox jumps over the lazy dog")
+    q = {r.doc_id: r for r in tx.quality_score(docs).collect()}
+    assert 0 <= q[0].quality_score_e4 <= 10000
+    assert q[0].stopword_ratio_e4 > q[2].stopword_ratio_e4  # 'the' rich doc
+
+
+def test_language_id(docs):
+    pred = {r.doc_id: r.predicted_lang for r in tx.language_id(docs).collect()}
+    assert pred[0] == "en"
+    assert pred[4] == "de"
+    assert pred[2] == "en"  # zero hits → default
+
+
+def test_fingerprint_equal_for_exact_dups(docs):
+    fp = {r.doc_id: r.fingerprint for r in tx.fingerprint(docs).collect()}
+    assert fp[0] == fp[3]
+    assert fp[0] != fp[2]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(50):
+        angle = (i % 10) * 0.1
+        rows.append((i, [math.cos(angle), math.sin(angle), float(i % 3), 1.0], i % 3))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk(vectors):
+    top = sim.brute_force_topk_to(vectors, query_id=0, k=5).collect()
+    assert len(top) == 5
+    assert all(r.vec_id != 0 for r in top)
+    sims = [r.cosine_sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+    # vec 30 has identical direction to vec 0 (same angle, same label bucket)
+    assert top[0].cosine_sim == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ivf_recall_against_brute_force(vectors):
+    exact = {r.vec_id for r in sim.brute_force_topk_to(vectors, 0, k=5).collect()}
+    approx = {r.vec_id for r in sim.ivf_topk_to(vectors, 0, k=5, n_bits=4, hamming_probe=2).collect()}
+    assert len(approx) == 5
+    assert len(exact & approx) >= 3  # decent recall on this toy set
+
+
+def test_centroid_norms(vectors):
+    rows = {r.label: r for r in sim.centroid_norms(vectors).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert all(r.centroid_norm > 0 for r in rows.values())
+    assert sum(r.n_vectors for r in rows.values()) == 50
+
+
+def test_multimodal_metadata_and_features(spark):
+    png_magic = b"\x89PNG\r\n\x1a\n" + b"x" * 100
+    jpg_magic = b"\xff\xd8\xff\xe0" + b"y" * 50
+    plain = b"hello world" * 20
+    df = spark.createDataFrame(
+        [(1, png_magic), (2, jpg_magic), (3, plain)], "doc_id long, payload binary"
+    )
+    meta = {r.doc_id: r.media_meta for r in mm.attach_binary_metadata(df).collect()}
+    assert meta[1].media_type == "image/png"
+    assert meta[2].media_type == "image/jpeg"
+    assert meta[3].media_type == "application/octet-stream"
+    assert meta[1].n_bytes == 108
+
+    feats = {r.doc_id: r for r in mm.decode_image_features(df).collect()}
+    assert len(feats[1].feature) == 8
+    assert sum(feats[1].feature) == pytest.approx(1.0, abs=1e-5)
+    # deterministic
+    feats2 = {r.doc_id: r for r in mm.decode_image_features(df).collect()}
+    assert feats[1].feature == feats2[1].feature
+
+    with pytest.raises(NotImplementedError):
+        mm._real_decode(b"anything")
+
+    frames = mm.sample_frames(df, every_n_bytes=50, max_frames=4).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 3  # 108 bytes / 50 → offsets 0,50,100
+    assert len(by_doc[2]) == 2

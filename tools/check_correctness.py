@@ -1,0 +1,119 @@
+"""Self-check harness mimicking the driver's correctness gate: run each
+``__spark_entry__.queries()`` entry on Spark and its ``oracle_sql()`` on
+DuckDB over the same parquet tables; compare row count, schema (column-name
+set), and order-insensitive values.
+
+Usage:
+    python tools/check_correctness.py [--sf DIR] [-q NAME ...] [--list]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canonical(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> tuple[bool, str]:
+    if len(spark_df) != len(oracle_df):
+        return False, f"row count {len(spark_df)} vs {len(oracle_df)}"
+    if sorted(spark_df.columns) != sorted(oracle_df.columns):
+        return False, f"columns {sorted(spark_df.columns)} vs {sorted(oracle_df.columns)}"
+    a, b = canonical(spark_df), canonical(oracle_df)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            ok = ((pd.isna(av) & pd.isna(bv)) | (abs(av.astype(float) - bv.astype(float)) <= 1e-9 + 1e-9 * abs(bv.astype(float)))).all()
+        else:
+            try:
+                ok = (av.astype(str) == bv.astype(str)).all()
+            except Exception:
+                ok = False
+        if not ok:
+            bad = (~(av.astype(str) == bv.astype(str))).idxmax() if len(av) else 0
+            return False, f"column {c} differs, e.g. row {bad}: {av.iloc[bad]!r} vs {bv.iloc[bad]!r}"
+    return True, "ok"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("-q", "--query", action="append", default=None)
+    ap.add_argument("--list", action="store_true")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    if args.list:
+        for name in queries:
+            print(f"{name:40s} oracle={'yes' if name in oracles else 'NO (rows-only)'}")
+        return
+
+    names = args.query or list(queries)
+
+    from satsure_agri_datapipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="check_correctness", timezone="UTC")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(args.sf) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    n_pass = n_fail = n_rows_only = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = queries[name](spark, args.sf).toPandas()
+        except Exception as exc:
+            print(f"FAIL  {name:40s} spark error: {str(exc)[:200]}")
+            n_fail += 1
+            continue
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"ROWS  {name:40s} rows={len(sdf)} cols={list(sdf.columns)} ({t_spark:.1f}s) [no oracle]")
+            n_rows_only += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as exc:
+            print(f"FAIL  {name:40s} oracle error: {str(exc)[:200]}")
+            n_fail += 1
+            continue
+        ok, why = compare(sdf, odf)
+        if ok:
+            print(f"MATCH {name:40s} rows={len(sdf)} ({t_spark:.1f}s)")
+            n_pass += 1
+        else:
+            print(f"FAIL  {name:40s} {why}")
+            n_fail += 1
+
+    print(f"\n{n_pass} match, {n_fail} fail, {n_rows_only} rows-only of {len(names)}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
