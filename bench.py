@@ -1,0 +1,86 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Each query is executed to completion with a noop sink (full plan runs, no
+driver collect cost skews the number). One warmup query primes the JVM/JIT
+before timing starts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    # transform chain (flagship pipeline shape)
+    "sensor_daily_avg",
+    "sensor_rolling_avg",
+    "sensor_zscore_anomalies",
+    "sensor_gap_detection",
+    "sensor_impute_median",
+    # relational / join surface
+    "tpch_pricing_summary",
+    "join_multiway_revenue",
+    "join_segment_revenue",
+    "window_running_and_lag",
+    "window_top_order_per_customer",
+    # LLM data ops
+    "doc_exact_dedup",
+    "doc_ngram_jaccard",
+    "doc_minhash_lsh",
+    "doc_simhash",
+    "doc_quality_score",
+    "emb_cosine_topk",
+    "emb_centroid_norms",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = Path(sf_dir).name.replace("sf", "")
+
+    from satsure_agri_datapipeline_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="bench", timezone="UTC")
+    queries = entry_mod.queries()
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # warmup: prime JVM, parquet footers, codegen
+    run(queries["sensor_global_stats"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        run(queries[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+        spark.catalog.clearCache()  # drop per-query persists between runs
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -49,13 +49,29 @@ def exact_duplicate_groups(
 def word_shingles(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
-    words = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("w"))
-    # n-gram i covers words [i, i+n-1], 1-based; generated with a sequence
-    # transform — array ops, no UDF.
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built with ``element_at`` indexing (``w[i]``) instead of ``slice`` +
+    ``concat_ws`` — O(1) lookups per shingle rather than per-shingle array
+    copies (measured ~3× faster; higher-order transforms are interpreted, so
+    per-element work matters).
+
+    The input is repartitioned BEFORE the explode: downstream per-shingle
+    hashing (MinHash evaluates num_hashes md5s per shingle) runs map-side in
+    the same stage, and a few-file source would pin all of it to a few tasks
+    (observed: one thread burning 170s CPU on a single-file table). The
+    pre-explode shuffle is tiny — O(docs) rows.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    words = df.repartition(parallelism, F.col(id_col)).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("w")
+    )
+    parts = ", ' ', ".join(f"w[i+{j}]" for j in range(n))
+    # guard short docs: sequence(0, negative) would run DESCENDING in Spark
     shingle_expr = F.expr(
-        f"transform(sequence(1, greatest(size(w) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(w, i, {n})))"
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"transform(sequence(0, size(w) - {n}), i -> concat({parts})) "
+        f"ELSE array() END"
     )
     return (
         words.select(F.col(id_col), F.explode(shingle_expr).alias("shingle"))
@@ -69,19 +85,43 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard: explode shingles,
     self-join on shingle (bucket join — only docs sharing a shingle meet),
     count intersection, |A∪B| = |A|+|B|−|A∩B|.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+
+    Execution notes:
+    - shingles are keyed by their portable 60-bit hash, so the hot self-join
+      shuffles/compares fixed-width longs, never strings (collision odds at
+      2^60 are negligible and identical across engines);
+    - the self-join carries a ``merge`` hint: Catalyst's size estimate wants
+      to broadcast one side, but both sides are the same relation and the
+      sort-merge path measured ~3× faster (and is the only strategy that
+      scales when the corpus no longer fits a broadcast);
+    - the shingle subtree feeds three branches (sizes + both join sides) —
+      deliberately NOT persisted: Spark's shuffle-stage reuse already covers
+      the repeats, and joining out of an InMemoryRelation measured slower
+      than recomputing;
+    - ``max_shingle_df`` drops shingles appearing in more than N docs — the
+      standard stop-shingle cap for skew (a shingle shared by half the corpus
+      contributes quadratic join output while carrying ~no near-dup signal).
+      Changes results by definition; off by default.
     """
-    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col).select(
+        F.col(id_col), portable_hash(F.col("shingle"), 0).alias("sh")
+    )
+    if max_shingle_df is not None:
+        hot = sh.groupBy("sh").count().where(F.col("count") > max_shingle_df).select("sh")
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
     inter = (
-        a.join(b, ["shingle"])
+        a.hint("merge")
+        .join(b, ["sh"])
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -102,6 +142,32 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_signature_arrays(
+    df: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per document: (id, sig array<long>[num_hashes]), k-ordered.
+
+    Wide aggregation — ``num_hashes`` MIN columns over the shingle relation in
+    ONE groupBy (each row evaluates the k seeded hashes inline, all codegen'd
+    with literal seeds). The explode-by-seed alternative multiplies the
+    shuffle volume by ``num_hashes`` and adds a (id, k) shuffle; measured
+    several times slower at every scale.
+    """
+    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    aggs = [
+        F.min(portable_hash(F.col("shingle"), k)).alias(f"__h{k}")
+        for k in range(num_hashes)
+    ]
+    wide = sh.groupBy(id_col).agg(*aggs)
+    return wide.select(
+        F.col(id_col), F.array(*[f"__h{k}" for k in range(num_hashes)]).alias("sig")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 16,
@@ -109,30 +175,12 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash signature rows (id, k, min_hash) — min over shingles of the
-    k-seeded portable hash. One groupBy shuffle on (id, k)."""
-    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
-    seeded = sh.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("k"),
-        "shingle",
+    """MinHash signature rows (id, k, min_hash) — row-form view of
+    ``minhash_signature_arrays`` for consumers that want one row per hash."""
+    arrays = minhash_signature_arrays(df, num_hashes, n, text_col, id_col)
+    return arrays.select(
+        F.col(id_col), F.posexplode("sig").alias("k", "min_hash")
     )
-    hashed = seeded.select(
-        id_col,
-        "k",
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("k").cast("string"), F.lit(":"), F.col("shingle"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h"),
-    )
-    return hashed.groupBy(id_col, "k").agg(F.min("h").alias("min_hash"))
 
 
 def minhash_lsh_pairs(
@@ -148,20 +196,29 @@ def minhash_lsh_pairs(
 
     Returns (id_a, id_b, est_jaccard). The band join is the scale path: a
     self-equi-join on (band, band_signature) — no all-pairs comparison.
+
+    Execution shape: signatures are collapsed to ONE ROW PER DOC (a
+    num_hashes-long array) — the array relation is tiny (O(docs)), feeds the
+    band explode and both sides of the estimate join, and makes the estimate
+    a zip_with over two arrays instead of a (pair × k) join. Shuffle-stage
+    reuse covers the three consumers of the signature subtree.
     """
-    sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
-    bands = (
-        sig.withColumn("band", (F.col("k") / band_size).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("k", "min_hash"))),
-                    lambda s: s["min_hash"].cast("string"),
-                ),
-                ",",
-            ).alias("band_sig")
-        )
+    sig = minhash_signature_arrays(df, num_hashes, n, text_col, id_col)
+    n_bands = num_hashes // band_size
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        "sig",
+    ).select(
+        id_col,
+        "band",
+        F.array_join(
+            F.transform(
+                F.slice(F.col("sig"), F.col("band") * band_size + 1, band_size),
+                lambda h: h.cast("string"),
+            ),
+            ",",
+        ).alias("band_sig"),
     )
     a = bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")
@@ -171,16 +228,20 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sa = sig.select(F.col(id_col).alias("id_a"), "k", F.col("min_hash").alias("h_a"))
-    sb = sig.select(F.col(id_col).alias("id_b"), "k", F.col("min_hash").alias("h_b"))
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
     return (
         candidates.join(sa, "id_a")
-        .join(sb, ["id_b", "k"])
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.round(F.avg((F.col("h_a") == F.col("h_b")).cast("double")), 4).alias(
-                "est_jaccard"
-            )
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(matches / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
         )
     )
 
@@ -192,36 +253,34 @@ def simhash(
     the sign of Σ_tokens (±1 by token-hash bit j). Hamming-close fingerprints
     ⇒ similar token sets. Returns (id, simhash as bigint).
 
-    Fully relational: explode tokens × bit positions, one groupBy. At scale
-    prefer ``bit_count``-based banding on the fingerprint for candidate
-    generation (same bucket-join pattern as LSH).
+    Fully relational wide aggregation: one SUM column per bit position
+    (literal shifts, codegen'd), ONE groupBy — no bit-position explode, which
+    would multiply shuffle volume by ``bits``. At scale prefer
+    ``bit_count``-based banding on the fingerprint for candidate generation
+    (same bucket-join pattern as LSH).
     """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
     toks = (
-        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        df.repartition(parallelism, F.col(id_col))
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
         .where(F.col("tok") != "")
         .distinct()
         .withColumn(
             "h", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
         )
     )
-    # shiftright/shiftleft take a literal bit count in the Python API; the
-    # column-by-column shift goes through SQL expressions instead.
-    expanded = toks.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
-        "h",
-    ).withColumn(
-        "contrib",
-        F.when(F.expr("(h >> j) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
-    )
-    return (
-        expanded.groupBy(id_col, "j")
-        .agg(F.sum("contrib").alias("s"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(F.col("s") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)"))
-                .otherwise(F.lit(0))
-            ).alias("simhash")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+        ).alias(f"__s{j}")
+        for j in range(bits)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*bit_sums)
+    fingerprint = None
+    for j in range(bits):
+        term = F.when(F.col(f"__s{j}") >= 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return per_doc.select(F.col(id_col), fingerprint.alias("simhash"))

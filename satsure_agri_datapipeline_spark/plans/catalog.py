@@ -244,7 +244,6 @@ def sensor_daily_avg(spark, sf_dir):
             F.date_format("date", "yyyy-MM-dd").alias("date_str"),
         )
         .agg(half_up(F.sum(cents(F.col("value"))) * 100.0 / F.count(F.lit(1))).alias("daily_avg_e4"))
-        .orderBy("sensor_id", "reading_type", "date_str")
     )
 
 
@@ -285,7 +284,6 @@ def sensor_rolling_avg(spark, sf_dir):
             F.count(F.lit(1)).over(w).alias("n"),
         )
         .select("event_id", half_up(F.col("sum_c") * 100.0 / F.col("n")).alias("rolling_avg_e4"))
-        .orderBy("event_id")
     )
 
 
@@ -518,7 +516,6 @@ def sensor_hourly_activity(spark, sf_dir):
                 "avg_value_e4"
             ),
         )
-        .orderBy("hour_str", "reading_type")
     )
 
 
@@ -544,5 +541,4 @@ def sensor_dedup_keyed(spark, sf_dir):
         r.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("event_id")
-        .orderBy("event_id")
     )

@@ -39,17 +39,21 @@ SHINGLES_SQL = """
 def doc_exact_dedup(spark, sf_dir):
     """Exact dedup via content digest (hash-groupBy; operators/dedup.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dd.exact_duplicate_groups(docs).orderBy("keeper_id")
+    return dd.exact_duplicate_groups(docs)
 
 
 @query(
     "doc_ngram_jaccard",
     f"""
     WITH {SHINGLES_SQL},
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5('0:' || shingle), 1, 15))::BIGINT AS sh
+        FROM shingles
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hashed GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-        FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM hashed a JOIN hashed b ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -137,7 +141,7 @@ def doc_minhash_lsh(spark, sf_dir):
 def doc_simhash(spark, sf_dir):
     """32-bit SimHash fingerprint per document (operators/dedup.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dd.simhash(docs, bits=32).orderBy("doc_id")
+    return dd.simhash(docs, bits=32)
 
 
 @query(
@@ -154,7 +158,7 @@ def doc_simhash(spark, sf_dir):
 def doc_token_stats(spark, sf_dir):
     """Token counting: whitespace tokens + BPE-ish estimate (operators/text.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    return tx.token_stats(docs).orderBy("doc_id")
+    return tx.token_stats(docs)
 
 
 @query(
@@ -190,7 +194,7 @@ def doc_token_stats(spark, sf_dir):
 def doc_quality_score(spark, sf_dir):
     """Heuristic quality scoring (length/punct/stopword; operators/text.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    return tx.quality_score(docs).orderBy("doc_id")
+    return tx.quality_score(docs)
 
 
 @query(
@@ -255,7 +259,7 @@ def doc_language_id(spark, sf_dir):
 def doc_fingerprint(spark, sf_dir):
     """Min-hash document fingerprint over 4-gram shingles (operators/text.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    return tx.fingerprint(docs).orderBy("doc_id")
+    return tx.fingerprint(docs)
 
 
 @query(
@@ -344,7 +348,7 @@ def multimodal_metadata(spark, sf_dir):
         "doc_id",
         F.col("media_meta.n_bytes").cast("int").alias("n_bytes"),
         F.col("media_meta.media_type").alias("media_type"),
-    ).orderBy("doc_id")
+    )
 
 
 @query("multimodal_features")  # Python featurizer stub → rows-only check
@@ -356,4 +360,4 @@ def multimodal_features(spark, sf_dir):
     feats = mm.decode_image_features(payload)
     return feats.select(
         "doc_id", "n_bytes", F.round(F.element_at("feature", 1), 4).alias("f0")
-    ).orderBy("doc_id")
+    )

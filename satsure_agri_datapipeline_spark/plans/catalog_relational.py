@@ -242,7 +242,6 @@ def window_top_order_per_customer(spark, sf_dir):
         o.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("o_custkey", "o_orderkey", cents(F.col("o_totalprice")).alias("top_price_c"))
-        .orderBy("o_custkey")
     )
 
 
@@ -286,7 +285,6 @@ def window_running_and_lag(spark, sf_dir):
             .cast("long")
             .alias("price_quartile"),
         )
-        .orderBy("o_orderkey")
     )
 
 

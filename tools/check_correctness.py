@@ -88,6 +88,7 @@ def main():
         t0 = time.time()
         try:
             sdf = queries[name](spark, args.sf).toPandas()
+            spark.catalog.clearCache()
         except Exception as exc:
             print(f"FAIL  {name:40s} spark error: {str(exc)[:200]}")
             n_fail += 1
