@@ -1,12 +1,24 @@
 """Text-analysis operators: token counting, quality scoring, language ID,
-document fingerprinting. All pure column expressions (JVM-side, codegen'd);
-no Python UDFs in any hot path.
+document fingerprinting.
+
+Hot-path rule (learned in r1): Spark's *higher-order* functions
+(``filter``/``transform`` with lambdas) are interpreted — no codegen — so a
+"pure column expression" built from them is NOT the fast path. Marker-word
+counting is therefore expressed as ``regexp_count`` over the
+whitespace-padded text (JVM regex, whole-stage codegen), which is
+token-exact: a token equals a marker iff the marker occurs bounded by
+whitespace in the padded string. Fingerprinting (a 1-hash MinHash) is an
+Arrow-vectorized map-only projection like operators/dedup.
 """
 
 from __future__ import annotations
 
+import hashlib
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 # Tiny per-language stopword marker lists for the n-gram/stopword heuristic.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -16,6 +28,20 @@ LANG_MARKERS: dict[str, list[str]] = {
     "fr": ["le", "la", "et", "les", "des"],
     "zh": ["的", "是", "了", "在", "我"],
 }
+
+
+def _marker_token_count(txt_col, markers: list[str]):
+    """Count tokens exactly equal to one of ``markers``.
+
+    Token semantics match ``split(trim(x), '\\s+')``: pad the trimmed text
+    with single spaces so every token is whitespace-bounded, then count
+    non-overlapping ``(?<=\\s)(m1|m2|...)(?=\\s)`` matches. Lookarounds don't
+    consume, so adjacent marker tokens ("of the") both count. Codegen'd JVM
+    regex — replaces the interpreted ``F.filter`` lambda that pinned 10 s of
+    CPU on 5k rows in r1."""
+    pat = r"(?<=\s)(?:" + "|".join(markers) + r")(?=\s)"
+    padded = F.concat(F.lit(" "), F.trim(txt_col), F.lit(" "))
+    return F.regexp_count(padded, F.lit(pat))
 
 
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -47,7 +73,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     toks = F.split(F.trim(txt), r"\s+")
     n_tokens = F.greatest(F.size(toks), F.lit(1))
     n_punct = F.length(F.regexp_replace(txt, r"[^.,;:!?]", ""))
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
+    stop_hits = _marker_token_count(txt, LANG_MARKERS["en"])
 
     def half_up(x):
         return F.floor(x + F.lit(0.5)).cast("long")
@@ -77,14 +103,9 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Marker-word language ID: count hits per language's marker list over the
     token set; predict the argmax (ties broken by language code order, 'en'
     default when all zero). Deterministic, expressible in ANSI SQL."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
-
-    def _in_markers(markers):
-        # single-arg lambda: a two-arg lambda would receive the element index
-        return lambda t: t.isin(*markers)
-
+    lowered = F.lower(F.col(text_col))
     hit_cols = {
-        lang: F.size(F.filter(toks, _in_markers(markers)))
+        lang: _marker_token_count(lowered, markers)
         for lang, markers in LANG_MARKERS.items()
     }
     out = df.select(F.col(id_col), *[c.alias(f"hits_{k}") for k, c in hit_cols.items()])
@@ -103,17 +124,24 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Winnowing-lite document fingerprint: minimum 60-bit hash over the
     document's word 4-gram shingles (a 1-hash MinHash). Equal fingerprints ⇒
     high shingle overlap candidates. Returns (id, fingerprint)."""
-    words = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("w"))
-    shingles = words.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(w) - 3, 1)), "
-                "i -> concat_ws(' ', slice(w, i, 4)))"
+    @pandas_udf("long")
+    def _fp(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            w = t.split(" ")
+            # shingle window semantics: full 4-grams; docs shorter than 4
+            # words contribute their single (partial) shingle
+            shingles = (
+                " ".join(w[i : i + 4]) for i in range(max(len(w) - 3, 1))
             )
-        ).alias("sh"),
+            return min(
+                int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in shingles
+            )
+
+        return texts.map(one)
+
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(parallelism, F.col(id_col)).select(
+        F.col(id_col), _fp(F.col(text_col)).alias("fingerprint")
     )
-    hashed = shingles.withColumn(
-        "h", F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
-    )
-    return hashed.groupBy(id_col).agg(F.min("h").alias("fingerprint"))

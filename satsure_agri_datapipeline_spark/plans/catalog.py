@@ -180,7 +180,7 @@ def sensor_impute_median(spark, sf_dir):
                END) * 200) AS BIGINT) AS hc
         FROM readings
     )
-    SELECT reading_type, SUM(hc) AS sum_calibrated_hc
+    SELECT reading_type, CAST(SUM(hc) AS BIGINT) AS sum_calibrated_hc
     FROM cal GROUP BY reading_type ORDER BY reading_type
     """,
 )
@@ -320,13 +320,13 @@ def sensor_zscore_anomalies(spark, sf_dir):
     f"""
     WITH readings AS ({READINGS_SQL})
     SELECT 'click' AS range_key,
-           SUM(CASE WHEN reading_type='click' AND (value < 0 OR value > 30) THEN 1 ELSE 0 END) AS out_of_range
+           CAST(SUM(CASE WHEN reading_type='click' AND (value < 0 OR value > 30) THEN 1 ELSE 0 END) AS BIGINT) AS out_of_range
     FROM readings
     UNION ALL
-    SELECT 'view', SUM(CASE WHEN reading_type='view' AND (value < 0 OR value > 20) THEN 1 ELSE 0 END)
+    SELECT 'view', CAST(SUM(CASE WHEN reading_type='view' AND (value < 0 OR value > 20) THEN 1 ELSE 0 END) AS BIGINT)
     FROM readings
     UNION ALL
-    SELECT 'battery_level', SUM(CASE WHEN battery_level < 0 OR battery_level > 60 THEN 1 ELSE 0 END)
+    SELECT 'battery_level', CAST(SUM(CASE WHEN battery_level < 0 OR battery_level > 60 THEN 1 ELSE 0 END) AS BIGINT)
     FROM readings
     """,
 )
@@ -347,7 +347,7 @@ def sensor_range_violations(spark, sf_dir):
     WITH readings AS ({READINGS_SQL})
     SELECT reading_type,
            COUNT(*) AS total_records,
-           SUM(CASE WHEN battery_level IS NULL THEN 1 ELSE 0 END) AS missing_values,
+           CAST(SUM(CASE WHEN battery_level IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_values,
            CAST(FLOOR(SUM(CASE WHEN battery_level IS NULL THEN 1 ELSE 0 END) * 10000.0 / COUNT(*) + 0.5) AS BIGINT) AS missing_pct_e2
     FROM readings GROUP BY reading_type ORDER BY reading_type
     """,
@@ -429,9 +429,9 @@ def sensor_global_stats(spark, sf_dir):
     "sensor_type_violations",
     f"""
     WITH readings AS ({READINGS_SQL})
-    SELECT SUM(CASE WHEN value IS NOT NULL AND TRY_CAST(value AS DOUBLE) IS NULL THEN 1 ELSE 0 END) AS non_numeric_values,
-           SUM(CASE WHEN battery_level IS NOT NULL AND TRY_CAST(battery_level AS DOUBLE) IS NULL THEN 1 ELSE 0 END) AS non_numeric_battery,
-           SUM(CASE WHEN timestamp IS NULL THEN 1 ELSE 0 END) AS null_timestamps
+    SELECT CAST(SUM(CASE WHEN value IS NOT NULL AND TRY_CAST(value AS DOUBLE) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS non_numeric_values,
+           CAST(SUM(CASE WHEN battery_level IS NOT NULL AND TRY_CAST(battery_level AS DOUBLE) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS non_numeric_battery,
+           CAST(SUM(CASE WHEN timestamp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_timestamps
     FROM readings
     """,
 )

@@ -134,7 +134,7 @@ def doc_minhash_lsh(spark, sf_dir):
         FROM bits GROUP BY doc_id, j
     )
     SELECT doc_id,
-           SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+           CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
     FROM sums GROUP BY doc_id ORDER BY doc_id
     """,
 )

@@ -35,10 +35,10 @@ from satsure_agri_datapipeline_spark.sources.tables import load_table
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     )
     SELECT l_returnflag, l_linestatus,
-           SUM(qty_c) AS sum_qty_c,
-           SUM(price_c) AS sum_base_price_c,
-           SUM(price_c * (100 - disc_c)) AS sum_disc_price_e4,
-           SUM(price_c * (100 - disc_c) * (100 + tax_c)) AS sum_charge_e6,
+           CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c,
+           CAST(SUM(price_c) AS BIGINT) AS sum_base_price_c,
+           CAST(SUM(price_c * (100 - disc_c)) AS BIGINT) AS sum_disc_price_e4,
+           CAST(SUM(price_c * (100 - disc_c) * (100 + tax_c)) AS BIGINT) AS sum_charge_e6,
            CAST(FLOOR(SUM(qty_c) * 100.0 / COUNT(*) + 0.5) AS BIGINT) AS avg_qty_e4,
            CAST(FLOOR(SUM(price_c) * 100.0 / COUNT(*) + 0.5) AS BIGINT) AS avg_price_e4,
            CAST(FLOOR(SUM(disc_c) * 100.0 / COUNT(*) + 0.5) AS BIGINT) AS avg_disc_e4,
@@ -88,7 +88,7 @@ def tpch_pricing_summary(spark, sf_dir):
     "join_segment_revenue",
     """
     SELECT c.c_mktsegment,
-           SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS segment_revenue_c,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS segment_revenue_c,
            COUNT(*) AS n_orders,
            CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
     FROM orders o
@@ -117,8 +117,8 @@ def join_segment_revenue(spark, sf_dir):
     "join_multiway_revenue",
     """
     SELECT n.n_name AS nation,
-           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS revenue_e4,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
            COUNT(*) AS n_items
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -254,11 +254,11 @@ def window_top_order_per_customer(spark, sf_dir):
         FROM orders
     )
     SELECT o_custkey, o_orderkey,
-           SUM(price_c) OVER (
+           CAST(SUM(price_c) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend_c,
-           COALESCE(price_c - LAG(price_c) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0) AS delta_vs_prev_c,
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_spend_c,
+           CAST(COALESCE(price_c - LAG(price_c) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0) AS BIGINT) AS delta_vs_prev_c,
            CAST(NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS price_quartile
     FROM c ORDER BY o_orderkey
     """,
@@ -350,7 +350,7 @@ def union_all_slices(spark, sf_dir):
     """
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS big_orders,
+           CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS big_orders,
            CAST(FLOOR(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) * 10000.0 / COUNT(*) + 0.5) AS BIGINT) AS big_pct_e2
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
@@ -375,7 +375,7 @@ def conditional_agg_priority(spark, sf_dir):
     """
     SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
            COALESCE(l_linestatus, '(all)') AS linestatus,
-           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS revenue_c
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
     ORDER BY returnflag, linestatus

@@ -26,13 +26,29 @@ TABLES = [
 
 
 def canonical(df: pd.DataFrame) -> pd.DataFrame:
+    """Dtype-faithful canonical string frame (the driver's hash contract).
+
+    Every cell becomes its pandas string rendering AFTER dtype coercion by
+    the client library — so an int64 12345 is "12345" while a float64 12345.0
+    is "12345.0". NO tolerance, NO int/float unification: a DuckDB HUGEINT
+    that pandas renders as float64 must FAIL here, exactly as it fails the
+    driver's strict value-hash (VERDICT r1 'what's wrong' #2)."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]").astype(str)
-        elif df[c].dtype == object:
+        else:
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    import hashlib
+
+    h = hashlib.md5()
+    for row in canonical(df).itertuples(index=False, name=None):
+        h.update(("\x1f".join(row) + "\x1e").encode())
+    return h.hexdigest()
 
 
 def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> tuple[bool, str]:
@@ -40,20 +56,22 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> tuple[bool, str]
         return False, f"row count {len(spark_df)} vs {len(oracle_df)}"
     if sorted(spark_df.columns) != sorted(oracle_df.columns):
         return False, f"columns {sorted(spark_df.columns)} vs {sorted(oracle_df.columns)}"
+    if value_hash(spark_df) == value_hash(oracle_df):
+        return True, "ok"
+    # hash mismatch — localize for diagnostics
     a, b = canonical(spark_df), canonical(oracle_df)
     for c in a.columns:
         av, bv = a[c], b[c]
-        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
-            ok = ((pd.isna(av) & pd.isna(bv)) | (abs(av.astype(float) - bv.astype(float)) <= 1e-9 + 1e-9 * abs(bv.astype(float)))).all()
-        else:
-            try:
-                ok = (av.astype(str) == bv.astype(str)).all()
-            except Exception:
-                ok = False
-        if not ok:
-            bad = (~(av.astype(str) == bv.astype(str))).idxmax() if len(av) else 0
-            return False, f"column {c} differs, e.g. row {bad}: {av.iloc[bad]!r} vs {bv.iloc[bad]!r}"
-    return True, "ok"
+        neq = av != bv
+        if neq.any():
+            bad = neq.idxmax()
+            da = spark_df[[x for x in spark_df.columns if x == c][0]].dtype
+            db = oracle_df[[x for x in oracle_df.columns if x == c][0]].dtype
+            return False, (
+                f"column {c} differs (spark {da} vs oracle {db}), e.g. row {bad}: "
+                f"{av.iloc[bad]!r} vs {bv.iloc[bad]!r}"
+            )
+    return False, "value-hash mismatch (row ordering of ties?)"
 
 
 def main():
