@@ -44,6 +44,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.storagelevel import StorageLevel
 
 # ---------------------------------------------------------------------------
 # Portable hash family (shared with the DuckDB oracles — see plans/catalog_llm)
@@ -73,6 +74,23 @@ def _shingle_set(text: str, n: int) -> list[str]:
     if len(w) < n:
         return []
     return list({" ".join(w[i : i + n]) for i in range(len(w) - n + 1)})
+
+
+def release(df: DataFrame) -> None:
+    """Unpersist the cached relations backing an operator result.
+
+    ``ngram_jaccard_pairs`` / ``minhash_lsh_pairs`` persist their O(docs)
+    signature relations before fanning them out to multiple join consumers;
+    Spark has no hook to auto-release a cache when the consuming *action*
+    finishes, so the caller owns the lifecycle: run the terminal action, then
+    ``release(result)``. Harmless no-op for results without cached deps."""
+    for dep in getattr(df, "_cached_deps", []):
+        dep.unpersist()
+
+
+def _register_cache(result: DataFrame, *deps: DataFrame) -> DataFrame:
+    result._cached_deps = list(deps)  # type: ignore[attr-defined]
+    return result
 
 
 def _repartitioned(df: DataFrame, id_col: str) -> DataFrame:
@@ -174,17 +192,22 @@ def ngram_jaccard_pairs(
       size lookups — one self-join + one groupBy total;
     - the hashed-array relation is persisted before the fan-out into the two
       join sides (the two sides project different column names, so their
-      exchanges are NOT deduped by ReuseExchange — measured in r1);
-    - the self-join carries a ``merge`` hint: both sides are the same
-      relation, and sort-merge is the only strategy that scales when the
-      corpus no longer fits a broadcast;
+      exchanges are NOT deduped by ReuseExchange — measured in r1); callers
+      owning a long-lived session should call :func:`release` on the result
+      after their terminal action to drop the cache;
+    - the self-join carries a ``shuffle_hash`` hint: both sides shuffle on
+      the shingle hash and the per-partition build side is bounded by the
+      shingle-bucket size (no broadcast needed), so it scales like sort-merge
+      but skips both sorts. Measured on the r2 plan at sf0.1: 6.2 s
+      shuffled-hash vs 28.4 s sort-merge for the identical join. AQE skew
+      handling still applies; drop the hint entirely to let AQE choose;
     - ``max_shingle_df`` drops shingles appearing in more than N docs — the
       standard stop-shingle cap for skew (a shingle shared by half the
       corpus contributes quadratic join output while carrying ~no near-dup
       signal). Changes results by definition; off by default.
     """
     arr = shingle_hash_arrays(df, n=n, seed=0, text_col=text_col, id_col=id_col)
-    arr = arr.persist()
+    arr = arr.persist(StorageLevel.MEMORY_AND_DISK)
     sh = arr.select(
         F.col(id_col),
         F.size("shs").alias("n_sh"),
@@ -198,7 +221,7 @@ def ngram_jaccard_pairs(
     a = sh.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "sh")
     inter = (
-        a.hint("merge")
+        a.hint("shuffle_hash")
         .join(b, ["sh"])
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
@@ -208,13 +231,14 @@ def ngram_jaccard_pairs(
             F.min("n_b").alias("n_b"),
         )
     )
-    return inter.select(
+    out = inter.select(
         "id_a",
         "id_b",
         (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias(
             "jaccard"
         ),
     ).where(F.col("jaccard") >= threshold)
+    return _register_cache(out, arr)
 
 
 # ---------------------------------------------------------------------------
@@ -288,7 +312,9 @@ def minhash_lsh_pairs(
     The one-row-per-doc signature relation feeds four consumers (band
     explode × 2 join sides + both signature lookups); it is persisted —
     O(docs × num_hashes × 8 B), trivially cacheable at any scale."""
-    sig = minhash_signature_arrays(df, num_hashes, n, text_col, id_col).persist()
+    sig = minhash_signature_arrays(df, num_hashes, n, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     n_bands = num_hashes // band_size
     bands = sig.select(
         F.col(id_col),
@@ -320,7 +346,7 @@ def minhash_lsh_pairs(
         F.lit(0),
         lambda acc, v: acc + v,
     )
-    return (
+    out = (
         candidates.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
@@ -329,6 +355,7 @@ def minhash_lsh_pairs(
             F.round(matches / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
         )
     )
+    return _register_cache(out, sig)
 
 
 # ---------------------------------------------------------------------------
@@ -351,6 +378,11 @@ def simhash(
     relational groupBy form). At scale prefer ``bit_count``-based banding on
     the fingerprint for candidate generation (same bucket-join pattern as
     LSH)."""
+    if not 1 <= bits <= 62:
+        # bit 63 would need the sign bit of the int64 fingerprint (the
+        # (signs>=0)<<j assembly wraps negative); the relational 2**j form
+        # differs at 63 too — keep the supported range explicit.
+        raise ValueError(f"simhash bits must be in [1, 62], got {bits}")
 
     @pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:

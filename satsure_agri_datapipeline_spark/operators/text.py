@@ -14,6 +14,7 @@ Arrow-vectorized map-only projection like operators/dedup.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -39,7 +40,9 @@ def _marker_token_count(txt_col, markers: list[str]):
     consume, so adjacent marker tokens ("of the") both count. Codegen'd JVM
     regex — replaces the interpreted ``F.filter`` lambda that pinned 10 s of
     CPU on 5k rows in r1."""
-    pat = r"(?<=\s)(?:" + "|".join(markers) + r")(?=\s)"
+    # re.escape produces Java-compatible escapes for word/CJK tokens; guards
+    # future markers containing regex metacharacters ('.', '|', '?').
+    pat = r"(?<=\s)(?:" + "|".join(re.escape(m) for m in markers) + r")(?=\s)"
     padded = F.concat(F.lit(" "), F.trim(txt_col), F.lit(" "))
     return F.regexp_count(padded, F.lit(pat))
 
@@ -142,6 +145,10 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         return texts.map(one)
 
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(parallelism, F.col(id_col)).select(
-        F.col(id_col), _fp(F.col(text_col)).alias("fingerprint")
+    return (
+        df.repartition(parallelism, F.col(id_col))
+        .select(F.col(id_col), _fp(F.col(text_col)).alias("fingerprint"))
+        # null-text docs produce no shingles — drop them like the relational
+        # form (and the simhash/minhash siblings) so row counts agree
+        .where(F.col("fingerprint").isNotNull())
     )
