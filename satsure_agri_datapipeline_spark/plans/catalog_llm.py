@@ -318,11 +318,47 @@ def emb_centroid_norms(spark, sf_dir):
     return sim.centroid_norms(emb).orderBy("label")
 
 
-@query("emb_ann_ivf")  # approximate by design → rows-only check
+# The sign-bit quantizer is fully deterministic (cell = Σ 2^j over components
+# with embedding[j+1] >= 0), so the "approximate" ANN is still exactly
+# reproducible in SQL — approximate relative to brute force, not to the spec.
+_CELL_SQL = " + ".join(
+    f"(CASE WHEN CAST(embedding[{j + 1}] AS DOUBLE) >= 0 THEN {2**j} ELSE 0 END)"
+    for j in range(8)
+)
+
+
+@query(
+    "emb_ann_ivf",
+    f"""
+    WITH cells AS (
+        SELECT vec_id, embedding, {_CELL_SQL} AS cell FROM embeddings
+    ),
+    q AS (SELECT embedding AS qv, cell AS qcell FROM cells WHERE vec_id = 0),
+    cand AS (
+        SELECT c.vec_id, c.embedding, q.qv
+        FROM cells c CROSS JOIN q
+        WHERE c.vec_id <> 0
+          AND bit_count(CAST(xor(c.cell, q.qcell) AS BIGINT)) <= 2
+    ),
+    prods AS (
+        SELECT vec_id,
+               list_sum(list_transform(list_zip(embedding, qv),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+               sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+               sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+        FROM cand
+    )
+    SELECT vec_id, ROUND(dot / (na * nb), 6) AS cosine_sim
+    FROM prods
+    ORDER BY ROUND(dot / (na * nb), 6) DESC, vec_id
+    LIMIT 10
+    """,
+)
 def emb_ann_ivf(spark, sf_dir):
     """IVF/LSH-bucketed approximate top-k: sign-bit coarse quantizer,
-    Hamming-probed cells only (operators/similarity.py). Approximate ⇒ no
-    SQL oracle; tests check recall against the brute-force baseline."""
+    Hamming-probed cells only (operators/similarity.py). Approximate vs the
+    brute-force baseline (recall-tested in tests/), but deterministic — the
+    oracle re-derives the same cell predicate + cosine in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.ivf_topk_to(emb, query_id=0, k=10, n_bits=8, hamming_probe=2)
 
@@ -351,13 +387,45 @@ def multimodal_metadata(spark, sf_dir):
     )
 
 
-@query("multimodal_features")  # Python featurizer stub → rows-only check
+@query(
+    "multimodal_features",
+    """
+    WITH payload AS (
+        SELECT doc_id, encode(text) AS b, octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, n_bytes, b, UNNEST(generate_series(1, n_bytes)) AS i
+        FROM payload
+    ),
+    hist AS (
+        SELECT doc_id,
+               SUM(CASE WHEN ('0x' || substr(hex(b), 2 * i - 1, 2))::INT % 8 = 0
+                        THEN 1 ELSE 0 END) AS cnt0
+        FROM idx GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(p.n_bytes AS INT) AS n_bytes,
+           CAST(FLOOR(CAST(CAST(COALESCE(h.cnt0, 0) * 1.0 / GREATEST(p.n_bytes, 1) AS REAL) AS DOUBLE)
+                      * 10000 + 0.5) AS BIGINT) AS f0_e4
+    FROM payload p LEFT JOIN hist h USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
 def multimodal_features(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over binary payloads
-    (deterministic fake featurizer standing in for a real decoder)."""
+    (deterministic fake featurizer standing in for a real decoder). The fake
+    is a byte histogram folded mod 8 (multimodal.py:74-81) — SQL-expressible,
+    so bucket 0's share is oracle-checked as a half-up ×10⁴ integer; the
+    float32 round-trip (Arrow declares array<float>) is mirrored by
+    CAST(... AS REAL) in the oracle."""
     docs = load_table(spark, sf_dir, "documents")
     payload = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     feats = mm.decode_image_features(payload)
     return feats.select(
-        "doc_id", "n_bytes", F.round(F.element_at("feature", 1), 4).alias("f0")
+        "doc_id",
+        "n_bytes",
+        F.floor(F.element_at("feature", 1).cast("double") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("f0_e4"),
     )
