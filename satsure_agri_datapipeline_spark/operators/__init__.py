@@ -1,3 +1,12 @@
+"""Operator surface: sensor-pipeline transforms plus the LLM-training-data
+families (dedup, text analysis, similarity search, multimodal plumbing)."""
+
+from satsure_agri_datapipeline_spark.operators import (  # noqa: F401
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
 from satsure_agri_datapipeline_spark.operators.transformation import (
     calibrate,
     convert_timezone,
@@ -8,12 +17,14 @@ from satsure_agri_datapipeline_spark.operators.transformation import (
     flag_anomalies,
     handle_outliers,
     impute_battery_median,
+    stage_counters,
     transform,
 )
 
 __all__ = [
     "calibrate",
     "convert_timezone",
+    "dedup",
     "derive_daily_average",
     "derive_rolling_average",
     "drop_exact_duplicates",
@@ -21,5 +32,9 @@ __all__ = [
     "flag_anomalies",
     "handle_outliers",
     "impute_battery_median",
+    "multimodal",
+    "similarity",
+    "stage_counters",
+    "text",
     "transform",
 ]

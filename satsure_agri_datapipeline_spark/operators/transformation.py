@@ -32,6 +32,35 @@ from satsure_agri_datapipeline_spark.config import PipelineConfig
 CRITICAL_FIELDS = ["sensor_id", "timestamp", "reading_type", "value"]
 
 
+def stage_counters(df: DataFrame) -> dict[str, int]:
+    """A13 — per-stage record counters over the RAW frame (reference
+    ``transformation.py:33-40``, ``ingestion.py:35-42``): records read,
+    duplicates the dedup stage removes, rows the null-critical filter drops.
+
+    ONE shuffle job: groupBy over all columns (the dedup relation) feeding a
+    single aggregate — no per-stage count() actions, no extra passes over the
+    data. ``outliers_detected`` is filled in by the pipeline from the
+    validation stage's existing anomaly aggregation (zero extra jobs)."""
+    crit = [c for c in CRITICAL_FIELDS if c in df.columns]
+    clean = F.lit(True)
+    for c in crit:
+        clean = clean & F.col(c).isNotNull()
+    per_row = df.groupBy(*df.columns).agg(F.count(F.lit(1)).alias("__n"))
+    row = per_row.agg(
+        F.sum("__n").alias("records_read"),
+        F.count(F.lit(1)).alias("distinct_records"),
+        F.sum(clean.cast("long")).alias("distinct_clean"),
+    ).first()
+    read = int(row["records_read"] or 0)
+    distinct = int(row["distinct_records"] or 0)
+    clean_n = int(row["distinct_clean"] or 0)
+    return {
+        "records_read": read,
+        "duplicates_removed": read - distinct,
+        "records_dropped_null_critical": distinct - clean_n,
+    }
+
+
 def drop_exact_duplicates(df: DataFrame) -> DataFrame:
     """P1 — exact duplicate elimination over all columns
     (reference ``transformation.py:107-110``)."""

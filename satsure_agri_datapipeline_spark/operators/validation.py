@@ -115,6 +115,12 @@ def validate_ranges(df: DataFrame, config: PipelineConfig) -> DataFrame:
     ``battery_level`` pseudo-type, which the reference checks against the
     battery column over ALL rows.
     """
+    if not config.ranges:
+        # Empty ranges is a legal config (z-score-only pipelines set
+        # ``cfg.ranges = {}``); ``stack(0, ...)`` would be malformed SQL.
+        return df.sparkSession.createDataFrame(
+            [], "range_key string, out_of_range bigint"
+        )
     aggs = []
     for rt, bound in config.ranges.items():
         if rt == "battery_level":

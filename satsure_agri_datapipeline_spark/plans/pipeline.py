@@ -31,7 +31,10 @@ from satsure_agri_datapipeline_spark.operators.loading import (
     write_validation_metadata,
 )
 from satsure_agri_datapipeline_spark.operators.report import write_quality_report
-from satsure_agri_datapipeline_spark.operators.transformation import transform
+from satsure_agri_datapipeline_spark.operators.transformation import (
+    stage_counters,
+    transform,
+)
 from satsure_agri_datapipeline_spark.operators.validation import ValidationResult, validate
 from satsure_agri_datapipeline_spark.sources.checkpoint import FileCheckpoint
 from satsure_agri_datapipeline_spark.sources.parquet import (
@@ -51,12 +54,14 @@ class PipelineResult:
     gate: SchemaGateResult | None = None
     storage: dict[str, Any] = field(default_factory=dict)
     stages_completed: list[str] = field(default_factory=list)
+    stage_counters: dict[str, int] = field(default_factory=dict)
 
 
 def run_pipeline(
     spark: SparkSession,
     config: PipelineConfig,
     persist_intermediate: bool = True,
+    collect_stage_counters: bool = True,
 ) -> PipelineResult:
     result = PipelineResult(success=False, records_processed=0)
 
@@ -74,15 +79,20 @@ def run_pipeline(
         files=files,
     )
     result.gate = gate
-    if ckpt is not None:
-        # reference quirk preserved: attempted files (incl. rejected) are
-        # checkpointed (``ingestion.py:97-99``)
-        ckpt.update(attempted=files)
     result.stages_completed.append("ingestion")
     if df is None:
+        if ckpt is not None and files:
+            # all-rejected batch: the reference quirk (rejected files are
+            # checkpointed too, ``ingestion.py:97-99``) still applies
+            ckpt.update(attempted=files)
         logger.warning("no new files passed the schema gate; nothing to do")
         result.success = True
         return result
+
+    if collect_stage_counters:
+        # A13 — one extra shuffle job over the raw batch; disable at extreme
+        # scale where a second pass over the input isn't worth the counters
+        result.stage_counters = stage_counters(df)
 
     # --- Transform (one lazy lineage) --------------------------------------
     transformed = transform(df, config)
@@ -95,6 +105,12 @@ def run_pipeline(
         vres = validate(transformed, config)
         result.validation = vres
         result.records_processed = vres.total_records
+        if collect_stage_counters:
+            # outliers from the validation stage's existing anomaly pass
+            result.stage_counters["outliers_detected"] = sum(
+                m["anomalous_count"]
+                for m in vres.quality_metrics.get("anomalies_by_type", {}).values()
+            )
         write_quality_report(vres.quality_metrics, vres.issues_found, config)
         result.stages_completed.append("validation")
 
@@ -111,6 +127,13 @@ def run_pipeline(
         write_validation_metadata(config.paths.data_processed, vres, stats)
         result.storage = stats
         result.stages_completed.append("loading")
+        if ckpt is not None:
+            # Checkpoint AFTER the write succeeds: a mid-pipeline failure
+            # (e.g. corrupt data pages behind a valid footer) leaves the batch
+            # un-checkpointed and re-processable. The reference materializes
+            # file contents before checkpointing (``ingestion.py:91-99``); its
+            # rejected-files quirk is preserved via ``attempted=files``.
+            ckpt.update(attempted=files)
         result.success = True
     finally:
         if persist_intermediate:

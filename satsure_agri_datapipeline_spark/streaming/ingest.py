@@ -13,11 +13,16 @@ from __future__ import annotations
 
 from pathlib import Path
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from satsure_agri_datapipeline_spark.config import PipelineConfig
-from satsure_agri_datapipeline_spark.sources.parquet import build_struct_type
+from satsure_agri_datapipeline_spark.sources.parquet import (
+    build_struct_type,
+    discover_files,
+)
 
 
 def stream_sensor_readings(
@@ -26,15 +31,47 @@ def stream_sensor_readings(
     max_files_per_trigger: int = 10,
 ) -> DataFrame:
     """Streaming file source over the raw dir (replaces S1+S2):
-    one new-file micro-batch per trigger, schema declared (no inference)."""
+    one new-file micro-batch per trigger, schema declared (no inference).
+
+    TIMESTAMP(NANOS) parquet (the pandas default) is handled like the batch
+    reader (``sources/parquet.py``): probe the existing files' footers once at
+    stream definition; ns columns are declared LongType (``nanosAsLong``) and
+    converted via integer division (precision-exact to the microsecond).
+    A streaming schema is fixed for the query's lifetime, so the timestamp
+    unit must be homogeneous across current AND future files in the directory
+    — mixed-unit directories need the batch reader, which groups per file."""
+    ts_cols = [
+        c
+        for c in config.schema_.expected_columns
+        if config.schema_.types[c].strip().upper().startswith("TIMESTAMP")
+    ]
+    ns_cols: set[str] = set()
+    for f in discover_files(config.paths.data_raw):
+        try:
+            schema = pq.read_schema(str(f))
+            for c in ts_cols:
+                t = schema.field(c).type
+                if pa.types.is_timestamp(t) and t.unit == "ns":
+                    ns_cols.add(c)
+        except Exception:  # unreadable footer — let the stream surface it
+            continue
+
+    types = dict(config.schema_.types)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        for c in ns_cols:
+            types[c] = "BIGINT"
     struct = build_struct_type(
-        {c: config.schema_.types[c] for c in config.schema_.expected_columns}
+        {c: types[c] for c in config.schema_.expected_columns}
     )
-    return (
+    stream = (
         spark.readStream.schema(struct)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(str(config.paths.data_raw))
     )
+    for c in ns_cols:
+        stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return stream.select(*config.schema_.expected_columns)
 
 
 def hourly_counts_with_watermark(

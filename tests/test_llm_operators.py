@@ -141,3 +141,21 @@ def test_multimodal_metadata_and_features(spark):
         by_doc.setdefault(r.doc_id, []).append(r)
     assert len(by_doc[1]) == 3  # 108 bytes / 50 → offsets 0,50,100
     assert len(by_doc[2]) == 2
+
+
+def test_sample_frames_slices_exact_windows(spark):
+    payload = bytes(range(256))
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    frames = {
+        r.frame_no: bytes(r.frame_bytes)
+        for r in mm.sample_frames(df, every_n_bytes=100, max_frames=5).collect()
+    }
+    assert set(frames) == {0, 1, 2}  # offsets 0/100/200 < 256; 300+ dropped
+    assert frames[0] == bytes(range(100))
+    assert frames[1] == bytes(range(100, 200))
+    assert frames[2] == bytes(range(200, 256))  # trailing partial frame
+
+
+def test_simhash_bits_guard(docs):
+    with pytest.raises(ValueError, match="bits"):
+        dd.simhash(docs, bits=63)

@@ -60,6 +60,94 @@ def test_full_pipeline(spark, tmp_path, config):
     assert res2.success and res2.records_processed == 0
 
 
+def test_stage_counters(spark, tmp_path, config):
+    """A13: duplicates_removed / records_dropped / outliers_detected surfaced
+    in PipelineResult from one extra raw-side aggregation."""
+    raw = tmp_path / "data" / "raw"
+    raw.mkdir(parents=True)
+    rows = pd.DataFrame(
+        {
+            "sensor_id": ["s1", "s1", "s1", "s1", "s2", "s2"],
+            "timestamp": [
+                datetime(2023, 6, 1, 10),
+                datetime(2023, 6, 1, 10),  # exact duplicate of row 0
+                datetime(2023, 6, 1, 11),
+                datetime(2023, 6, 1, 12),
+                datetime(2023, 6, 1, 10),
+                datetime(2023, 6, 1, 11),
+            ],
+            "reading_type": ["temperature"] * 4 + ["humidity"] * 2,
+            "value": [20.0, 20.0, 21.0, None, 60.0, 61.0],  # one null critical
+            "battery_level": [80.0] * 6,
+        }
+    )
+    rows.to_parquet(raw / "2023-06-01.parquet")
+    res = run_pipeline(spark, config)
+    assert res.success
+    c = res.stage_counters
+    assert c["records_read"] == 6
+    assert c["duplicates_removed"] == 1
+    assert c["records_dropped_null_critical"] == 1
+    assert c["outliers_detected"] == 0  # in-range values, degenerate z-stats
+    assert res.records_processed == 4
+
+
+def test_checkpoint_not_advanced_on_write_failure(spark, tmp_path, config, monkeypatch):
+    """A post-gate failure must leave the batch un-checkpointed so a re-run
+    reprocesses it (the r2 ordering marked files processed before any action)."""
+    import satsure_agri_datapipeline_spark.plans.pipeline as pl
+    from satsure_agri_datapipeline_spark.sources.checkpoint import FileCheckpoint
+
+    _raw(tmp_path)
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("simulated write failure")
+
+    monkeypatch.setattr(pl, "write_partitioned", boom)
+    with pytest.raises(RuntimeError, match="simulated write failure"):
+        run_pipeline(spark, config)
+    assert FileCheckpoint(config.ingestion.checkpoint_file).load() == set()
+
+    monkeypatch.undo()
+    res = run_pipeline(spark, config)
+    assert res.success and res.records_processed == 48
+    # now the batch IS checkpointed (incl. rejected files — reference quirk)
+    assert len(FileCheckpoint(config.ingestion.checkpoint_file).load()) == 3
+
+
+def test_empty_ranges_config(spark, sample_sensor_data):
+    """Empty ``ranges`` is a legal config; validate() must not emit malformed
+    stack(0, ...) SQL."""
+    from satsure_agri_datapipeline_spark.config import PipelineConfig
+    from satsure_agri_datapipeline_spark.operators.validation import (
+        validate,
+        validate_ranges,
+    )
+
+    cfg = PipelineConfig()
+    cfg.ranges = {}
+    assert validate_ranges(sample_sensor_data, cfg).count() == 0
+    vres = validate(sample_sensor_data, cfg)
+    assert vres.total_records == 5
+    assert not any("outside range" in i for i in vres.issues_found)
+
+
+def test_cli_module_entry(spark, tmp_path):
+    """``python -m satsure_agri_datapipeline_spark --config c.yaml`` surface
+    (reference ``src/main.py:136-150``), invoked in-process for JVM reuse."""
+    from satsure_agri_datapipeline_spark.__main__ import main
+
+    _raw(tmp_path)
+    cfg_yaml = tmp_path / "pipeline.yaml"
+    cfg_yaml.write_text("validation:\n  max_gap_hours: 2.0\n")
+    rc = main(
+        ["--config", str(cfg_yaml), "--base-dir", str(tmp_path), "--log-level", "WARNING"]
+    )
+    assert rc == 0
+    assert (tmp_path / "data" / "processed" / "_validation_metadata.json").exists()
+    assert (tmp_path / "reports" / "data_quality_report.csv").exists()
+
+
 def test_timezone_semantics(spark, tmp_path, config):
     _raw(tmp_path)
     run_pipeline(spark, config)

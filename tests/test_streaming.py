@@ -24,6 +24,34 @@ def _write_raw(raw_dir, day, n_hours=24):
     df.to_parquet(raw_dir / f"2023-06-0{day}.parquet", coerce_timestamps="us")
 
 
+def test_streaming_ingest_nanos_parquet(spark, tmp_path):
+    """pandas-default TIMESTAMP(NANOS) parquet must stream without the
+    PARQUET_TYPE_ILLEGAL error (nanosAsLong + div-1000, like the batch
+    reader)."""
+    cfg = PipelineConfig().resolve_paths(tmp_path)
+    raw = tmp_path / "data" / "raw"
+    raw.mkdir(parents=True, exist_ok=True)
+    df = pd.DataFrame(
+        {
+            "sensor_id": ["s1"] * 24,
+            "timestamp": [datetime(2023, 6, 1, h) for h in range(24)],
+            "reading_type": ["temperature"] * 24,
+            "value": [20.0 + h for h in range(24)],
+            "battery_level": [80.0] * 24,
+        }
+    )
+    df.to_parquet(raw / "2023-06-01.parquet")  # no coerce: ns unit
+
+    q = run_streaming_ingest(
+        spark, cfg, tmp_path / "ns_out", tmp_path / "ns_ckpt", once=True
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "ns_out"))
+    # watermark-closed windows only (see exactly-once test): 21 of 24
+    assert out.count() == 21
+    assert dict(out.dtypes)["hour_start"] == "timestamp"
+
+
 def test_streaming_ingest_exactly_once(spark, tmp_path):
     cfg = PipelineConfig().resolve_paths(tmp_path)
     raw = tmp_path / "data" / "raw"
