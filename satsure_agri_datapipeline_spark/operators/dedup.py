@@ -64,6 +64,28 @@ def _h60(s: str, seed: int) -> int:
     return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
 
 
+def minhash_params(num_hashes: int) -> tuple[list[int], list[int]]:
+    """The MinHash affine family's (a_k, b_k) constants: one 60-bit base md5
+    per shingle, then ``h_k = ((a_k·h + b_k) mod 2^64) mod 2^63`` per seed.
+
+    This replaces k independent seeded md5 passes (k·N digest calls measured
+    as the dominant signature cost) with ONE digest + k numpy-vectorized
+    uint64 multiply-adds — the standard universal-hashing MinHash
+    construction. mod 2^64 is the native uint64 wraparound; the 2^63 mask
+    keeps values in a signed BIGINT for engine portability. Constants derive
+    from fixed md5 strings so every engine regenerates them identically
+    (a_k forced odd → the multiply is a bijection mod 2^64)."""
+    a = [
+        int(hashlib.md5(f"minhash-a-{k}".encode()).hexdigest()[:16], 16) | 1
+        for k in range(num_hashes)
+    ]
+    b = [
+        int(hashlib.md5(f"minhash-b-{k}".encode()).hexdigest()[:16], 16)
+        for k in range(num_hashes)
+    ]
+    return a, b
+
+
 def _shingle_set(text: str, n: int) -> list[str]:
     """Distinct word n-grams. Mirrors the expression form exactly:
     ``split(text, ' ')`` keeps empty tokens (consecutive spaces), docs with
@@ -255,21 +277,34 @@ def minhash_signature_arrays(
 ) -> DataFrame:
     """One row per document: (id, sig array<long>[num_hashes]), k-ordered.
 
-    MAP-ONLY: the whole signature (k seeded mins over the doc's distinct
-    shingles) is computed per document inside one Arrow batch — no shingle
-    explode, no groupBy, zero shuffles. This is the 100 TB shape: signature
-    cost is linear in corpus size and embarrassingly parallel. Documents
-    with no shingles (fewer than n words) are dropped, matching the
-    relational form where they produce no rows to aggregate.
+    MAP-ONLY: the whole signature (k affine-mixed mins over the doc's
+    distinct shingles, :func:`minhash_params`) is computed per document
+    inside one Arrow batch — no shingle explode, no groupBy, zero shuffles,
+    one md5 per shingle. This is the 100 TB shape: signature cost is linear
+    in corpus size and embarrassingly parallel. Documents with no shingles
+    (fewer than n words) are dropped, matching the relational form where
+    they produce no rows to aggregate.
     """
+    a_list, b_list = minhash_params(num_hashes)
 
     @pandas_udf("array<long>")
     def _sig(texts: pd.Series) -> pd.Series:
+        a_col = np.array(a_list, dtype=np.uint64)[:, None]
+        b_col = np.array(b_list, dtype=np.uint64)[:, None]
+        mask63 = np.uint64((1 << 63) - 1)
+
         def one(t):
             shs = _shingle_set(t, n)
             if not shs:
                 return None
-            return [min(_h60(s, k) for s in shs) for k in range(num_hashes)]
+            hs = np.fromiter(
+                (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in shs),
+                dtype=np.uint64,
+                count=len(shs),
+            )
+            # uint64 arithmetic wraps mod 2^64 by definition; mask to 63 bits
+            hk = (a_col * hs[None, :] + b_col) & mask63
+            return [int(x) for x in hk.min(axis=1)]
 
         return texts.map(one)
 
@@ -309,8 +344,13 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, est_jaccard). The band join is the scale path: a
     self-equi-join on (band, band_signature) — no all-pairs comparison.
 
-    The one-row-per-doc signature relation feeds four consumers (band
-    explode × 2 join sides + both signature lookups); it is persisted —
+    The full signature rides along through the band join, so the estimated
+    Jaccard is computed directly on the joined pair — no back-joins to a
+    signature lookup (two fewer shuffles than the lookup formulation). The
+    shuffle carries num_bands copies of each signature (num_hashes × 8 B per
+    copy — for 16 hashes that's 128 B, comparable to the text's own keys);
+    the multi-band duplicate pairs collapse in the final groupBy. The
+    signature relation is persisted across its two join-side consumers —
     O(docs × num_hashes × 8 B), trivially cacheable at any scale."""
     sig = minhash_signature_arrays(df, num_hashes, n, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -318,10 +358,11 @@ def minhash_lsh_pairs(
     n_bands = num_hashes // band_size
     bands = sig.select(
         F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
         "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
     ).select(
         id_col,
+        "sig",
         "band",
         F.array_join(
             F.transform(
@@ -331,29 +372,28 @@ def minhash_lsh_pairs(
             ",",
         ).alias("band_sig"),
     )
-    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
-    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")
-    candidates = (
-        a.join(b, ["band", "band_sig"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_sig"
     )
-    sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_sig"
+    )
     matches = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, v: acc + v,
     )
     out = (
-        candidates.join(sa, "id_a")
-        .join(sb, "id_b")
+        a.join(b, ["band", "band_sig"])
+        .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
             F.round(matches / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
         )
+        # a pair agreeing on k bands appears k times with identical estimate
+        .groupBy("id_a", "id_b")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
     )
     return _register_cache(out, sig)
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from satsure_agri_datapipeline_spark.config import PipelineConfig
@@ -149,12 +149,29 @@ def detect_time_gaps(
     Returns ``(gap_agg, time_range)``: per (sensor_id, reading_type) missing
     interval counts with first/last gap, plus the 1-row global time range.
 
-    Grid construction is fully distributed: hourly ``sequence`` exploded per
-    (sensor, reading_type) combo. ``per_sensor_span=True`` uses each combo's
-    own [min, max] instead of the global span (scale mode; reference semantics
-    is the global span).
+    Semantics: the expected clock is ``sequence(min_t, max_t, N hours)`` over
+    the GLOBAL span, matched against observed hour-truncated timestamps; a
+    grid point is missing when no reading falls in its hour.
+
+    Execution is O(observed), not O(grid): instead of materializing the
+    combos × span grid and anti-joining (quadratic-ish blowup — a year's span
+    over 1e5 sensor/type combos is ~1.75e9 exploded rows through a shuffle),
+    each combo's missing count and first/last gap derive from its *observed*
+    distinct hours alone:
+
+    - count: ``n_grid_points − n_observed_on_grid`` (closed-form);
+    - first/last gap: boundary gaps when the combo's min/max observed index
+      is inside the grid, else the first/last interior hole found via one
+      ``lead`` window over consecutive observed indices.
+
+    Two shuffles total (distinct, then window+agg on the combo key — one
+    exchange, reused), each bounded by the observed row count. The grid is
+    never built. ``per_sensor_span=True`` keeps the explicit-grid variant
+    anchored at each combo's own [min, max] (different — narrower — semantics;
+    the reference's is the global span).
     """
-    step = F.expr(f"interval {int(frequency_hours)} hours")
+    f = int(frequency_hours)
+    step = F.expr(f"interval {f} hours")
     time_range = df.agg(
         F.min("timestamp").alias("min_time"),
         F.max("timestamp").alias("max_time"),
@@ -165,46 +182,107 @@ def detect_time_gaps(
         combos = df.groupBy("sensor_id", "reading_type").agg(
             F.min("timestamp").alias("min_time"), F.max("timestamp").alias("max_time")
         )
-    else:
-        combos = df.select("sensor_id", "reading_type").distinct().crossJoin(
-            F.broadcast(time_range.select("min_time", "max_time"))
+        expected = combos.select(
+            "sensor_id",
+            "reading_type",
+            F.explode(F.sequence(F.col("min_time"), F.col("max_time"), step)).alias(
+                "expected_timestamp"
+            ),
         )
+        observed = df.select(
+            "sensor_id",
+            "reading_type",
+            F.date_trunc("hour", F.col("timestamp")).alias("observed_hour"),
+        ).distinct()
+        missing = expected.join(
+            observed,
+            on=[
+                expected.sensor_id == observed.sensor_id,
+                expected.reading_type == observed.reading_type,
+                F.date_trunc("hour", expected.expected_timestamp)
+                == observed.observed_hour,
+            ],
+            how="left_anti",
+        )
+        gap_agg = (
+            missing.groupBy("sensor_id", "reading_type")
+            .agg(
+                F.count(F.lit(1)).alias("missing_hours"),
+                F.min("expected_timestamp").alias("first_gap"),
+                F.max("expected_timestamp").alias("last_gap"),
+            )
+            .orderBy(F.desc("missing_hours"), "sensor_id", "reading_type")
+        )
+        return gap_agg, time_range
 
-    expected = combos.select(
-        "sensor_id",
-        "reading_type",
-        F.explode(F.sequence(F.col("min_time"), F.col("max_time"), step)).alias(
-            "expected_timestamp"
-        ),
+    # Grid parameters as a broadcast 1-row relation: anchor hour, minute
+    # offset (the grid carries min_t's sub-hour offset), number of steps.
+    secs = 3600 * f
+    bounds = df.agg(
+        F.min("timestamp").alias("min_t"), F.max("timestamp").alias("max_t")
+    ).select(
+        "min_t",
+        F.date_trunc("hour", "min_t").alias("grid_start"),
+        F.floor(
+            (F.unix_timestamp("max_t") - F.unix_timestamp("min_t")) / F.lit(secs)
+        ).alias("n_steps"),
     )
 
-    observed = df.select(
-        "sensor_id",
-        "reading_type",
-        F.date_trunc("hour", F.col("timestamp")).alias("observed_hour"),
-    ).distinct()
-
-    missing = expected.withColumn(
-        "expected_hour", F.date_trunc("hour", F.col("expected_timestamp"))
-    ).join(
-        observed,
-        on=[
-            expected.sensor_id == observed.sensor_id,
-            expected.reading_type == observed.reading_type,
-            F.date_trunc("hour", expected.expected_timestamp) == observed.observed_hour,
-        ],
-        how="left_anti",
+    observed = (
+        df.select(
+            "sensor_id",
+            "reading_type",
+            F.date_trunc("hour", F.col("timestamp")).alias("observed_hour"),
+        )
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+    )
+    # Grid index of the observed hour; off-grid hours (wrong phase for f>1, or
+    # past the last grid point) don't cover any expected timestamp.
+    diff = F.unix_timestamp("observed_hour") - F.unix_timestamp("grid_start")
+    obs = (
+        observed.withColumn("idx", (diff / F.lit(secs)).cast("long"))
+        .where(
+            (diff % F.lit(secs) == 0)
+            & (F.col("idx") >= 0)
+            & (F.col("idx") <= F.col("n_steps"))
+        )
     )
 
-    gap_agg = (
-        missing.groupBy("sensor_id", "reading_type")
+    w = Window.partitionBy("sensor_id", "reading_type").orderBy("idx")
+    obs = obs.withColumn("next_idx", F.lead("idx").over(w))
+    hole = F.col("next_idx") > F.col("idx") + 1
+    agg = (
+        obs.groupBy("sensor_id", "reading_type")
         .agg(
-            F.count(F.lit(1)).alias("missing_hours"),
-            F.min("expected_timestamp").alias("first_gap"),
-            F.max("expected_timestamp").alias("last_gap"),
+            F.count(F.lit(1)).alias("n_obs"),
+            F.min("idx").alias("min_idx"),
+            F.max("idx").alias("max_idx"),
+            F.min(F.when(hole, F.col("idx") + 1)).alias("interior_first"),
+            F.max(F.when(hole, F.col("next_idx") - 1)).alias("interior_last"),
+            F.first("min_t").alias("min_t"),
+            F.first("n_steps").alias("n_steps"),
         )
-        .orderBy(F.desc("missing_hours"), "sensor_id", "reading_type")
+        .withColumn("missing_hours", F.col("n_steps") + 1 - F.col("n_obs"))
+        .where(F.col("missing_hours") > 0)
     )
+    first_idx = F.when(F.col("min_idx") > 0, F.lit(0)).otherwise(
+        F.col("interior_first")
+    )
+    last_idx = F.when(F.col("max_idx") < F.col("n_steps"), F.col("n_steps")).otherwise(
+        F.col("interior_last")
+    )
+    gap_agg = agg.select(
+        "sensor_id",
+        "reading_type",
+        "missing_hours",
+        F.timestamp_seconds(
+            F.unix_timestamp("min_t") + first_idx * F.lit(secs)
+        ).alias("first_gap"),
+        F.timestamp_seconds(
+            F.unix_timestamp("min_t") + last_idx * F.lit(secs)
+        ).alias("last_gap"),
+    ).orderBy(F.desc("missing_hours"), "sensor_id", "reading_type")
     return gap_agg, time_range
 
 

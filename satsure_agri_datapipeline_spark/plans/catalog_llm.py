@@ -74,19 +74,32 @@ def doc_ngram_jaccard(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+# MinHash affine-family constants, regenerated exactly like the operator's
+# minhash_params(16) and inlined as HUGEINT literals.
+def _minhash_seed_values() -> str:
+    from satsure_agri_datapipeline_spark.operators.dedup import minhash_params
+
+    a, b = minhash_params(16)
+    return ", ".join(f"({k}, {a[k]}::HUGEINT, {b[k]}::HUGEINT)" for k in range(16))
+
+
 @query(
     "doc_minhash_lsh",
     f"""
     WITH {SHINGLES_SQL},
-    seeded AS (
-        SELECT doc_id, UNNEST(generate_series(0, 15)) AS k, shingle FROM shingles
-    ),
+    seeds(k, a, b) AS (VALUES {_minhash_seed_values()}),
     hashed AS (
-        SELECT doc_id, k,
-               ('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || shingle), 1, 15))::BIGINT AS h
-        FROM seeded
+        SELECT doc_id,
+               (('0x' || substr(md5(shingle), 1, 15))::BIGINT)::HUGEINT AS h
+        FROM shingles
     ),
-    sig AS (SELECT doc_id, k, MIN(h) AS min_hash FROM hashed GROUP BY doc_id, k),
+    mixed AS (
+        SELECT doc_id, k,
+               CAST(((a * h + b) % 18446744073709551616::HUGEINT)
+                    % 9223372036854775808::HUGEINT AS BIGINT) AS hk
+        FROM hashed CROSS JOIN seeds
+    ),
+    sig AS (SELECT doc_id, k, MIN(hk) AS min_hash FROM mixed GROUP BY doc_id, k),
     bands AS (
         SELECT doc_id, k // 4 AS band,
                STRING_AGG(CAST(min_hash AS VARCHAR), ',' ORDER BY k) AS band_sig
@@ -108,7 +121,8 @@ def doc_ngram_jaccard(spark, sf_dir):
 )
 def doc_minhash_lsh(spark, sf_dir):
     """MinHash(16) + LSH(4 bands × 4 rows) candidate pairs with estimated
-    Jaccard — engine-portable md5-based hash family makes the oracle exact."""
+    Jaccard — the one-md5 + affine-mix family (dedup.minhash_params) is
+    engine-portable, so the oracle is exact, not statistical."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.minhash_lsh_pairs(docs, num_hashes=16, band_size=4, n=3).orderBy(
         "id_a", "id_b"
