@@ -4,6 +4,7 @@ families (dedup, text analysis, similarity search, multimodal plumbing)."""
 from satsure_agri_datapipeline_spark.operators import (  # noqa: F401
     dedup,
     multimodal,
+    sampling,
     similarity,
     text,
 )
@@ -33,6 +34,7 @@ __all__ = [
     "handle_outliers",
     "impute_battery_median",
     "multimodal",
+    "sampling",
     "similarity",
     "stage_counters",
     "text",

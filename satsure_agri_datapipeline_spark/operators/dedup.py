@@ -449,3 +449,141 @@ def simhash(
         .select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
         .where(F.col("simhash").isNotNull())
     )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation is the banded bucket join (the same pattern as
+    MinHash LSH): split the ``bits``-wide fingerprint into ``n_bands``
+    equal-width bands and self-join on (band, band_bits). By pigeonhole this
+    is EXACT — not approximate — whenever ``max_hamming < n_bands``: a pair
+    with ≤ max_hamming differing bits cannot differ in every band. The
+    verification predicate is one JVM ``bit_count(a ^ b)`` — no array math.
+
+    Returns (id_a, id_b, hamming), id_a < id_b. At 100 TB the join shuffles
+    a (band_key, fingerprint) pair per band copy — 8 B × n_bands per doc —
+    and only fingerprints sharing a band meet; no all-pairs stage exists.
+    """
+    if bits % n_bands != 0:
+        raise ValueError(f"bits={bits} must be divisible by n_bands={n_bands}")
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_bands>{max_hamming} for the "
+            "banded join to be exhaustive (pigeonhole)"
+        )
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sh = simhash(df, bits=bits, text_col=text_col, id_col=id_col)
+    bands = sh.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "band_key", F.expr(f"shiftright(simhash, band * {band_bits}) & {mask}")
+    )
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "band", "band_key"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "band", "band_key"
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.expr("bit_count(sim_a ^ sim_b)").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        # a close pair agreeing on several bands appears once per agreeing band
+        .groupBy("id_a", "id_b")
+        .agg(F.first("hamming").alias("hamming"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering (connected components) and canonical dedup
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair relation — the step that
+    turns near-dup PAIRS into dedup CLUSTERS. Returns (node_id, component_id)
+    with component_id = min node id in the component, one row per node that
+    appears in any edge.
+
+    Iterative min-label propagation: each round every node takes the minimum
+    label among itself and its neighbors; converges in O(graph diameter)
+    rounds. Near-dup graphs are unions of small dense cliques (diameter ≲ 3),
+    so a handful of rounds suffice; the loop is a driver-side *control* loop
+    only — each round is one distributed join + aggregate, and
+    ``localCheckpoint`` truncates the plan so lineage doesn't grow with
+    iterations. The per-round convergence test rides along as a max() in the
+    same aggregate — no extra action. For adversarial long-chain graphs swap
+    in pointer-doubling (propagate labels-of-labels), which converges in
+    O(log n) rounds with the same join primitive.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    # seed: every node labeled with min(itself, its direct neighbors)
+    labels = (
+        sym.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("comp"))
+        .select(F.col("src").alias("node"), "comp")
+        .localCheckpoint()
+    )
+    sym = sym.localCheckpoint()
+    for _ in range(max_iterations):
+        neigh = (
+            sym.join(labels, sym.dst == labels.node)
+            .select(F.col("src").alias("node"), F.col("comp").alias("neigh_comp"))
+        )
+        merged = (
+            labels.union(neigh.select("node", F.col("neigh_comp").alias("comp")))
+            .groupBy("node")
+            .agg(F.min("comp").alias("new_comp"))
+        )
+        progress = (
+            labels.join(merged, "node")
+            .agg(
+                F.max((F.col("new_comp") < F.col("comp")).cast("int")).alias("chg")
+            )
+            .collect()[0]["chg"]
+        )
+        labels = (
+            labels.join(merged, "node")
+            .select("node", F.col("new_comp").alias("comp"))
+            .localCheckpoint()
+        )
+        if not progress:
+            break
+    return labels.select(F.col("node").alias("node_id"), F.col("comp").alias("component_id"))
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Drop every near-duplicate except the canonical (min-id) member of its
+    cluster: pairs → connected components → anti-join the non-canonical ids.
+    The components relation is O(docs-in-any-pair) — tiny relative to the
+    corpus — so the anti-join side broadcasts at any realistic dup rate."""
+    comps = connected_components(pairs, src_col, dst_col)
+    losers = comps.where(F.col("node_id") != F.col("component_id")).select(
+        F.col("node_id").alias(id_col)
+    )
+    return df.join(F.broadcast(losers), id_col, "left_anti")

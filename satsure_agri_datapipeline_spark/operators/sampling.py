@@ -1,0 +1,65 @@
+"""Deterministic sampling operators for training-data curation.
+
+Random sampling via ``F.rand`` is irreproducible across engines, partition
+layouts, and re-runs; these operators derive sampling decisions from a
+portable keyed hash (md5 of ``seed:id``) instead, so a sample is a pure
+function of (row identity, seed) — stable under repartitioning, retries,
+incremental reprocessing, and exactly reproducible in the DuckDB oracles.
+
+- ``hash_sample``: Bernoulli p-sampling — a per-row predicate, fully pushed
+  into the scan (no shuffle at all).
+- ``stratified_sample``: exact k-per-stratum — one window over the stratum
+  key; the shuffle is keyed by stratum and each partition streams, so skewed
+  strata cost sort time, not memory. At 100 TB prefer hash_sample when an
+  *approximate* per-stratum rate suffices (zero-shuffle); use the exact
+  variant when the contract is "exactly k per class" (eval sets, balanced
+  fine-tuning mixes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sample_hash(id_col, seed: int):
+    """Portable 60-bit sampling hash of a row id (same md5 family as
+    operators/dedup): ``int(md5(seed || ':' || id)[:15], 16)``."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose sampling-hash bucket
+    (mod 10⁶) falls below ``fraction``. Map-only — the predicate evaluates
+    inside the scan stage; complementary seeds give disjoint-ish splits
+    (train/val carve-outs) without any shuffle or state."""
+    cut = int(fraction * 1_000_000)
+    return df.where(sample_hash(id_col, seed) % 1_000_000 < cut)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen by sampling-hash
+    order (deterministic "random"): ``row_number`` over the stratum window
+    ordered by (hash, id). One shuffle keyed by the strata columns."""
+    w = Window.partitionBy(*strata_cols).orderBy(
+        sample_hash(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -120,6 +120,43 @@ def ivf_topk_to(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-LSH bucket join + exact
+    cosine verification. Returns (id_a, id_b, cosine_sim) with id_a < id_b
+    and round(cosine, 6) ≥ threshold.
+
+    The scale path is the bucket join: vectors meet only when their
+    ``n_bits``-bit sign cell matches (hyperplane LSH — near-identical vectors
+    agree on every sign, so recall for true near-dups is ~1 at high
+    thresholds; lower ``n_bits`` trades join fan-out for recall on looser
+    thresholds). The shuffle key is one integer; the full vector rides along
+    once per side — never an all-pairs stage. The threshold compares the
+    6-dp *rounded* cosine so the predicate is reproducible across engines
+    (sum-order-sensitive double ulps don't flip membership)."""
+    cells = df.select(
+        F.col(id_col), F.col(vec_col), sign_lsh_cell(F.col(vec_col), n_bits).alias("__cell")
+    )
+    a = cells.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__cell"
+    )
+    b = cells.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__cell"
+    )
+    cos = F.round(cosine_similarity_col(F.col("__va"), F.col("__vb")), 6)
+    return (
+        a.join(b, "__cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
 def centroid_norms(
     df: DataFrame, label_col: str = "label", vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

@@ -152,3 +152,88 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         # form (and the simhash/minhash siblings) so row counts agree
         .where(F.col("fingerprint").isNotNull())
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard pre-tokenization chunking step for training-data pipelines.
+
+    Windows start every ``stride = chunk_tokens − overlap`` tokens; the last
+    window may be short; a doc shorter than one window yields one chunk.
+    Returns (id, chunk_idx, n_chunk_tokens, chunk_text).
+
+    Pure JVM expressions: ``split`` → one ``sequence``+``explode`` per doc
+    sized by its own token count (a flatMap — no shuffle, no UDF), ``slice``
+    + ``array_join`` to materialize the window. Output row count is
+    Σ ceil((tokens−overlap)/stride) — linear in corpus token count, the same
+    scan-shaped cost profile as the tokenizer that consumes it."""
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap={overlap} must be < chunk_tokens={chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(float(stride))).cast("int"), F.lit(1)
+    )
+    window = F.slice(
+        F.col("__toks"), F.col("chunk_idx") * stride + 1, chunk_tokens
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_idx",
+            F.size(window).alias("n_chunk_tokens"),
+            F.array_join(window, " ").alias("chunk_text"),
+        )
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level top-k word n-grams by document frequency — vocabulary /
+    boilerplate mining. Returns (ngram, n_docs, n_occurrences) ordered by
+    n_docs desc with a deterministic ngram tiebreak.
+
+    Shape: flatMap (split + sequence/explode, no UDF) → one hash aggregate
+    keyed by ngram (map-side partial aggregation collapses repeats before
+    the shuffle) → TakeOrderedAndProject for the top-k. The only shuffle
+    carries (ngram, partial counts) — at 100 TB this is the canonical
+    word-count plan, and a ``max_df``-style cap is unnecessary because the
+    aggregate output is bounded by distinct-ngram cardinality, not corpus
+    size."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        ).alias("i"),
+    ).where(F.col("i") <= F.size("__toks") - n).select(
+        F.col(id_col),
+        F.array_join(F.slice("__toks", F.col("i") + 1, n), " ").alias("ngram"),
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "ngram")
+        .limit(k)
+    )

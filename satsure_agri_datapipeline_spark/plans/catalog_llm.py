@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from satsure_agri_datapipeline_spark.operators import dedup as dd
 from satsure_agri_datapipeline_spark.operators import multimodal as mm
+from satsure_agri_datapipeline_spark.operators import sampling as sp
 from satsure_agri_datapipeline_spark.operators import similarity as sim
 from satsure_agri_datapipeline_spark.operators import text as tx
 from satsure_agri_datapipeline_spark.plans.catalog import query
@@ -23,6 +24,29 @@ SHINGLES_SQL = """
     words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     idx AS (SELECT doc_id, w, UNNEST(generate_series(1, GREATEST(len(w) - 2, 0))) AS i FROM words),
     shingles AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle FROM idx)
+"""
+
+# Shared SQL fragment (extends SHINGLES_SQL): 3-gram Jaccard >= 0.5 near-dup
+# pairs — the edge relation the clustering / canonical-dedup oracles build on.
+JACCARD_PAIRS_SQL = f"""
+    {SHINGLES_SQL},
+    jp_hashed AS (
+        SELECT doc_id, ('0x' || substr(md5('0:' || shingle), 1, 15))::BIGINT AS sh
+        FROM shingles
+    ),
+    jp_sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM jp_hashed GROUP BY doc_id),
+    jp_inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM jp_hashed a JOIN jp_hashed b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM jp_inter
+        JOIN jp_sizes sa ON jp_inter.id_a = sa.doc_id
+        JOIN jp_sizes sb ON jp_inter.id_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    )
 """
 
 
@@ -156,6 +180,118 @@ def doc_simhash(spark, sf_dir):
     """32-bit SimHash fingerprint per document (operators/dedup.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.simhash(docs, bits=32)
+
+
+@query(
+    "doc_simhash_pairs",
+    """
+    WITH toks AS (
+        SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+        FROM toks WHERE tok <> ''
+    ),
+    bits AS (
+        SELECT doc_id, UNNEST(generate_series(0, 31)) AS j, h FROM hashed
+    ),
+    sums AS (
+        SELECT doc_id, j,
+               SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM bits GROUP BY doc_id, j
+    ),
+    sh AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+        FROM sums GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS band_key
+        FROM sh, UNNEST(generate_series(0, 3)) AS t(band)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def doc_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: banded bucket join on 8-bit fingerprint bands,
+    Hamming ≤ 3 — exhaustive by pigeonhole, never all-pairs
+    (operators/dedup.py simhash_near_dup_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_near_dup_pairs(
+        docs, bits=32, n_bands=4, max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "doc_near_dup_clusters",
+    f"""
+    WITH RECURSIVE {JACCARD_PAIRS_SQL},
+    sym AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT DISTINCT src, src FROM sym
+        UNION
+        SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def doc_near_dup_clusters(spark, sf_dir):
+    """Near-dup pairs → clusters: iterative min-label propagation (connected
+    components, operators/dedup.py) over the 3-gram-Jaccard ≥ 0.5 edge set.
+    The oracle re-derives components with a recursive CTE — the iterative
+    operator is still exactly SQL-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return (
+        dd.connected_components(pairs)
+        .select(
+            F.col("node_id").alias("doc_id"),
+            F.col("component_id").alias("cluster_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_dedup_canonical",
+    f"""
+    WITH RECURSIVE {JACCARD_PAIRS_SQL},
+    sym AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT DISTINCT src, src FROM sym
+        UNION
+        SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.node
+    ),
+    losers AS (
+        SELECT node FROM (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node)
+        WHERE node <> cluster
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM losers)
+    ORDER BY doc_id
+    """,
+)
+def doc_dedup_canonical(spark, sf_dir):
+    """End-to-end near-dedup: keep only each cluster's canonical (min-id)
+    member (operators/dedup.py dedup_keep_canonical). The survivors' id set
+    is the corpus a training run would actually consume."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return dd.dedup_keep_canonical(docs, pairs).select("doc_id").orderBy("doc_id")
 
 
 @query(
@@ -375,6 +511,136 @@ def emb_ann_ivf(spark, sf_dir):
     oracle re-derives the same cell predicate + cosine in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.ivf_topk_to(emb, query_id=0, k=10, n_bits=8, hamming_probe=2)
+
+
+@query(
+    "emb_near_dup",
+    f"""
+    WITH cells AS (
+        SELECT vec_id, embedding, {_CELL_SQL} AS cell FROM embeddings
+    ),
+    prods AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+               sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+               sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+        FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(dot / (na * nb), 6) AS cosine_sim
+    FROM prods
+    WHERE ROUND(dot / (na * nb), 6) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: sign-LSH bucket join + exact cosine
+    verification (operators/similarity.py embedding_near_dup_pairs). The
+    synthetic embeddings carry no true near-dups, so the query's threshold
+    (0.3) is set where the data has stable mass; the operator's production
+    default is 0.95."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.embedding_near_dup_pairs(emb, threshold=0.3, n_bits=8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "doc_chunks",
+    r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, w,
+               GREATEST(CAST(CEIL((len(w) - 16) / 48.0) AS INT), 1) AS n_chunks
+        FROM t
+    ),
+    idx AS (
+        SELECT doc_id, w, UNNEST(generate_series(0, n_chunks - 1)) AS chunk_idx
+        FROM sized
+    )
+    SELECT doc_id, chunk_idx,
+           len(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS n_chunk_tokens,
+           array_to_string(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
+    FROM idx ORDER BY doc_id, chunk_idx
+    """,
+)
+def doc_chunks(spark, sf_dir):
+    """Token-window chunking (64-token windows, 16-token overlap) — the
+    pre-tokenization splitting step (operators/text.py chunk_documents)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.chunk_documents(docs, chunk_tokens=64, overlap=16).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+@query(
+    "doc_top_ngrams",
+    r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, array_to_string(w[i:i+1], ' ') AS ngram
+        FROM t, UNNEST(generate_series(1, len(w) - 1)) AS s(i)
+    )
+    SELECT ngram,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM grams GROUP BY ngram
+    ORDER BY n_docs DESC, n_occurrences DESC, ngram
+    LIMIT 20
+    """,
+)
+def doc_top_ngrams(spark, sf_dir):
+    """Corpus top-20 word bigrams by document frequency — vocabulary /
+    boilerplate mining (operators/text.py top_ngrams)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.top_ngrams(docs, n=2, k=20)
+
+
+@query(
+    "doc_sample_bernoulli",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 1000000 < 100000
+    ORDER BY doc_id
+    """,
+)
+def doc_sample_bernoulli(spark, sf_dir):
+    """Deterministic 10% Bernoulli sample via portable keyed hash — map-only,
+    scan-pushed predicate (operators/sampling.py hash_sample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sp.hash_sample(docs, fraction=0.1, seed=7)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_sample_stratified",
+    """
+    SELECT doc_id, lang FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY lang
+        ORDER BY ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                 doc_id
+    ) <= 20
+    ORDER BY doc_id
+    """,
+)
+def doc_sample_stratified(spark, sf_dir):
+    """Exact 20-docs-per-language stratified sample, hash-ordered so the
+    choice is deterministic (operators/sampling.py stratified_sample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sp.stratified_sample(docs, ["lang"], k=20)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
 
 
 @query(

@@ -159,3 +159,86 @@ def test_sample_frames_slices_exact_windows(spark):
 def test_simhash_bits_guard(docs):
     with pytest.raises(ValueError, match="bits"):
         dd.simhash(docs, bits=63)
+
+
+def test_simhash_near_dup_pairs(docs):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in dd.simhash_near_dup_pairs(docs).collect()}
+    assert pairs[(0, 3)] == 0  # identical token sets
+    # near-dup (0,1) has small hamming iff within threshold; unrelated 2/4 never
+    assert not any(2 in p or 4 in p for p in pairs)
+    assert dd.simhash_near_dup_pairs(docs, max_hamming=31, n_bands=32).count() >= len(pairs)
+    with pytest.raises(ValueError):
+        dd.simhash_near_dup_pairs(docs, n_bands=4, max_hamming=4)  # pigeonhole broken
+    with pytest.raises(ValueError):
+        dd.simhash_near_dup_pairs(docs, bits=32, n_bands=5)
+
+
+def test_connected_components_chain_and_clique(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 iteration) plus clique {10,11,12}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    comp = {r.node_id: r.component_id for r in dd.connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_dedup_keep_canonical(docs):
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5)
+    kept = sorted(r.doc_id for r in dd.dedup_keep_canonical(docs, pairs).collect())
+    # cluster {0,1,3} collapses to 0; 2 and 4 untouched
+    assert kept == [0, 2, 4]
+
+
+def test_embedding_near_dup_pairs(vectors):
+    pairs = sim.embedding_near_dup_pairs(vectors, threshold=0.999999, n_bits=4).collect()
+    assert pairs, "identical-direction vectors must pair"
+    for r in pairs:
+        assert r.id_a < r.id_b
+        assert r.cosine_sim >= 0.999999
+    # vectors 0 and 30 share angle 0.0 and the same sign cell
+    assert any((r.id_a, r.id_b) == (0, 30) for r in pairs)
+
+
+def test_chunk_documents_windows(spark):
+    text = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text), (2, "short doc")], "doc_id long, text string")
+    chunks = {
+        (r.doc_id, r.chunk_idx): r
+        for r in tx.chunk_documents(df, chunk_tokens=64, overlap=16).collect()
+    }
+    # 100 tokens, stride 48: ceil((100-16)/48)=2 chunks; second starts at 48
+    assert {(1, 0), (1, 1), (2, 0)} == set(chunks)
+    assert chunks[(1, 0)].n_chunk_tokens == 64
+    assert chunks[(1, 0)].chunk_text.startswith("w0 ")
+    assert chunks[(1, 1)].chunk_text.startswith("w48 ")
+    assert chunks[(1, 1)].n_chunk_tokens == 52  # 100 - 48
+    assert chunks[(2, 0)].chunk_text == "short doc"
+    with pytest.raises(ValueError):
+        tx.chunk_documents(df, chunk_tokens=16, overlap=16)
+
+
+def test_top_ngrams(docs):
+    top = tx.top_ngrams(docs, n=2, k=5).collect()
+    assert top[0].ngram in ("quick brown", "brown fox", "fox jumps", "jumps over",
+                            "over the", "the quick", "the lazy")
+    assert top[0].n_docs == 3  # docs 0, 1, 3 share the fox prefix
+    assert all(r.n_occurrences >= r.n_docs for r in top)
+
+
+def test_sampling_deterministic(docs):
+    from satsure_agri_datapipeline_spark.operators import sampling as sp
+
+    s1 = sorted(r.doc_id for r in sp.hash_sample(docs, 0.5, seed=1).collect())
+    s2 = sorted(r.doc_id for r in sp.hash_sample(docs, 0.5, seed=1).collect())
+    assert s1 == s2  # reproducible
+    # a larger fraction is a superset (bucket predicate is monotone)
+    s3 = sorted(r.doc_id for r in sp.hash_sample(docs, 0.9, seed=1).collect())
+    assert set(s1) <= set(s3)
+
+    strat = sp.stratified_sample(docs, ["lang"], k=2).collect()
+    by_lang = {}
+    for r in strat:
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    assert len(by_lang["en"]) == 2  # 4 en docs capped at 2
+    assert len(by_lang["de"]) == 1  # only 1 de doc
