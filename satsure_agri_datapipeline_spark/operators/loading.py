@@ -33,18 +33,27 @@ PIPELINE_VERSION = "1.0.0"
 
 
 def prepare_for_storage(
-    df: DataFrame, validation: ValidationResult, narrow_types: bool = True
+    df: DataFrame,
+    validation: ValidationResult,
+    narrow_types: bool = True,
+    stamp: str | None = None,
 ) -> DataFrame:
     """F12 + type narrowing (``loading.py:113-175``): add storage metadata
     columns; optionally narrow floats→float32 and counters→int32.
 
     Data is stored even when validation failed — flagged via
     ``data_quality_passed`` (reference behavior, ``loading.py:74-76``).
+
+    ``validation_timestamp`` defaults to wall-clock now (reference parity,
+    ``loading.py:121``) — pass ``stamp`` for deterministic output (tests,
+    byte-reproducible re-runs, diffable backfills).
     """
     score = quality_score(validation.quality_metrics)
     out = (
         df.withColumn("data_quality_passed", F.lit(bool(validation.passed)))
-        .withColumn("validation_timestamp", F.lit(datetime.now().isoformat()))
+        .withColumn(
+            "validation_timestamp", F.lit(stamp or datetime.now().isoformat())
+        )
         .withColumn("pipeline_version", F.lit(PIPELINE_VERSION))
         .withColumn("quality_score", F.lit(float(score)))
         .withColumn("total_issues", F.lit(len(validation.issues_found)))

@@ -24,6 +24,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
 from satsure_agri_datapipeline_spark.config import PipelineConfig
+from satsure_agri_datapipeline_spark.exceptions import (
+    IngestionError,
+    LoadingError,
+    TransformationError,
+    ValidationError,
+)
 from satsure_agri_datapipeline_spark.operators.loading import (
     prepare_for_storage,
     storage_stats,
@@ -66,18 +72,21 @@ def run_pipeline(
     result = PipelineResult(success=False, records_processed=0)
 
     # --- Ingest (S1-S6 + S2 checkpoint) -----------------------------------
-    files = discover_files(config.paths.data_raw)
-    ckpt = None
-    if config.ingestion.incremental_mode:
-        ckpt = FileCheckpoint(config.ingestion.checkpoint_file)
-        files = ckpt.filter_new(files)
-    df, gate = read_sensor_parquet(
-        spark,
-        config.paths.data_raw,
-        config.schema_.expected_columns,
-        config.schema_.types,
-        files=files,
-    )
+    try:
+        files = discover_files(config.paths.data_raw)
+        ckpt = None
+        if config.ingestion.incremental_mode:
+            ckpt = FileCheckpoint(config.ingestion.checkpoint_file)
+            files = ckpt.filter_new(files)
+        df, gate = read_sensor_parquet(
+            spark,
+            config.paths.data_raw,
+            config.schema_.expected_columns,
+            config.schema_.types,
+            files=files,
+        )
+    except Exception as e:
+        raise IngestionError(f"Data ingestion failed: {e}") from e
     result.gate = gate
     result.stages_completed.append("ingestion")
     if df is None:
@@ -95,36 +104,45 @@ def run_pipeline(
         result.stage_counters = stage_counters(df)
 
     # --- Transform (one lazy lineage) --------------------------------------
-    transformed = transform(df, config)
+    try:
+        transformed = transform(df, config)
+    except Exception as e:
+        raise TransformationError(f"Data transformation failed: {e}") from e
     if persist_intermediate:
         transformed = transformed.persist(StorageLevel.MEMORY_AND_DISK)
     result.stages_completed.append("transformation")
 
     try:
         # --- Validate (small aggregate collections only) --------------------
-        vres = validate(transformed, config)
-        result.validation = vres
-        result.records_processed = vres.total_records
-        if collect_stage_counters:
-            # outliers from the validation stage's existing anomaly pass
-            result.stage_counters["outliers_detected"] = sum(
-                m["anomalous_count"]
-                for m in vres.quality_metrics.get("anomalies_by_type", {}).values()
-            )
-        write_quality_report(vres.quality_metrics, vres.issues_found, config)
+        try:
+            vres = validate(transformed, config)
+            result.validation = vres
+            result.records_processed = vres.total_records
+            if collect_stage_counters:
+                # outliers from the validation stage's existing anomaly pass
+                result.stage_counters["outliers_detected"] = sum(
+                    m["anomalous_count"]
+                    for m in vres.quality_metrics.get("anomalies_by_type", {}).values()
+                )
+            write_quality_report(vres.quality_metrics, vres.issues_found, config)
+        except Exception as e:
+            raise ValidationError(f"Data validation failed: {e}") from e
         result.stages_completed.append("validation")
 
         # --- Load (stored even if validation failed — reference behavior) ---
-        stored = prepare_for_storage(transformed, vres)
-        write_partitioned(
-            stored,
-            config.paths.data_processed,
-            partition_by=config.write.partition_by,
-            compression=config.write.compression,
-            mode=config.write.mode,
-        )
-        stats = storage_stats(config.paths.data_processed)
-        write_validation_metadata(config.paths.data_processed, vres, stats)
+        try:
+            stored = prepare_for_storage(transformed, vres)
+            write_partitioned(
+                stored,
+                config.paths.data_processed,
+                partition_by=config.write.partition_by,
+                compression=config.write.compression,
+                mode=config.write.mode,
+            )
+            stats = storage_stats(config.paths.data_processed)
+            write_validation_metadata(config.paths.data_processed, vres, stats)
+        except Exception as e:
+            raise LoadingError(f"Data loading failed: {e}") from e
         result.storage = stats
         result.stages_completed.append("loading")
         if ckpt is not None:

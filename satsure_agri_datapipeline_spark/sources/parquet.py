@@ -152,8 +152,12 @@ def validate_file_schema(
 
 
 def discover_files(raw_dir: str | Path) -> list[Path]:
-    """Sorted ``*.parquet`` glob (reference ``ingestion.py:110-141``)."""
-    return sorted(Path(raw_dir).glob("*.parquet"))
+    """Sorted ``*.parquet`` glob (reference ``ingestion.py:110-141``); a
+    missing directory is an error, not an empty batch (``ingestion.py:123``)."""
+    d = Path(raw_dir)
+    if not d.is_dir():
+        raise FileNotFoundError(f"Raw data directory does not exist: {d}")
+    return sorted(d.glob("*.parquet"))
 
 
 def read_sensor_parquet(

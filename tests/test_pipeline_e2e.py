@@ -9,6 +9,11 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+from satsure_agri_datapipeline_spark.exceptions import (
+    IngestionError,
+    LoadingError,
+    PipelineError,
+)
 from satsure_agri_datapipeline_spark.operators.loading import query_stored_data
 from satsure_agri_datapipeline_spark.plans.pipeline import run_pipeline
 
@@ -104,7 +109,7 @@ def test_checkpoint_not_advanced_on_write_failure(spark, tmp_path, config, monke
         raise RuntimeError("simulated write failure")
 
     monkeypatch.setattr(pl, "write_partitioned", boom)
-    with pytest.raises(RuntimeError, match="simulated write failure"):
+    with pytest.raises(LoadingError, match="simulated write failure"):
         run_pipeline(spark, config)
     assert FileCheckpoint(config.ingestion.checkpoint_file).load() == set()
 
@@ -155,3 +160,15 @@ def test_timezone_semantics(spark, tmp_path, config):
     # UTC 00:00 → +05:30 wall clock 05:30 on the same date
     first = back.orderBy("timestamp").first()
     assert first.timestamp.minute == 30
+
+
+def test_exception_domains(spark, tmp_path, config):
+    """Stage failures surface as their domain error (reference
+    src/utils/exceptions.py pattern), chained to the original cause, and all
+    are catchable as PipelineError."""
+    # nonexistent raw dir -> IngestionError from discovery
+    config.paths.data_raw = str(tmp_path / "nope")
+    with pytest.raises(IngestionError) as ei:
+        run_pipeline(spark, config)
+    assert isinstance(ei.value, PipelineError)
+    assert ei.value.__cause__ is not None
