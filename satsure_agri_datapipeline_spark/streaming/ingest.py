@@ -99,6 +99,118 @@ def hourly_counts_with_watermark(
     )
 
 
+def session_bursts(
+    readings: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Sensor-activity bursts via session windows (SURVEY.md §2.10): readings
+    separated by less than ``gap`` merge into one session per (sensor,
+    reading_type). Works identically on batch frames (omit the watermark by
+    passing a batch DataFrame — Spark ignores withWatermark in batch mode).
+    State per open session is one window — bounded by sensor cardinality,
+    not event rate."""
+    return (
+        readings.withWatermark("timestamp", watermark)
+        .groupBy(
+            F.session_window("timestamp", gap).alias("session"),
+            "sensor_id",
+            "reading_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_readings"),
+            F.min("timestamp").alias("first_reading"),
+            F.max("timestamp").alias("last_reading"),
+        )
+        .select(
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "sensor_id",
+            "reading_type",
+            "n_readings",
+            "first_reading",
+            "last_reading",
+        )
+    )
+
+
+def dedup_stream(
+    readings: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key's state only until the
+    watermark passes it — the streaming analog of the batch P1
+    ``dropDuplicates`` with O(keys-in-watermark-window) state instead of
+    O(all-keys-ever). Duplicates arriving later than the watermark slip
+    through by design (document the bound, don't pretend exactly-once)."""
+    keys = keys or ["sensor_id", "timestamp", "reading_type"]
+    return readings.withWatermark("timestamp", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def gap_alerts_stateful(
+    readings: DataFrame, gap_hours: float = 2.0
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``): per
+    (sensor_id, reading_type), remember the last-seen timestamp across
+    micro-batches and emit an alert row whenever a new reading arrives more
+    than ``gap_hours`` after it — the push-based streaming complement of the
+    batch clock-grid gap detector (operators/validation.py), with
+    O(sensor×type) state and per-batch work linear in arriving rows.
+
+    Alerts span micro-batch AND restart boundaries: the previous timestamp
+    lives in the state store, checkpointed with the query. Within a batch,
+    rows are processed in timestamp order."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "sensor_id string, reading_type string, prev_reading timestamp, "
+        "next_reading timestamp, gap_hours double"
+    )
+    gap_us = int(gap_hours * 3_600_000_000)
+
+    def monitor(key, pdfs, state):
+        import pandas as pd  # noqa: PLC0415 — runs on executors
+
+        last_us = state.get[0] if state.exists else None
+        ts = pd.concat([pdf["timestamp"] for pdf in pdfs]).sort_values()
+        rows = []
+        for t in ts:
+            t_us = t.value // 1000  # pandas ns → µs
+            if last_us is not None and t_us - last_us > gap_us:
+                rows.append(
+                    (
+                        key[0],
+                        key[1],
+                        pd.Timestamp(last_us * 1000),
+                        pd.Timestamp(t_us * 1000),
+                        round((t_us - last_us) / 3_600_000_000, 4),
+                    )
+                )
+            last_us = t_us
+        if last_us is not None:
+            state.update((int(last_us),))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "sensor_id",
+                "reading_type",
+                "prev_reading",
+                "next_reading",
+                "gap_hours",
+            ],
+        )
+
+    return readings.groupBy("sensor_id", "reading_type").applyInPandasWithState(
+        monitor,
+        out_schema,
+        "last_us long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_streaming_ingest(
     spark: SparkSession,
     config: PipelineConfig,

@@ -78,3 +78,123 @@ def test_streaming_ingest_exactly_once(spark, tmp_path):
     q3 = run_streaming_ingest(spark, cfg, out, ckpt, once=True)
     q3.awaitTermination(120)
     assert spark.read.parquet(str(out)).count() == 24 + 21
+
+
+def _start_stream(spark, cfg, transform, out, ckpt):
+    from satsure_agri_datapipeline_spark.streaming.ingest import (
+        stream_sensor_readings,
+    )
+
+    readings = stream_sensor_readings(spark, cfg)
+    q = (
+        transform(readings)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_session_bursts_batch_semantics(spark):
+    """session_window merges readings closer than the gap; batch-mode check
+    of the streaming query shape."""
+    from datetime import datetime
+
+    from satsure_agri_datapipeline_spark.streaming.ingest import session_bursts
+
+    rows = [
+        ("s1", datetime(2023, 6, 1, 10, 0), "temperature", 20.0, 80.0),
+        ("s1", datetime(2023, 6, 1, 10, 20), "temperature", 21.0, 80.0),
+        ("s1", datetime(2023, 6, 1, 12, 0), "temperature", 22.0, 80.0),  # new session
+        ("s2", datetime(2023, 6, 1, 10, 5), "temperature", 23.0, 80.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "sensor_id string, timestamp timestamp, reading_type string, value double, battery_level double"
+    )
+    sessions = session_bursts(df, gap="30 minutes").collect()
+    by_sensor = {}
+    for r in sessions:
+        by_sensor.setdefault(r.sensor_id, []).append(r)
+    assert len(by_sensor["s1"]) == 2
+    assert sorted(s.n_readings for s in by_sensor["s1"]) == [1, 2]
+    assert len(by_sensor["s2"]) == 1
+
+
+def test_dedup_stream_drops_in_watermark_dups(spark, tmp_path):
+    import pandas as pd
+    from datetime import datetime
+
+    from satsure_agri_datapipeline_spark.streaming.ingest import dedup_stream
+
+    cfg = PipelineConfig().resolve_paths(tmp_path)
+    raw = tmp_path / "data" / "raw"
+    raw.mkdir(parents=True, exist_ok=True)
+    df = pd.DataFrame(
+        {
+            "sensor_id": ["s1", "s1", "s1"],
+            "timestamp": [datetime(2023, 6, 1, 10)] * 2 + [datetime(2023, 6, 1, 11)],
+            "reading_type": ["temperature"] * 3,
+            "value": [20.0, 20.0, 21.0],
+            "battery_level": [80.0] * 3,
+        }
+    )
+    df.to_parquet(raw / "2023-06-01.parquet", coerce_timestamps="us")
+
+    _start_stream(
+        spark, cfg, dedup_stream, tmp_path / "dd_out", tmp_path / "dd_ckpt"
+    )
+    out = spark.read.parquet(str(tmp_path / "dd_out"))
+    assert out.count() == 2  # exact dup collapsed
+
+
+def test_gap_alerts_stateful_across_restarts(spark, tmp_path):
+    """applyInPandasWithState custom operator: last-seen timestamp survives in
+    the state store, so a gap spanning two micro-batches (separate runs,
+    same checkpoint) is still alerted."""
+    import pandas as pd
+    from datetime import datetime
+
+    from satsure_agri_datapipeline_spark.streaming.ingest import gap_alerts_stateful
+
+    cfg = PipelineConfig().resolve_paths(tmp_path)
+    raw = tmp_path / "data" / "raw"
+    raw.mkdir(parents=True, exist_ok=True)
+    out, ckpt = tmp_path / "gap_out", tmp_path / "gap_ckpt"
+
+    # batch 1: hours 0-5 then 10-12 — one in-batch gap of 5h
+    hours = list(range(6)) + [10, 11, 12]
+    pd.DataFrame(
+        {
+            "sensor_id": ["s1"] * len(hours),
+            "timestamp": [datetime(2023, 6, 1, h) for h in hours],
+            "reading_type": ["temperature"] * len(hours),
+            "value": [20.0] * len(hours),
+            "battery_level": [80.0] * len(hours),
+        }
+    ).to_parquet(raw / "2023-06-01.parquet", coerce_timestamps="us")
+
+    fn = lambda readings: gap_alerts_stateful(readings, gap_hours=2.0)
+    _start_stream(spark, cfg, fn, out, ckpt)
+    alerts = spark.read.parquet(str(out))
+    assert alerts.count() == 1
+    a = alerts.first()
+    assert a.gap_hours == 5.0 and a.prev_reading == datetime(2023, 6, 1, 5)
+
+    # batch 2 (restart, same checkpoint): next day 09:00 — 20h cross-batch gap
+    pd.DataFrame(
+        {
+            "sensor_id": ["s1"],
+            "timestamp": [datetime(2023, 6, 2, 9)],
+            "reading_type": ["temperature"],
+            "value": [20.0],
+            "battery_level": [80.0],
+        }
+    ).to_parquet(raw / "2023-06-02.parquet", coerce_timestamps="us")
+    _start_stream(spark, cfg, fn, out, ckpt)
+    alerts = spark.read.parquet(str(out)).orderBy("next_reading").collect()
+    assert len(alerts) == 2
+    assert alerts[-1].prev_reading == datetime(2023, 6, 1, 12)
+    assert alerts[-1].gap_hours == 21.0
