@@ -1,0 +1,205 @@
+"""Property-based tests (hypothesis): distributed operators vs brute-force
+Python on randomized inputs. Each example batches many independent cases
+(docs / combos / graphs) into ONE DataFrame so a property run costs a few
+Spark jobs, not hundreds.
+
+SURVEY.md §5.2 test plan — the oracle-differential idea applied a second
+way: the DuckDB oracles pin cross-engine parity on fixed data; these pin
+algorithmic correctness on adversarial random data."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from satsure_agri_datapipeline_spark.operators import dedup as dd
+from satsure_agri_datapipeline_spark.operators import sampling as sp
+from satsure_agri_datapipeline_spark.operators import text as tx
+from satsure_agri_datapipeline_spark.operators import validation as vl
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+doc_strategy = st.lists(st.sampled_from(VOCAB), min_size=0, max_size=12).map(" ".join)
+
+
+@given(texts=st.lists(doc_strategy, min_size=2, max_size=25))
+@settings(**SETTINGS)
+def test_jaccard_pairs_match_bruteforce(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(df, n=3, threshold=0.3).collect()
+    }
+    sets = {i: set(dd._shingle_set(t, 3)) for i, t in enumerate(texts)}
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(sets[i] & sets[j])
+            if inter:
+                jac = inter / len(sets[i] | sets[j])
+                if jac >= 0.3:
+                    want[(i, j)] = jac
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_match_union_find(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node_id: r.component_id for r in dd.connected_components(df).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+@given(
+    combos=st.lists(
+        st.sets(st.integers(0, 71), min_size=1, max_size=40),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_gap_detection_matches_bruteforce(spark, combos):
+    """The O(observed) closed-form gap aggregation equals the explicit-grid
+    reconstruction for arbitrary observed-hour subsets of a 72h span."""
+    base = datetime(2023, 6, 1, 0, 17)  # off-hour anchor: grid carries :17
+    rows = []
+    for c, hours in enumerate(combos):
+        for h in hours:
+            rows.append((f"sensor_{c}", "temperature", base + timedelta(hours=h)))
+    df = spark.createDataFrame(
+        rows, "sensor_id string, reading_type string, timestamp timestamp"
+    )
+    gaps, _ = vl.detect_time_gaps(df, frequency_hours=1)
+    got = {
+        r.sensor_id: (r.missing_hours, r.first_gap, r.last_gap)
+        for r in gaps.collect()
+    }
+
+    lo = min(min(h) for h in combos)
+    hi = max(max(h) for h in combos)
+    grid = list(range(lo, hi + 1))
+    want = {}
+    for c, hours in enumerate(combos):
+        missing = [h for h in grid if h not in hours]
+        if missing:
+            want[f"sensor_{c}"] = (
+                len(missing),
+                base + timedelta(hours=missing[0]),
+                base + timedelta(hours=missing[-1]),
+            )
+    assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(VOCAB), min_size=1, max_size=60).map(" ".join),
+        min_size=1,
+        max_size=10,
+    ),
+    chunk_tokens=st.integers(4, 16),
+    overlap=st.integers(0, 3),
+)
+@settings(**SETTINGS)
+def test_chunks_reassemble(spark, texts, chunk_tokens, overlap):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    chunks = tx.chunk_documents(
+        df, chunk_tokens=chunk_tokens, overlap=overlap
+    ).collect()
+    stride = chunk_tokens - overlap
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        rs = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        assert [r.chunk_idx for r in rs] == list(range(len(rs)))
+        # every chunk is the exact slice, and slices tile the doc
+        rebuilt = []
+        for r in rs:
+            start = r.chunk_idx * stride
+            assert r.chunk_text.split(" ") == toks[start : start + chunk_tokens]
+            assert r.n_chunk_tokens == len(toks[start : start + chunk_tokens])
+            rebuilt.extend(toks[start + (overlap if r.chunk_idx else 0) : start + chunk_tokens])
+        assert rebuilt == toks
+        # last chunk covers the tail; no chunk is pure overlap
+        assert rs[-1].chunk_idx * stride + chunk_tokens >= len(toks)
+
+
+@given(
+    langs=st.lists(st.sampled_from(["en", "de", "es"]), min_size=1, max_size=40),
+    k=st.integers(1, 5),
+)
+@settings(**SETTINGS)
+def test_stratified_sample_counts(spark, langs, k):
+    df = spark.createDataFrame(
+        [(i, lang) for i, lang in enumerate(langs)], "doc_id long, lang string"
+    )
+    out = sp.stratified_sample(df, ["lang"], k=k).collect()
+    per = {}
+    for r in out:
+        per[r.lang] = per.get(r.lang, 0) + 1
+    from collections import Counter
+
+    pop = Counter(langs)
+    assert per == {lang: min(k, n) for lang, n in pop.items()}
+    # determinism: same seed, same sample
+    again = sorted(r.doc_id for r in sp.stratified_sample(df, ["lang"], k=k).collect())
+    assert again == sorted(r.doc_id for r in out)
+
+
+@given(texts=st.lists(doc_strategy, min_size=2, max_size=20))
+@settings(**SETTINGS)
+def test_minhash_signatures_match_python_spec(spark, texts):
+    """The Arrow-vectorized signature equals the scalar spec: per seed k,
+    min over shingles of the affine-mixed portable hash."""
+    import hashlib
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r.doc_id: list(r.sig)
+        for r in dd.minhash_signature_arrays(df, num_hashes=8, n=3).collect()
+    }
+    a, b = dd.minhash_params(8)
+    want = {}
+    for i, t in enumerate(texts):
+        shs = dd._shingle_set(t, 3)
+        if not shs:
+            continue
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in shs]
+        want[i] = [
+            min(((a[k] * h + b[k]) % (1 << 64)) & ((1 << 63) - 1) for h in hs)
+            for k in range(8)
+        ]
+    assert got == want
