@@ -120,6 +120,45 @@ def ivf_topk_to(
     )
 
 
+def l2_normalize(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Unit-normalize embeddings (the precondition for cosine ≡ dot-product
+    retrieval): v / ‖v‖₂ as ``array<double>``, zero vectors passed through
+    as nulls. Map-only JVM array expressions — linear, no shuffle."""
+    norm = _norm(F.col(vec_col))
+    unit = F.when(
+        norm > 0, F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
+    )
+    return df.select(
+        F.col(id_col), unit.alias("unit_vec"), F.round(norm, 6).alias("l2_norm")
+    )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization (embedding storage/serving
+    compression): scale = max|xᵢ|/127, qᵢ = floor(xᵢ/scale + 0.5) ∈ [−127,128].
+    4× smaller than float32 at ~0.4% max relative error; map-only, no Python.
+    Returns (id, q array<int>, scale). Half-up floor keeps the rounding rule
+    engine-portable (banker's rounding differs between engines)."""
+    absmax = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, v),
+    )
+    scale = absmax / F.lit(127.0)
+    q = F.when(
+        absmax > 0,
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"),
+        ),
+    )
+    return df.select(F.col(id_col), q.alias("q"), scale.alias("scale"))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -17,7 +17,7 @@ import hashlib
 import re
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -151,6 +151,94 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         # null-text docs produce no shingles — drop them like the relational
         # form (and the simhash/minhash siblings) so row counts agree
         .where(F.col("fingerprint").isNotNull())
+    )
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical text normalization for dedup/tokenizer input: lowercase,
+    strip non-alphanumerics (explicit ASCII classes — ``\\w`` semantics vary
+    by regex engine), collapse runs of whitespace, trim. Map-only codegen'd
+    JVM regex. Returns (id, norm_text, n_tokens_norm)."""
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^0-9a-z\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    n_tokens = F.when(
+        F.length(cleaned) > 0, F.size(F.split(cleaned, " "))
+    ).otherwise(F.lit(0))
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("norm_text"),
+        n_tokens.cast("long").alias("n_tokens_norm"),
+    )
+
+
+# Engine-portable PII patterns: no lookarounds, no \w / \b (Java regex and
+# RE2 agree on these explicit classes).
+PII_PATTERNS: dict[str, str] = {
+    "<EMAIL>": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+",
+    "<PHONE>": r"\+?[0-9][0-9() .-]{7,}[0-9]",
+    "<IP>": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rule-based PII redaction (emails, phone-like digit runs, IPv4) — the
+    pattern-scrub pass every public-corpus pipeline runs before training.
+    Chained ``regexp_replace`` — map-only, codegen'd, ~scan speed. Returns
+    (id, redacted_text, n_redactions). Order matters: IPs redact before
+    phones would otherwise swallow them."""
+    out = F.col(text_col)
+    for token, pat in [
+        ("<EMAIL>", PII_PATTERNS["<EMAIL>"]),
+        ("<IP>", PII_PATTERNS["<IP>"]),
+        ("<PHONE>", PII_PATTERNS["<PHONE>"]),
+    ]:
+        out = F.regexp_replace(out, pat, token)
+    n_red = (
+        F.regexp_count(out, F.lit("<EMAIL>"))
+        + F.regexp_count(out, F.lit("<IP>"))
+        + F.regexp_count(out, F.lit("<PHONE>"))
+    )
+    return df.select(
+        F.col(id_col),
+        out.alias("redacted_text"),
+        n_red.cast("long").alias("n_redactions"),
+    )
+
+
+def corpus_mix_report(
+    df: DataFrame, group_cols: list[str] | None = None, text_col: str = "text"
+) -> DataFrame:
+    """Training-mix report: per (lang, source) document and token counts with
+    each cell's token share of the corpus — what a data-mixture config is
+    tuned against. One hash aggregate + a single-partition window over the
+    O(groups) aggregate rows (never over data rows). Share emitted as a
+    half-up ×10⁶ integer for cross-engine hashing."""
+    group_cols = group_cols or ["lang", "source"]
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+    )
+    total = Window.partitionBy()
+    return agg.select(
+        *group_cols,
+        "n_docs",
+        "n_tokens",
+        F.floor(
+            F.col("n_tokens") * 1_000_000.0 / F.sum("n_tokens").over(total)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("token_share_e6"),
     )
 
 

@@ -644,6 +644,150 @@ def doc_sample_stratified(spark, sf_dir):
 
 
 @query(
+    "emb_normalize",
+    """
+    WITH norms AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(nrm, 6) AS l2_norm,
+           ROUND(CAST(embedding[1] AS DOUBLE) / nrm, 6) AS u1,
+           ROUND(CAST(embedding[2] AS DOUBLE) / nrm, 6) AS u2,
+           ROUND(CAST(embedding[3] AS DOUBLE) / nrm, 6) AS u3
+    FROM norms ORDER BY vec_id
+    """,
+)
+def emb_normalize(spark, sf_dir):
+    """L2 normalization (operators/similarity.py l2_normalize) — unit-vector
+    precondition for dot-product retrieval; first three components checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.l2_normalize(emb)
+    return out.select(
+        "vec_id",
+        "l2_norm",
+        *[
+            F.round(F.element_at("unit_vec", i), 6).alias(f"u{i}")
+            for i in (1, 2, 3)
+        ],
+    ).orderBy("vec_id")
+
+
+@query(
+    "emb_quantize",
+    """
+    WITH scaled AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, scale,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) AS INT)) AS qv
+        FROM scaled
+    )
+    SELECT vec_id,
+           CAST(FLOOR(scale * 1000000000 + 0.5) AS BIGINT) AS scale_e9,
+           qv[1] AS q1,
+           CAST(list_sum(list_transform(qv, v -> CAST(v AS BIGINT) * v)) AS BIGINT) AS q_norm2
+    FROM q ORDER BY vec_id
+    """,
+)
+def emb_quantize(spark, sf_dir):
+    """Symmetric int8 quantization (operators/similarity.py quantize_int8):
+    per-vector scale, first quantized component, and the quantized squared
+    norm — all integers, so the cross-engine hash is exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.quantize_int8(emb)
+    q_norm2 = F.aggregate(
+        F.transform("q", lambda v: v.cast("long") * v.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return out.select(
+        "vec_id",
+        F.floor(F.col("scale") * 1_000_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("scale_e9"),
+        F.element_at("q", 1).alias("q1"),
+        q_norm2.alias("q_norm2"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "doc_normalize_text",
+    r"""
+    WITH cleaned AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^0-9a-z\s]', '', 'g'),
+                                   '\s+', ' ', 'g')) AS norm_text
+        FROM documents
+    )
+    SELECT doc_id, norm_text,
+           CASE WHEN LENGTH(norm_text) > 0
+                THEN len(string_split(norm_text, ' ')) ELSE 0 END AS n_tokens_norm
+    FROM cleaned ORDER BY doc_id
+    """,
+)
+def doc_normalize_text(spark, sf_dir):
+    """Canonical lowercase/strip/collapse normalization
+    (operators/text.py normalize_text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.normalize_text(docs).orderBy("doc_id")
+
+
+@query(
+    "doc_redact_pii",
+    r"""
+    WITH red AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+                       '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+                   '\+?[0-9][0-9() .-]{7,}[0-9]', '<PHONE>', 'g') AS redacted_text
+        FROM documents
+    )
+    SELECT doc_id, redacted_text,
+           CAST(len(regexp_extract_all(redacted_text, '<EMAIL>'))
+              + len(regexp_extract_all(redacted_text, '<IP>'))
+              + len(regexp_extract_all(redacted_text, '<PHONE>')) AS BIGINT) AS n_redactions
+    FROM red ORDER BY doc_id
+    """,
+)
+def doc_redact_pii(spark, sf_dir):
+    """Rule-based PII redaction (operators/text.py redact_pii): emails,
+    IPv4s, phone-like digit runs → placeholder tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.redact_pii(docs).select(
+        "doc_id", "redacted_text", "n_redactions"
+    ).orderBy("doc_id")
+
+
+@query(
+    "corpus_mix",
+    r"""
+    WITH agg AS (
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, n_tokens,
+           CAST(FLOOR(n_tokens * 1000000.0 / SUM(n_tokens) OVER () + 0.5) AS BIGINT) AS token_share_e6
+    FROM agg ORDER BY lang, source
+    """,
+)
+def corpus_mix(spark, sf_dir):
+    """Training-mix report: per (lang, source) doc/token counts and token
+    share of corpus (operators/text.py corpus_mix_report)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.corpus_mix_report(docs).orderBy("lang", "source")
+
+
+@query(
     "multimodal_metadata",
     """
     SELECT doc_id,

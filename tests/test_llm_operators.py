@@ -242,3 +242,75 @@ def test_sampling_deterministic(docs):
         by_lang.setdefault(r.lang, []).append(r.doc_id)
     assert len(by_lang["en"]) == 2  # 4 en docs capped at 2
     assert len(by_lang["de"]) == 1  # only 1 de doc
+
+
+def test_l2_normalize(vectors):
+    out = {r.vec_id: r for r in sim.l2_normalize(vectors).collect()}
+    import math
+
+    u = out[0].unit_vec
+    assert math.isqrt(0) == 0  # noqa: keep math import used
+    assert sum(x * x for x in u) == pytest.approx(1.0, abs=1e-9)
+    # zero vector -> null unit_vec
+    zdf = vectors.sparkSession.createDataFrame(
+        [(99, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    z = sim.l2_normalize(zdf).first()
+    assert z.unit_vec is None and z.l2_norm == 0.0
+
+
+def test_quantize_int8(vectors):
+    out = {r.vec_id: r for r in sim.quantize_int8(vectors).collect()}
+    r0 = out[0]
+    emb = {r.vec_id: r.embedding for r in vectors.collect()}[0]
+    absmax = max(abs(x) for x in emb)
+    assert r0.scale == pytest.approx(absmax / 127.0)
+    assert max(abs(q) for q in r0.q) == 127  # the max component hits full range
+    # dequantized values within half a step of the originals
+    for x, q in zip(emb, r0.q):
+        assert abs(q * r0.scale - x) <= r0.scale / 2 + 1e-9
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello,   WORLD!! (x=1) "), (2, "..."), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in tx.normalize_text(df).collect()}
+    assert out[1].norm_text == "hello world x1"
+    assert out[1].n_tokens_norm == 3
+    assert out[2].norm_text == "" and out[2].n_tokens_norm == 0
+    assert out[3].norm_text is None
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or call +1 (555) 123-4567"),
+            (2, "server at 192.168.0.1 is fine"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in tx.redact_pii(df).collect()}
+    assert "<EMAIL>" in out[1].redacted_text and "<PHONE>" in out[1].redacted_text
+    assert "jane" not in out[1].redacted_text and "555" not in out[1].redacted_text
+    assert out[1].n_redactions == 2
+    assert out[2].redacted_text == "server at <IP> is fine"
+    assert out[3].n_redactions == 0
+
+
+def test_corpus_mix_report(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "web"),
+            (2, "d e", "en", "web"),
+            (3, "f g h i j", "de", "book"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {(r.lang, r.source): r for r in tx.corpus_mix_report(df).collect()}
+    assert rows[("en", "web")].n_docs == 2
+    assert rows[("en", "web")].n_tokens == 5
+    assert rows[("en", "web")].token_share_e6 == 500000
+    assert rows[("de", "book")].token_share_e6 == 500000
