@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from satsure_agri_datapipeline_spark.plans import catalog  # noqa: F401
     from satsure_agri_datapipeline_spark.plans import catalog_relational  # noqa: F401
     from satsure_agri_datapipeline_spark.plans import catalog_llm  # noqa: F401
+    from satsure_agri_datapipeline_spark.plans import catalog_temporal  # noqa: F401
     from satsure_agri_datapipeline_spark.plans.catalog import QUERIES
 
     return dict(QUERIES)
@@ -41,6 +42,7 @@ def oracle_sql() -> dict[str, str]:
     from satsure_agri_datapipeline_spark.plans import catalog  # noqa: F401
     from satsure_agri_datapipeline_spark.plans import catalog_relational  # noqa: F401
     from satsure_agri_datapipeline_spark.plans import catalog_llm  # noqa: F401
+    from satsure_agri_datapipeline_spark.plans import catalog_temporal  # noqa: F401
     from satsure_agri_datapipeline_spark.plans.catalog import ORACLES
 
     return dict(ORACLES)

@@ -6,6 +6,7 @@ from satsure_agri_datapipeline_spark.operators import (  # noqa: F401
     multimodal,
     sampling,
     similarity,
+    temporal,
     text,
 )
 from satsure_agri_datapipeline_spark.operators.transformation import (
@@ -36,6 +37,7 @@ __all__ = [
     "multimodal",
     "sampling",
     "similarity",
+    "temporal",
     "stage_counters",
     "text",
     "transform",

@@ -1,0 +1,137 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+symmetric range join — expressed as compositions of existing DataFrame ops
+(the preferred custom-operator strategy: no UDF, no mapPartitions).
+
+As-of join (latest reading at or before a probe time) is THE enrichment
+primitive for sensor/event timelines. The union-marker formulation used here
+is the scale-correct shape: both sides shuffle ONCE on the equality keys,
+the per-key timeline is sorted within its partition, and one running
+``last(ignorenulls)`` window resolves every probe — no range-condition
+nested-loop join (Spark's default for time inequalities), no per-probe
+backward scan. Cost is sort-shuffle of |probes| + |readings|, independent of
+time-gap sizes.
+
+Range join (count/collect matches within ±radius) uses fixed-width time
+binning: each probe replicates into its bin and the two adjacent bins, the
+join is a pure equi-join on (keys, bin), and the exact |Δt| ≤ radius
+predicate filters the ≤3× candidate fan-out. This turns an inequality join
+Catalyst would nested-loop into a hash join whose fan-out is bounded by the
+bin population, with AQE skew-splitting applicable to hot bins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str = "timestamp",
+    right_time: str = "timestamp",
+    value_col: str = "value",
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """For every left row, attach ``value_col`` from the right row with the
+    latest ``right_time`` ≤ ``left_time`` (direction="backward", inclusive;
+    "forward" mirrors to earliest ≥) sharing the ``on`` keys. Returns all
+    left columns + ``asof_value`` + ``asof_time`` (null when no match or
+    outside ``tolerance_seconds``).
+
+    Right rows with null ``value_col`` are skipped (no value to attach). If
+    multiple right rows share a timestamp, pre-aggregate the right side to
+    make the result deterministic — this function does not choose for you.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    vtype = right.schema[value_col].dataType
+    left_extra = [c for c in left.columns if c not in on]
+    l_rows = left.select(
+        *on,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__probe"),
+        F.lit(None).cast(vtype).alias("__v"),
+        *[F.col(c) for c in left_extra],
+    )
+    r_rows = right.select(
+        *on,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__probe"),
+        F.col(value_col).alias("__v"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_extra],
+    )
+    u = l_rows.unionByName(r_rows)
+    # readings sort before probes at equal __t → the match is inclusive
+    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+    w = Window.partitionBy(*on).orderBy(t_order, F.col("__probe").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    matched_v = F.last("__v", ignorenulls=True).over(w)
+    matched_t = F.last(
+        F.when(F.col("__probe") == 0, F.col("__t")), ignorenulls=True
+    ).over(w)
+    out = (
+        u.withColumn("__asof_v", matched_v)
+        .withColumn("__asof_t", matched_t)
+        .where(F.col("__probe") == 1)
+    )
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.unix_timestamp(F.col("__t")) - F.unix_timestamp(F.col("__asof_t"))
+        )
+        out = out.withColumn(
+            "__asof_v", F.when(gap <= tolerance_seconds, F.col("__asof_v"))
+        ).withColumn("__asof_t", F.when(gap <= tolerance_seconds, F.col("__asof_t")))
+    return out.select(
+        *on,
+        *left_extra,
+        F.col("__asof_v").alias("asof_value"),
+        F.col("__asof_t").alias("asof_time"),
+    )
+
+
+def range_join_count(
+    probes: DataFrame,
+    readings: DataFrame,
+    on: list[str],
+    probe_time: str = "probe_ts",
+    reading_time: str = "timestamp",
+    radius_seconds: int = 3600,
+) -> DataFrame:
+    """Count readings within ± ``radius_seconds`` of each probe time, per
+    ``on`` keys. Returns all probe columns + ``n_nearby`` (0 when none).
+
+    Binned equi-join: probes replicate into bins {b−1, b, b+1} of width
+    ``radius_seconds``; any reading within the radius necessarily lands in
+    one of those bins, so the bin equi-join is exhaustive and the exact
+    predicate only trims the bounded fan-out."""
+    b = F.lit(int(radius_seconds))
+    p = probes.withColumn(
+        "__b",
+        F.explode(
+            F.array(
+                *[
+                    (F.unix_timestamp(F.col(probe_time)) / b).cast("long") + d
+                    for d in (-1, 0, 1)
+                ]
+            )
+        ),
+    )
+    r = readings.select(
+        *on,
+        (F.unix_timestamp(F.col(reading_time)) / b).cast("long").alias("__b"),
+        F.unix_timestamp(F.col(reading_time)).alias("__r_secs"),
+    )
+    near = (
+        p.join(r, [*on, "__b"])
+        .where(
+            F.abs(F.unix_timestamp(F.col(probe_time)) - F.col("__r_secs"))
+            <= radius_seconds
+        )
+        .groupBy(*on, *[c for c in probes.columns if c not in on])
+        .agg(F.count(F.lit(1)).alias("n_nearby"))
+    )
+    return probes.join(near, probes.columns, "left").na.fill({"n_nearby": 0})

@@ -1,0 +1,120 @@
+"""Temporal-join query family: as-of enrichment and symmetric range counts
+over the sensor timeline (operators/temporal.py).
+
+The oracles are deliberately DIFFERENT formulations: DuckDB's native
+``ASOF JOIN`` and a plain inequality join check the Spark union-marker
+window and binned equi-join against an independent implementation of the
+same semantics — not a re-derivation of the same plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from satsure_agri_datapipeline_spark.operators import sampling as sp
+from satsure_agri_datapipeline_spark.operators import temporal as tp
+from satsure_agri_datapipeline_spark.plans.catalog import (
+    READINGS_SQL,
+    events_as_readings,
+    query,
+)
+
+# Deterministic probe set: a ~5% keyed-hash sample of readings, probing 37
+# minutes after each sampled reading (off-grid so matches are non-trivial).
+PROBES_SQL = """
+    probes AS (
+        SELECT event_id, sensor_id, reading_type,
+               timestamp + INTERVAL 37 MINUTE AS probe_ts
+        FROM readings
+        WHERE ('0x' || substr(md5('3:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+              % 1000000 < 50000
+    )
+"""
+
+
+def _probes(spark, sf_dir):
+    r = events_as_readings(spark, sf_dir)
+    return sp.hash_sample(r, fraction=0.05, id_col="event_id", seed=3).select(
+        "event_id",
+        "sensor_id",
+        "reading_type",
+        (F.col("timestamp") + F.expr("interval 37 minutes")).alias("probe_ts"),
+    )
+
+
+@query(
+    "sensor_asof_enrich",
+    f"""
+    WITH readings AS ({READINGS_SQL}),
+    {PROBES_SQL},
+    dedup AS (
+        SELECT sensor_id, reading_type, timestamp, MAX(value) AS value
+        FROM readings GROUP BY 1, 2, 3
+    )
+    SELECT p.event_id, p.sensor_id, p.reading_type,
+           STRFTIME(p.probe_ts, '%Y-%m-%d %H:%M:%S') AS probe_ts,
+           d.value AS asof_value,
+           STRFTIME(d.timestamp, '%Y-%m-%d %H:%M:%S') AS asof_time
+    FROM probes p
+    ASOF LEFT JOIN dedup d
+      ON p.sensor_id = d.sensor_id
+     AND p.reading_type = d.reading_type
+     AND p.probe_ts >= d.timestamp
+    ORDER BY p.event_id
+    """,
+)
+def sensor_asof_enrich(spark, sf_dir):
+    """As-of join: latest reading value at or before each probe time
+    (operators/temporal.py asof_join — union-marker + running-last window;
+    oracle is DuckDB's native ASOF JOIN)."""
+    readings = events_as_readings(spark, sf_dir)
+    dedup = readings.groupBy("sensor_id", "reading_type", "timestamp").agg(
+        F.max("value").alias("value")
+    )
+    out = tp.asof_join(
+        _probes(spark, sf_dir),
+        dedup,
+        on=["sensor_id", "reading_type"],
+        left_time="probe_ts",
+        right_time="timestamp",
+        value_col="value",
+    )
+    return out.select(
+        "event_id",
+        "sensor_id",
+        "reading_type",
+        F.date_format("probe_ts", "yyyy-MM-dd HH:mm:ss").alias("probe_ts"),
+        "asof_value",
+        F.date_format("asof_time", "yyyy-MM-dd HH:mm:ss").alias("asof_time"),
+    ).orderBy("event_id")
+
+
+@query(
+    "sensor_range_count",
+    f"""
+    WITH readings AS ({READINGS_SQL}),
+    {PROBES_SQL}
+    SELECT p.event_id,
+           CAST(COUNT(r.timestamp) AS BIGINT) AS n_nearby
+    FROM probes p
+    LEFT JOIN readings r
+      ON p.sensor_id = r.sensor_id
+     AND p.reading_type = r.reading_type
+     AND ABS(epoch(p.probe_ts) - epoch(r.timestamp)) <= 3600
+    GROUP BY p.event_id
+    ORDER BY p.event_id
+    """,
+)
+def sensor_range_count(spark, sf_dir):
+    """Symmetric range join: readings within ±1h of each probe
+    (operators/temporal.py range_join_count — binned equi-join; oracle is a
+    plain inequality join)."""
+    readings = events_as_readings(spark, sf_dir)
+    out = tp.range_join_count(
+        _probes(spark, sf_dir),
+        readings,
+        on=["sensor_id", "reading_type"],
+        probe_time="probe_ts",
+        reading_time="timestamp",
+        radius_seconds=3600,
+    )
+    return out.select("event_id", "n_nearby").orderBy("event_id")

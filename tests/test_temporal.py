@@ -1,0 +1,98 @@
+"""As-of join and range join semantics (operators/temporal.py)."""
+
+from datetime import datetime
+
+import pytest
+
+from satsure_agri_datapipeline_spark.operators import temporal as tp
+
+
+@pytest.fixture(scope="module")
+def readings(spark):
+    rows = [
+        ("s1", datetime(2023, 6, 1, 10, 0), 10.0),
+        ("s1", datetime(2023, 6, 1, 11, 0), 11.0),
+        ("s1", datetime(2023, 6, 1, 13, 0), 13.0),
+        ("s2", datetime(2023, 6, 1, 10, 30), 99.0),
+    ]
+    return spark.createDataFrame(rows, "sensor_id string, timestamp timestamp, value double")
+
+
+@pytest.fixture(scope="module")
+def probes(spark):
+    rows = [
+        (1, "s1", datetime(2023, 6, 1, 10, 59)),
+        (2, "s1", datetime(2023, 6, 1, 11, 0)),   # exact hit -> inclusive
+        (3, "s1", datetime(2023, 6, 1, 9, 0)),    # before any reading
+        (4, "s2", datetime(2023, 6, 1, 12, 0)),
+        (5, "s3", datetime(2023, 6, 1, 12, 0)),   # key with no readings
+    ]
+    return spark.createDataFrame(rows, "probe_id long, sensor_id string, probe_ts timestamp")
+
+
+def test_asof_backward(readings, probes):
+    out = {
+        r.probe_id: r
+        for r in tp.asof_join(
+            probes, readings, on=["sensor_id"], left_time="probe_ts"
+        ).collect()
+    }
+    assert out[1].asof_value == 10.0
+    assert out[2].asof_value == 11.0  # inclusive at equal timestamps
+    assert out[3].asof_value is None and out[3].asof_time is None
+    assert out[4].asof_value == 99.0
+    assert out[5].asof_value is None
+    assert out[1].asof_time == datetime(2023, 6, 1, 10, 0)
+    assert len(out) == 5  # all probes survive
+
+
+def test_asof_forward_and_tolerance(readings, probes):
+    fwd = {
+        r.probe_id: r.asof_value
+        for r in tp.asof_join(
+            probes, readings, on=["sensor_id"], left_time="probe_ts",
+            direction="forward",
+        ).collect()
+    }
+    assert fwd[1] == 11.0
+    assert fwd[2] == 11.0
+    assert fwd[3] == 10.0
+    assert fwd[4] is None  # nothing after 12:00 for s2
+
+    tol = {
+        r.probe_id: r.asof_value
+        for r in tp.asof_join(
+            probes, readings, on=["sensor_id"], left_time="probe_ts",
+            tolerance_seconds=600,
+        ).collect()
+    }
+    assert tol[2] == 11.0      # 0s gap
+    assert tol[1] is None      # 59 min > 10 min tolerance
+    with pytest.raises(ValueError):
+        tp.asof_join(probes, readings, on=["sensor_id"], direction="sideways")
+
+
+def test_asof_skips_null_values(spark, probes):
+    r = spark.createDataFrame(
+        [("s1", datetime(2023, 6, 1, 10, 0), 10.0), ("s1", datetime(2023, 6, 1, 10, 30), None)],
+        "sensor_id string, timestamp timestamp, value double",
+    )
+    out = {
+        x.probe_id: x.asof_value
+        for x in tp.asof_join(probes, r, on=["sensor_id"], left_time="probe_ts").collect()
+    }
+    assert out[1] == 10.0  # null reading at 10:30 skipped, falls back to 10:00
+
+
+def test_range_join_count(readings, probes):
+    out = {
+        r.probe_id: r.n_nearby
+        for r in tp.range_join_count(
+            probes, readings, on=["sensor_id"], radius_seconds=3600
+        ).collect()
+    }
+    assert out[1] == 2  # 10:00 and 11:00 within +-1h of 10:59
+    assert out[2] == 2  # 10:00 (60 min, inclusive) and 11:00
+    assert out[3] == 1  # 10:00 within +-1h of 09:00 (inclusive boundary)
+    assert out[4] == 0  # s2 reading at 10:30 is 90 min away
+    assert out[5] == 0  # no readings for s3
