@@ -13,7 +13,7 @@ are engine-comparable bit-for-bit at reasonable rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -193,6 +193,101 @@ def embedding_near_dup_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold)
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Distributed Lloyd's k-means for an IVF coarse quantizer. Returns
+    (cluster_id, centroid array<double>) after ``iterations`` rounds of
+    assign → update.
+
+    Deterministic by construction — and therefore exactly SQL-checkable even
+    though the algorithm is iterative:
+    - seeds are the k vectors with the smallest portable keyed hash of their
+      id (no RNG);
+    - centroid components are ROUNDED (9 dp) after init and after every
+      update, absorbing the summation-order ulp noise of distributed AVG so
+      every engine computes distances from bit-identical centroids;
+    - argmin ties break on cluster_id.
+
+    Scale shape per iteration: one broadcast of k×dim doubles, one map-side
+    distance computation, one groupBy(id) argmin, one posexplode mean —
+    shuffles bounded by rows × dim, no driver-side data. The iteration count
+    is a fixed hyperparameter (driver control loop only)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("__id"), v.alias("__v"))
+
+    from satsure_agri_datapipeline_spark.operators.sampling import sample_hash
+
+    # distributed top-k (TakeOrdered) first; the row_number window then runs
+    # over the k-row result only — never a single-partition sort of all rows
+    seeds = base.orderBy(sample_hash("__id", seed).asc(), F.col("__id").asc()).limit(k)
+    w = Window.orderBy(sample_hash("__id", seed).asc(), F.col("__id").asc())
+    cent = seeds.select(
+        (F.row_number().over(w) - 1).alias("cluster_id"),
+        F.transform("__v", lambda x: F.round(x, 9)).alias("centroid"),
+    )
+    for _ in range(iterations):
+        assigned = kmeans_assign(base, cent, vec_col="__v", id_col="__id")
+        comp = (
+            assigned.select(
+                "cluster_id", F.posexplode("__v").alias("pos", "x")
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(F.round(F.avg("x"), 9).alias("c"))
+        )
+        updated = comp.groupBy("cluster_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("centroid")
+        )
+        # empty clusters keep their previous centroid (deterministic)
+        cent = (
+            cent.select("cluster_id", F.col("centroid").alias("__prev"))
+            .join(updated, "cluster_id", "left")
+            .select(
+                "cluster_id", F.coalesce("centroid", "__prev").alias("centroid")
+            )
+            .localCheckpoint()
+        )
+    return cent
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared euclidean,
+    ties → smallest cluster_id). Returns the input columns + cluster_id.
+    Broadcast cross-join against the k-row centroid relation, then a
+    struct-min argmin — one shuffle keyed by id."""
+    dist = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, val: acc + val,
+    )
+    d = df.crossJoin(F.broadcast(centroids)).select(
+        *df.columns, F.col("cluster_id").alias("__c"), dist.alias("__dist")
+    )
+    best = d.groupBy(id_col).agg(
+        F.min(F.struct(F.col("__dist"), F.col("__c"))).alias("__m"),
+        *[F.first(c).alias(c) for c in df.columns if c != id_col],
+    )
+    return best.select(
+        *df.columns, F.col("__m.__c").alias("cluster_id")
     )
 
 

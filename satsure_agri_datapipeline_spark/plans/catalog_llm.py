@@ -643,6 +643,104 @@ def doc_sample_stratified(spark, sf_dir):
     )
 
 
+# One k-means round in DuckDB SQL: assign to nearest centroid (squared
+# euclidean, ties -> min cluster_id), then per-position rounded means;
+# empty clusters keep the previous centroid. Unrolled below for 2 rounds.
+def _kmeans_round_sql(i: int) -> str:
+    prev = f"cent{i - 1}"
+    return f"""
+    d{i} AS (
+        SELECT b.vec_id, b.v, c.cluster_id,
+               list_sum(list_transform(list_zip(b.v, c.c),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+        FROM base b CROSS JOIN {prev} c
+    ),
+    a{i} AS (
+        SELECT d{i}.vec_id, d{i}.v, MIN(cluster_id) AS cluster_id
+        FROM d{i}
+        JOIN (SELECT vec_id AS vid, MIN(dist) AS md FROM d{i} GROUP BY 1) m
+          ON d{i}.vec_id = m.vid AND d{i}.dist = m.md
+        GROUP BY d{i}.vec_id, d{i}.v
+    ),
+    comp{i} AS (
+        SELECT cluster_id, pos, ROUND(AVG(v[pos]), 9) AS c
+        FROM (SELECT cluster_id, v, UNNEST(generate_series(1, len(v))) AS pos FROM a{i})
+        GROUP BY 1, 2
+    ),
+    upd{i} AS (SELECT cluster_id, list(c ORDER BY pos) AS c FROM comp{i} GROUP BY 1),
+    cent{i} AS (
+        SELECT p.cluster_id, COALESCE(u.c, p.c) AS c
+        FROM {prev} p LEFT JOIN upd{i} u USING (cluster_id)
+    )"""
+
+
+@query(
+    "emb_kmeans",
+    f"""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    seeded AS (
+        SELECT vec_id, v,
+               ROW_NUMBER() OVER (
+                   ORDER BY ('0x' || substr(md5('0:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                            vec_id
+               ) AS rn
+        FROM base
+    ),
+    cent0 AS (
+        SELECT rn - 1 AS cluster_id, list_transform(v, x -> ROUND(x, 9)) AS c
+        FROM seeded WHERE rn <= 8
+    ),
+    {_kmeans_round_sql(1)},
+    {_kmeans_round_sql(2)},
+    {_kmeans_round_sql(3)},
+    -- round 3's assign (a3) is the index assignment against the TRAINED
+    -- quantizer cent2; its update CTEs are never referenced -> never run
+    counts AS (SELECT cluster_id, COUNT(*) AS n FROM a3 GROUP BY 1)
+    SELECT c.cluster_id,
+           CAST(COALESCE(counts.n, 0) AS BIGINT) AS n_vectors,
+           ROUND(sqrt(list_sum(list_transform(c.c, x -> x * x))), 6) AS centroid_norm
+    FROM cent2 c LEFT JOIN counts USING (cluster_id)
+    ORDER BY c.cluster_id
+    """,
+)
+def emb_kmeans(spark, sf_dir):
+    """IVF coarse quantizer trained with 2 rounds of deterministic Lloyd's
+    k-means (operators/similarity.py kmeans_fit): hash-seeded init, rounded
+    centroids, tie-broken argmin — the iterative algorithm is exactly
+    reproduced by the oracle's unrolled recursion. Reports final cluster
+    sizes and centroid norms."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("__v"),
+    )
+    cent = sim.kmeans_fit(emb, k=8, iterations=2)
+    assigned = sim.kmeans_assign(base, cent, vec_col="__v", id_col="vec_id")
+    counts = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform("centroid", lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+        6,
+    )
+    return (
+        cent.join(counts, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_vectors"),
+            norm.alias("centroid_norm"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 @query(
     "emb_normalize",
     """

@@ -314,3 +314,38 @@ def test_corpus_mix_report(spark):
     assert rows[("en", "web")].n_tokens == 5
     assert rows[("en", "web")].token_share_e6 == 500000
     assert rows[("de", "book")].token_share_e6 == 500000
+
+
+def test_kmeans_fit_and_assign(vectors):
+    cent = sim.kmeans_fit(vectors, k=4, iterations=2)
+    rows = cent.collect()
+    assert sorted(r.cluster_id for r in rows) == [0, 1, 2, 3]
+    dim = len(rows[0].centroid)
+    assert all(len(r.centroid) == dim for r in rows)
+
+    assigned = sim.kmeans_assign(vectors, cent)
+    out = assigned.collect()
+    assert len(out) == 50 and all(0 <= r.cluster_id < 4 for r in out)
+    # every vector really is nearest (tie -> lowest id) to its centroid
+    cmap = {r.cluster_id: r.centroid for r in rows}
+    for r in out:
+        dists = {
+            c: sum((float(x) - y) ** 2 for x, y in zip(r.embedding, v))
+            for c, v in cmap.items()
+        }
+        best = min(dists.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        assert r.cluster_id == best
+
+    # determinism: refit gives identical centroids
+    again = sim.kmeans_fit(vectors, k=4, iterations=2).collect()
+    assert {r.cluster_id: r.centroid for r in again} == cmap
+
+
+def test_kmeans_empty_cluster_keeps_seed(spark):
+    # 3 distinct points, k=3, but two seeds may collapse onto one cluster;
+    # every cluster id must still have a centroid after fitting
+    rows = [(i, [0.0, 0.0]) for i in range(5)] + [(5, [10.0, 0.0]), (6, [0.0, 10.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = sim.kmeans_fit(df, k=3, iterations=2).collect()
+    assert sorted(r.cluster_id for r in cent) == [0, 1, 2]
+    assert all(r.centroid is not None for r in cent)
