@@ -291,6 +291,58 @@ def kmeans_assign(
     )
 
 
+def ivf_topk_kmeans(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN with a LEARNED coarse quantizer: k-means cells
+    (:func:`kmeans_fit`), search only the ``nprobe`` cells whose centroids
+    are nearest the query. Recall < 1 by design but every step is
+    deterministic, so the result is exactly reproducible.
+
+    At scale the assignment is computed once at ingest and the table is
+    written partitioned by cluster_id — the probe predicate then becomes
+    partition pruning and the scan reads nprobe/n_clusters of the data. The
+    probe selection runs on the k-row centroid relation (driver-free
+    broadcast joins throughout)."""
+    cent = kmeans_fit(
+        df, k=n_clusters, iterations=iterations, vec_col=vec_col, id_col=id_col
+    )
+    assigned = kmeans_assign(df, cent, vec_col=vec_col, id_col=id_col)
+    q = df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("__q"))
+    qdist = F.aggregate(
+        F.zip_with(
+            F.col("__q"),
+            F.col("centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    probes = (
+        cent.crossJoin(F.broadcast(q))
+        .select("cluster_id", qdist.alias("__d"))
+        .orderBy(F.col("__d").asc(), F.col("cluster_id").asc())
+        .limit(nprobe)
+        .select("cluster_id")
+    )
+    sim_col = cosine_similarity_col(F.col(vec_col), F.col("__q"))
+    return (
+        assigned.join(F.broadcast(probes), "cluster_id")
+        .crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != query_id)
+        .select(F.col(id_col), F.round(sim_col, 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), id_col)
+        .limit(k)
+    )
+
+
 def centroid_norms(
     df: DataFrame, label_col: str = "label", vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

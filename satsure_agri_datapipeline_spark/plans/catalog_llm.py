@@ -742,6 +742,66 @@ def emb_kmeans(spark, sf_dir):
 
 
 @query(
+    "emb_ann_ivf_kmeans",
+    f"""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    seeded AS (
+        SELECT vec_id, v,
+               ROW_NUMBER() OVER (
+                   ORDER BY ('0x' || substr(md5('0:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                            vec_id
+               ) AS rn
+        FROM base
+    ),
+    cent0 AS (
+        SELECT rn - 1 AS cluster_id, list_transform(v, x -> ROUND(x, 9)) AS c
+        FROM seeded WHERE rn <= 8
+    ),
+    {_kmeans_round_sql(1)},
+    {_kmeans_round_sql(2)},
+    {_kmeans_round_sql(3)},
+    qv AS (SELECT v AS q FROM base WHERE vec_id = 0),
+    probes AS (
+        SELECT c.cluster_id
+        FROM cent2 c CROSS JOIN qv
+        ORDER BY list_sum(list_transform(list_zip(qv.q, c.c),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+                 c.cluster_id ASC
+        LIMIT 2
+    ),
+    cand AS (
+        SELECT a.vec_id, a.v, qv.q
+        FROM a3 a JOIN probes USING (cluster_id) CROSS JOIN qv
+        WHERE a.vec_id <> 0
+    ),
+    prods AS (
+        SELECT vec_id,
+               list_sum(list_transform(list_zip(v, q), p -> p[1] * p[2])) AS dot,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS na,
+               sqrt(list_sum(list_transform(q, x -> x * x))) AS nb
+        FROM cand
+    )
+    SELECT vec_id, ROUND(dot / (na * nb), 6) AS cosine_sim
+    FROM prods
+    ORDER BY ROUND(dot / (na * nb), 6) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def emb_ann_ivf_kmeans(spark, sf_dir):
+    """IVF ANN over the LEARNED k-means quantizer (operators/similarity.py
+    ivf_topk_kmeans): assign to trained cells, probe the 2 nearest cells,
+    exact cosine within them. Deterministic end to end — the oracle unrolls
+    the same training recursion and probe selection."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_topk_kmeans(
+        emb, query_id=0, k=10, n_clusters=8, nprobe=2, iterations=2
+    )
+
+
+@query(
     "emb_normalize",
     """
     WITH norms AS (

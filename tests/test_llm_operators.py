@@ -349,3 +349,18 @@ def test_kmeans_empty_cluster_keeps_seed(spark):
     cent = sim.kmeans_fit(df, k=3, iterations=2).collect()
     assert sorted(r.cluster_id for r in cent) == [0, 1, 2]
     assert all(r.centroid is not None for r in cent)
+
+
+def test_ivf_kmeans_recall(vectors):
+    exact = {r.vec_id for r in sim.brute_force_topk_to(vectors, 0, k=5).collect()}
+    approx = [
+        r
+        for r in sim.ivf_topk_kmeans(
+            vectors, query_id=0, k=5, n_clusters=4, nprobe=2
+        ).collect()
+    ]
+    assert len(approx) == 5
+    assert all(r.vec_id != 0 for r in approx)
+    sims = [r.cosine_sim for r in approx]
+    assert sims == sorted(sims, reverse=True)
+    assert len(exact & {r.vec_id for r in approx}) >= 3  # decent recall
