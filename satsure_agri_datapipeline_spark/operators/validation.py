@@ -266,11 +266,15 @@ def detect_time_gaps(
         .withColumn("missing_hours", F.col("n_steps") + 1 - F.col("n_obs"))
         .where(F.col("missing_hours") > 0)
     )
+    # Fallback chains cover all three gap placements (missing_hours > 0
+    # guarantees at least one exists): leading gap → grid start; else the
+    # first interior hole; else the gaps are purely trailing → max_idx+1.
+    # Mirrored for the last gap (purely leading → min_idx−1).
     first_idx = F.when(F.col("min_idx") > 0, F.lit(0)).otherwise(
-        F.col("interior_first")
+        F.coalesce(F.col("interior_first"), F.col("max_idx") + 1)
     )
     last_idx = F.when(F.col("max_idx") < F.col("n_steps"), F.col("n_steps")).otherwise(
-        F.col("interior_last")
+        F.coalesce(F.col("interior_last"), F.col("min_idx") - 1)
     )
     gap_agg = agg.select(
         "sensor_id",
