@@ -528,10 +528,11 @@ def connected_components(
     so a handful of rounds suffice; the loop is a driver-side *control* loop
     only — each round is one distributed join + aggregate, and
     ``localCheckpoint`` truncates the plan so lineage doesn't grow with
-    iterations. The per-round convergence test rides along as a max() in the
-    same aggregate — no extra action. For adversarial long-chain graphs swap
-    in pointer-doubling (propagate labels-of-labels), which converges in
-    O(log n) rounds with the same join primitive.
+    iterations. Each round ends with a pointer-shortcut step
+    (``comp(v) ← comp(comp(v))``, one label-to-label join) — the
+    pointer-doubling trick that collapses adversarial long chains in
+    O(log² n) rounds instead of O(n), at the cost of one extra O(nodes)
+    join per round.
     """
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -561,9 +562,17 @@ def connected_components(
             )
             .collect()[0]["chg"]
         )
+        labels = labels.join(merged, "node").select(
+            "node", F.col("new_comp").alias("comp")
+        )
+        # pointer shortcut: jump to the label's own label (comp values are
+        # node ids, so they resolve in the same relation)
+        l2 = labels.select(
+            F.col("node").alias("__n2"), F.col("comp").alias("__c2")
+        )
         labels = (
-            labels.join(merged, "node")
-            .select("node", F.col("new_comp").alias("comp"))
+            labels.join(l2, labels.comp == F.col("__n2"), "left")
+            .select("node", F.coalesce("__c2", "comp").alias("comp"))
             .localCheckpoint()
         )
         if not progress:

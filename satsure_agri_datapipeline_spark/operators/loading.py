@@ -90,6 +90,39 @@ def write_partitioned(
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | Path | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table for CO-LOCATED joins: rows hash-distribute
+    into ``n_buckets`` files by ``bucket_cols`` at write time, so joins and
+    aggregations on those keys between same-bucketed tables need NO shuffle
+    — the exchange happens once, at ingest, instead of per query. This is
+    the 100 TB answer for a fact table joined repeatedly on the same key
+    (e.g. orders ⋈ lineitem on orderkey): `.explain` of the join shows no
+    Exchange on either side. ``sort_cols`` additionally pre-sorts each
+    bucket file (sort-merge joins skip the sort too).
+
+    Registers ``table_name`` in the session catalog; pass ``path`` to keep
+    the data in an explicit location (external table)."""
+    w = (
+        df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+        .write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", str(path))
+    w.saveAsTable(table_name)
+
+
 def write_validation_metadata(
     output_dir: str | Path, validation: ValidationResult, storage_stats: dict[str, Any]
 ) -> Path:

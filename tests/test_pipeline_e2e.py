@@ -172,3 +172,29 @@ def test_exception_domains(spark, tmp_path, config):
         run_pipeline(spark, config)
     assert isinstance(ei.value, PipelineError)
     assert ei.value.__cause__ is not None
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Same-bucketed tables joined on the bucket key produce a plan with no
+    Exchange on either side (the co-location contract of write_bucketed)."""
+    from satsure_agri_datapipeline_spark.operators.loading import write_bucketed
+
+    orders = spark.range(0, 1000).selectExpr("id AS order_id", "id % 7 AS segment")
+    items = spark.range(0, 5000).selectExpr(
+        "id % 1000 AS order_id", "CAST(id AS DOUBLE) AS amount"
+    )
+    write_bucketed(orders, "t_orders_b", ["order_id"], n_buckets=8,
+                   path=tmp_path / "orders_b")
+    write_bucketed(items, "t_items_b", ["order_id"], n_buckets=8,
+                   path=tmp_path / "items_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_orders_b").join(spark.table("t_items_b"), "order_id")
+        assert joined.count() == 5000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_items_b")
