@@ -441,3 +441,123 @@ def part_supplier_enrichment(spark, sf_dir):
         )
         .orderBy("p_brand", "has_supplier_info")
     )
+
+
+@query(
+    "cube_priority_status",
+    """
+    SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+           COALESCE(o_orderstatus, '(all)') AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM orders
+    GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    ORDER BY priority, status
+    """,
+)
+def cube_priority_status(spark, sf_dir):
+    """CUBE grouping sets — all four grouping combinations in one pass
+    (Catalyst expands to a union of grouping sets; SURVEY §2.4)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).alias("revenue_c"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            "n_orders",
+            "revenue_c",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+@query(
+    "exists_returned_orders",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def exists_returned_orders(spark, sf_dir):
+    """TPC-H Q4 shape — EXISTS correlated subquery as a left-semi join with
+    a pushed filter on the probe side (SURVEY §2.3)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "outerjoin_order_distribution",
+    """
+    WITH per_cust AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def outerjoin_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape — left outer join preserving zero-order customers,
+    then a distribution over the grouped counts (two hash aggregates)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "ntile_price_quartiles",
+    """
+    WITH t AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+               NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+        FROM orders
+    )
+    SELECT quartile, COUNT(*) AS n,
+           MIN(price_c) AS min_price_c, MAX(price_c) AS max_price_c
+    FROM t GROUP BY quartile ORDER BY quartile
+    """,
+)
+def ntile_price_quartiles(spark, sf_dir):
+    """NTILE bucketing over a deterministic total order (tiebreak on
+    orderkey), aggregated per quartile (SURVEY §2.5 rank-family surface)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            cents(F.col("o_totalprice")).alias("price_c"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("price_c").alias("min_price_c"),
+            F.max("price_c").alias("max_price_c"),
+        )
+        .orderBy("quartile")
+    )
