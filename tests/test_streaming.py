@@ -198,3 +198,35 @@ def test_gap_alerts_stateful_across_restarts(spark, tmp_path):
     assert len(alerts) == 2
     assert alerts[-1].prev_reading == datetime(2023, 6, 1, 12)
     assert alerts[-1].gap_hours == 21.0
+
+
+def test_streaming_pipeline_foreachbatch(spark, tmp_path):
+    """Full transform chain per micro-batch with exactly-once file tracking:
+    second run with no new files adds nothing; a new file appends only its
+    own (transformed) rows."""
+    from satsure_agri_datapipeline_spark.streaming.ingest import (
+        run_streaming_pipeline,
+    )
+
+    cfg = PipelineConfig().resolve_paths(tmp_path)
+    raw = tmp_path / "data" / "raw"
+    ckpt = tmp_path / "pipe_ckpt"
+    _write_raw(raw, day=1)
+
+    q = run_streaming_pipeline(spark, cfg, ckpt, once=True)
+    q.awaitTermination(120)
+    out = spark.read.parquet(cfg.paths.data_processed)
+    assert out.count() == 24
+    assert "anomalous_reading" in out.columns  # transform chain ran
+    # Hive layout by (date, sensor_id)
+    assert any(p.name.startswith("date=") for p in
+               __import__("pathlib").Path(cfg.paths.data_processed).iterdir())
+
+    q2 = run_streaming_pipeline(spark, cfg, ckpt, once=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(cfg.paths.data_processed).count() == 24  # no dupes
+
+    _write_raw(raw, day=2)
+    q3 = run_streaming_pipeline(spark, cfg, ckpt, once=True)
+    q3.awaitTermination(120)
+    assert spark.read.parquet(cfg.paths.data_processed).count() == 48
