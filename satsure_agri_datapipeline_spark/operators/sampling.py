@@ -45,6 +45,32 @@ def hash_sample(
     return df.where(sample_hash(id_col, seed) % 1_000_000 < cut)
 
 
+def quantile_buckets(
+    df: DataFrame,
+    col: str,
+    n_buckets: int = 4,
+    approx: bool = False,
+) -> DataFrame:
+    """Assign each row a quantile bucket (1..n) of ``col`` WITHOUT a global
+    sort: one aggregate computes the n−1 thresholds (exact ``percentile``,
+    or ``percentile_approx`` at scale), then a broadcast join + map-side
+    comparison buckets every row. This is the 100 TB replacement for
+    ``NTILE(n) OVER (ORDER BY col)`` — whose total order forces a single
+    partition — when bucket boundaries (not exact equal counts) are the
+    contract: ties and interpolation land boundary rows differently than
+    NTILE's row-number split. Used for percentile-band filtering (e.g. drop
+    the bottom length decile of a corpus)."""
+    ps = [i / n_buckets for i in range(1, n_buckets)]
+    fn = F.percentile_approx if approx else F.percentile
+    th = df.agg(
+        fn(F.col(col), F.array(*[F.lit(p) for p in ps])).alias("__th")
+    )
+    bucket = F.lit(1)
+    for i in range(n_buckets - 1):
+        bucket = bucket + (F.col(col) > F.element_at("__th", i + 1)).cast("int")
+    return df.crossJoin(F.broadcast(th)).withColumn("bucket", bucket).drop("__th")
+
+
 def stratified_sample(
     df: DataFrame,
     strata_cols: list[str],

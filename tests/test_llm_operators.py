@@ -364,3 +364,19 @@ def test_ivf_kmeans_recall(vectors):
     sims = [r.cosine_sim for r in approx]
     assert sims == sorted(sims, reverse=True)
     assert len(exact & {r.vec_id for r in approx}) >= 3  # decent recall
+
+
+def test_quantile_buckets(spark):
+    from satsure_agri_datapipeline_spark.operators import sampling as sp2
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "id long, x double")
+    out = sp2.quantile_buckets(df, "x", n_buckets=4).collect()
+    buckets = {}
+    for r in out:
+        buckets.setdefault(r.bucket, []).append(r.x)
+    assert set(buckets) == {1, 2, 3, 4}
+    assert max(buckets[1]) < min(buckets[2]) < max(buckets[2]) < min(buckets[3])
+    assert abs(len(buckets[1]) - 25) <= 1  # near-equal counts on uniform data
+    # approx variant buckets every row too
+    n_approx = sp2.quantile_buckets(df, "x", n_buckets=4, approx=True).count()
+    assert n_approx == 100
