@@ -3,6 +3,7 @@ families (dedup, text analysis, similarity search, multimodal plumbing)."""
 
 from satsure_agri_datapipeline_spark.operators import (  # noqa: F401
     dedup,
+    joins,
     multimodal,
     sampling,
     similarity,
@@ -27,6 +28,7 @@ __all__ = [
     "calibrate",
     "convert_timezone",
     "dedup",
+    "joins",
     "derive_daily_average",
     "derive_rolling_average",
     "drop_exact_duplicates",

@@ -1,0 +1,44 @@
+"""Skew-mitigation join utilities.
+
+First line of defense at scale is AQE (`skewJoin.enabled` — on in
+session.py), which splits oversized shuffle partitions at runtime. Explicit
+salting below is for the cases AQE can't fix: a single join KEY so hot that
+splitting its partition still leaves every split joining the same right-side
+rows, or engines/paths where AQE is unavailable (e.g. inside
+`foreachBatch`). Map-side partial aggregation already handles groupBy skew —
+salting aggregations is unnecessary in Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Join with the hot-key shuffle spread over ``n_salts`` partitions:
+    the (large, skewed) left side gets a deterministic row-hash salt in
+    [0, n); the (smaller, but not broadcastable) right side replicates once
+    per salt value; the join key becomes (on…, salt). Result is identical
+    to ``left.join(right, on, how)`` — every left row still meets every
+    matching right row exactly once — but a key holding 50% of the rows now
+    occupies n_salts shuffle partitions instead of one straggler.
+
+    Cost: right side shuffles n_salts× its size — use for dimension-ish
+    right sides in the awkward band between broadcast threshold and fact
+    scale. Supported: inner / left / left_semi / left_anti (right-preserving
+    joins would need the mirror construction)."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(f"salted_join supports left-preserving joins, got {how}")
+    salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    l_salted = left.withColumn("__salt", salt)
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return l_salted.join(r_salted, [*on, "__salt"], how).drop("__salt")

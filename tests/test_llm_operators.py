@@ -380,3 +380,26 @@ def test_quantile_buckets(spark):
     # approx variant buckets every row too
     n_approx = sp2.quantile_buckets(df, "x", n_buckets=4, approx=True).count()
     assert n_approx == 100
+
+
+def test_salted_join_equals_plain_join(spark):
+    from satsure_agri_datapipeline_spark.operators.joins import salted_join
+
+    # heavy skew: 90% of fact rows share key 0
+    fact = spark.range(0, 1000).selectExpr(
+        "id AS row_id", "CASE WHEN id % 10 = 0 THEN id % 5 ELSE 0 END AS k"
+    )
+    dim = spark.createDataFrame([(i, f"name_{i}") for i in range(5)], "k long, name string")
+
+    plain = fact.join(dim, ["k"]).orderBy("row_id").collect()
+    salted = salted_join(fact, dim, ["k"], n_salts=8).orderBy("row_id").collect()
+    assert salted == plain
+
+    # left join preserves unmatched rows exactly once
+    dim_partial = dim.where("k < 2")
+    plain_l = fact.join(dim_partial, ["k"], "left").orderBy("row_id").collect()
+    salted_l = salted_join(fact, dim_partial, ["k"], how="left", n_salts=8).orderBy("row_id").collect()
+    assert salted_l == plain_l
+
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, ["k"], how="right")
