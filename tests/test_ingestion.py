@@ -113,3 +113,56 @@ def test_build_struct_type():
     assert s["value"].dataType.typeName() == "double"
     with pytest.raises(ValueError):
         build_struct_type({"x": "BLOB"})
+
+
+def test_csv_source_with_corrupt_rows(spark, tmp_path):
+    from satsure_agri_datapipeline_spark.config import PipelineConfig
+    from satsure_agri_datapipeline_spark.sources.delimited import (
+        read_sensor_csv,
+        split_corrupt,
+    )
+
+    cfg = PipelineConfig()
+    p = tmp_path / "readings.csv"
+    p.write_text(
+        "sensor_id,timestamp,reading_type,value,battery_level\n"
+        "s1,2023-06-01T10:00:00,temperature,20.5,80.0\n"
+        "s2,2023-06-01T11:00:00,humidity,55.0,\n"
+        "s3,not-a-timestamp,temperature,oops,xx\n"
+    )
+    df = read_sensor_csv(
+        spark, p, cfg.schema_.expected_columns, cfg.schema_.types
+    ).cache()
+    clean, corrupt = split_corrupt(df)
+    rows = {r.sensor_id: r for r in clean.collect()}
+    assert set(rows) == {"s1", "s2"}
+    assert rows["s2"].battery_level is None
+    bad = corrupt.collect()
+    assert len(bad) == 1 and "not-a-timestamp" in bad[0]._corrupt_record
+    df.unpersist()
+
+
+def test_jsonl_source_schema_projection(spark, tmp_path):
+    from satsure_agri_datapipeline_spark.config import PipelineConfig
+    from satsure_agri_datapipeline_spark.sources.delimited import (
+        read_sensor_jsonl,
+        split_corrupt,
+    )
+
+    cfg = PipelineConfig()
+    p = tmp_path / "readings.jsonl"
+    p.write_text(
+        '{"sensor_id":"s1","timestamp":"2023-06-01T10:00:00","reading_type":"temperature","value":20.5,"battery_level":80.0,"extra_key":1}\n'
+        '{"sensor_id":"s2","timestamp":"2023-06-01T11:00:00","reading_type":"humidity","value":55.0}\n'
+        "this is not json\n"
+    )
+    df = read_sensor_jsonl(
+        spark, p, cfg.schema_.expected_columns, cfg.schema_.types
+    ).cache()
+    clean, corrupt = split_corrupt(df)
+    rows = {r.sensor_id: r for r in clean.collect()}
+    assert set(rows) == {"s1", "s2"}
+    assert "extra_key" not in clean.columns  # projection ignores extras
+    assert rows["s2"].battery_level is None  # missing key -> null
+    assert corrupt.count() == 1
+    df.unpersist()
