@@ -34,6 +34,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument("--master", default=None, help="Spark master override")
     parser.add_argument("--log-level", default="INFO")
+    parser.add_argument(
+        "--streaming", action="store_true",
+        help="run the incremental foreachBatch streaming pipeline (processes "
+        "all available files exactly-once, then stops) instead of the batch "
+        "pipeline",
+    )
+    parser.add_argument(
+        "--checkpoint-dir", default=None,
+        help="streaming checkpoint location (default: <processed>/_stream_checkpoint)",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(
@@ -48,6 +58,22 @@ def main(argv: list[str] | None = None) -> int:
     # Session stays UTC: the transform stage shifts instants itself
     # (from_utc_timestamp) so derived fields render the configured wall clock.
     spark = get_spark(master=args.master, timezone="UTC")
+
+    if args.streaming:
+        from pathlib import Path
+
+        from satsure_agri_datapipeline_spark.streaming.ingest import (
+            run_streaming_pipeline,
+        )
+
+        ckpt = args.checkpoint_dir or str(
+            Path(config.paths.data_processed) / "_stream_checkpoint"
+        )
+        q = run_streaming_pipeline(spark, config, ckpt, once=True)
+        q.awaitTermination()
+        print(json.dumps({"success": True, "mode": "streaming", "checkpoint": ckpt}))
+        return 0
+
     result = run_pipeline(spark, config)
 
     summary = {

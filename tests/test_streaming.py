@@ -230,3 +230,14 @@ def test_streaming_pipeline_foreachbatch(spark, tmp_path):
     q3 = run_streaming_pipeline(spark, cfg, ckpt, once=True)
     q3.awaitTermination(120)
     assert spark.read.parquet(cfg.paths.data_processed).count() == 48
+
+
+def test_cli_streaming_mode(spark, tmp_path):
+    from satsure_agri_datapipeline_spark.__main__ import main
+
+    raw = tmp_path / "data" / "raw"
+    _write_raw(raw, day=1)
+    rc = main(["--base-dir", str(tmp_path), "--streaming", "--log-level", "WARNING"])
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "data" / "processed"))
+    assert out.count() == 24
