@@ -589,10 +589,12 @@ def dedup_keep_canonical(
 ) -> DataFrame:
     """Drop every near-duplicate except the canonical (min-id) member of its
     cluster: pairs → connected components → anti-join the non-canonical ids.
-    The components relation is O(docs-in-any-pair) — tiny relative to the
-    corpus — so the anti-join side broadcasts at any realistic dup rate."""
+    The anti-join side is O(docs-in-any-pair); join strategy is left to
+    AQE — it broadcasts when the dup set is small and falls back to a
+    shuffled anti-join when the dup rate is high (30% of a 100 TB corpus
+    must NOT be force-broadcast)."""
     comps = connected_components(pairs, src_col, dst_col)
     losers = comps.where(F.col("node_id") != F.col("component_id")).select(
         F.col("node_id").alias(id_col)
     )
-    return df.join(F.broadcast(losers), id_col, "left_anti")
+    return df.join(losers, id_col, "left_anti")

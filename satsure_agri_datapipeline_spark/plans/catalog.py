@@ -542,3 +542,69 @@ def sensor_dedup_keyed(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("event_id")
     )
+
+
+@query(
+    "sensor_trend",
+    f"""
+    WITH readings AS ({READINGS_SQL}),
+    cent AS (
+        SELECT sensor_id, reading_type, value,
+               CAST(FLOOR(epoch(timestamp)) AS BIGINT)
+               - MIN(CAST(FLOOR(epoch(timestamp)) AS BIGINT))
+                 OVER (PARTITION BY sensor_id, reading_type) AS x
+        FROM readings WHERE value IS NOT NULL
+    ),
+    sums AS (
+        SELECT sensor_id, reading_type,
+               COUNT(*) AS n,
+               SUM(x) AS sx, SUM(x * x) AS sxx,
+               SUM(value) AS sy, SUM(x * value) AS sxy
+        FROM cent
+        GROUP BY sensor_id, reading_type
+        HAVING COUNT(*) > 1
+    )
+    SELECT sensor_id, reading_type, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4) AS intercept
+    FROM sums
+    ORDER BY sensor_id, reading_type
+    """,
+)
+def sensor_trend(spark, sf_dir):
+    """Per-sensor linear drift: least-squares slope/intercept of value over
+    seconds since each group's first reading — one window + one hash
+    aggregate, no UDF. Two determinism choices: the x origin is centered per
+    group (raw epoch ~1.7e9 amplifies slope ulps 1e9× into the intercept),
+    and the fit uses the EXPLICIT normal-equation sums rather than
+    ``F.regr_slope``/``regr_intercept`` — engines implement the regr_*
+    family with different internal formulations (measured: Spark vs DuckDB
+    intercepts differ at 1e-4), while identical sum expressions agree to
+    rounding."""
+    r = events_as_readings(spark, sf_dir).where(F.col("value").isNotNull())
+    w = Window.partitionBy("sensor_id", "reading_type")
+    x = F.unix_timestamp("timestamp") - F.min(F.unix_timestamp("timestamp")).over(w)
+    sums = (
+        r.withColumn("__x", x)
+        .groupBy("sensor_id", "reading_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__x").alias("sx"),
+            F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+            F.sum("value").alias("sy"),
+            F.sum(F.col("__x") * F.col("value")).alias("sxy"),
+        )
+        .where(F.col("n") > 1)
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "sensor_id",
+        "reading_type",
+        "n",
+        F.round(slope, 8).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+    ).orderBy("sensor_id", "reading_type")
