@@ -608,3 +608,83 @@ def sensor_trend(spark, sf_dir):
             "intercept"
         ),
     ).orderBy("sensor_id", "reading_type")
+
+
+@query(
+    "sensor_sessionize",
+    f"""
+    WITH readings AS ({READINGS_SQL}),
+    gaps AS (
+        SELECT sensor_id, timestamp AS ts, event_id AS eid,
+               CAST(FLOOR(epoch(timestamp)) AS BIGINT) AS ts_s,
+               CASE WHEN CAST(FLOOR(epoch(timestamp)) AS BIGINT)
+                         - LAG(CAST(FLOOR(epoch(timestamp)) AS BIGINT)) OVER (
+                               PARTITION BY sensor_id ORDER BY timestamp, event_id
+                           ) > 1800
+                         OR LAG(timestamp) OVER (
+                               PARTITION BY sensor_id ORDER BY timestamp, event_id
+                           ) IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM readings
+    ),
+    sessions AS (
+        SELECT sensor_id, ts_s,
+               SUM(is_start) OVER (
+                   PARTITION BY sensor_id ORDER BY ts, eid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM gaps
+    ),
+    per_session AS (
+        SELECT sensor_id, session_id, COUNT(*) AS n_events,
+               MAX(ts_s) - MIN(ts_s) AS span_s
+        FROM sessions GROUP BY sensor_id, session_id
+    )
+    SELECT sensor_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+           CAST(MAX(span_s) AS BIGINT) AS max_session_span_s
+    FROM per_session
+    GROUP BY sensor_id
+    ORDER BY sensor_id
+    """,
+)
+def sensor_sessionize(spark, sf_dir):
+    """Gap-based sessionization — the lag/flag/cumulative-sum idiom: a new
+    session starts after a >30 min silence. One shuffle on sensor_id serves
+    the lag window, the session-id running sum, and both aggregates (same
+    partition key throughout, so Catalyst reuses the exchange). At 100 TB
+    this is the batch analog of ``F.session_window`` (see streaming/ingest);
+    state per key is one row, never the whole session's events."""
+    r = events_as_readings(spark, sf_dir)
+    order_w = Window.partitionBy("sensor_id").orderBy("timestamp", "event_id")
+    ts_s = F.unix_timestamp("timestamp")
+    prev = F.lag(ts_s).over(order_w)
+    is_start = (prev.isNull() | (ts_s - prev > 1800)).cast("long")
+    run_w = (
+        Window.partitionBy("sensor_id")
+        .orderBy("timestamp", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = r.select(
+        "sensor_id",
+        "timestamp",
+        "event_id",
+        ts_s.alias("ts_s"),
+        is_start.alias("is_start"),
+    ).withColumn("session_id", F.sum("is_start").over(run_w))
+    per_session = sessions.groupBy("sensor_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts_s") - F.min("ts_s")).alias("span_s"),
+    )
+    return (
+        per_session.groupBy("sensor_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_session_events"),
+            F.max("span_s").alias("max_session_span_s"),
+        )
+        .orderBy("sensor_id")
+    )

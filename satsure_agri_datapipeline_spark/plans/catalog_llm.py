@@ -1011,3 +1011,35 @@ def multimodal_features(spark, sf_dir):
         .cast("long")
         .alias("f0_e4"),
     )
+
+
+@query(
+    "doc_pair_edit_distance",
+    f"""
+    WITH {JACCARD_PAIRS_SQL}
+    SELECT p.id_a, p.id_b,
+           levenshtein(substr(da.text, 1, 120), substr(db.text, 1, 120)) AS lev_120
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    ORDER BY p.id_a, p.id_b
+    """,
+)
+def doc_pair_edit_distance(spark, sf_dir):
+    """Edit-distance verify stage over near-dup CANDIDATES — the standard
+    two-phase dedup shape: a cheap set-similarity recall pass (shingle
+    bucket join) proposes pairs, an O(len²) precision metric runs only on
+    those pairs, never all-pairs. The length cap (first 120 chars) bounds
+    per-pair cost; the text join is two broadcast-able probes keyed by
+    doc_id. Levenshtein is exact integer — engine-agnostic."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    prefix = docs.select("doc_id", F.substring("text", 1, 120).alias("prefix"))
+    a = prefix.withColumnsRenamed({"doc_id": "id_a", "prefix": "pa"})
+    b = prefix.withColumnsRenamed({"doc_id": "id_b", "prefix": "pb"})
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.levenshtein("pa", "pb").alias("lev_120"))
+        .orderBy("id_a", "id_b")
+    )

@@ -561,3 +561,230 @@ def ntile_price_quartiles(spark, sf_dir):
         )
         .orderBy("quartile")
     )
+
+
+@query(
+    "pivot_sensor_type",
+    """
+    SELECT 'sensor_' || CAST(user_id AS VARCHAR) AS sensor_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(ROUND(value*100) AS BIGINT) END) AS BIGINT) AS click_c,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(ROUND(value*100) AS BIGINT) END) AS BIGINT) AS error_c,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(ROUND(value*100) AS BIGINT) END) AS BIGINT) AS purchase_c,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(ROUND(value*100) AS BIGINT) END) AS BIGINT) AS signup_c,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(ROUND(value*100) AS BIGINT) END) AS BIGINT) AS view_c
+    FROM events
+    GROUP BY user_id
+    ORDER BY sensor_id
+    """,
+)
+def pivot_sensor_type(spark, sf_dir):
+    """Pivot (long → wide): per-sensor value totals, one column per event
+    type. The pivot values are DECLARED, not discovered — at 100 TB the
+    implicit variant costs an extra distinct-scan job over the fact table
+    before the real aggregation even starts. Compiles to one hash aggregate
+    (pivot aggs become conditional aggs; single shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.concat(F.lit("sensor_"), F.col("user_id").cast("string")).alias(
+                "sensor_id"
+            ),
+            "event_type",
+            cents(F.col("value")).alias("value_c"),
+        )
+        .groupBy("sensor_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.sum("value_c"))
+        .select(
+            "sensor_id",
+            F.col("click").alias("click_c"),
+            F.col("error").alias("error_c"),
+            F.col("purchase").alias("purchase_c"),
+            F.col("signup").alias("signup_c"),
+            F.col("view").alias("view_c"),
+        )
+        .orderBy("sensor_id")
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS gid,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    ORDER BY gid, priority, status
+    """,
+)
+def grouping_sets_revenue(spark, sf_dir):
+    """GROUPING SETS with grouping_id disambiguation — the general form
+    behind rollup/cube (SURVEY §2.4 'not implemented' row). Spark expands
+    the sets via a single Expand + hash aggregate: one scan, one shuffle,
+    regardless of how many sets are requested."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+               SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS revenue_c,
+               COUNT(*) AS n_orders
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY gid, priority, status
+        """
+    )
+
+
+@query(
+    "corr_subquery_big_orders",
+    """
+    WITH o AS (
+        SELECT o_orderkey, o_custkey, o_orderpriority,
+               CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_big,
+           CAST(SUM(price_c) AS BIGINT) AS revenue_c
+    FROM o
+    WHERE price_c * 2 > (SELECT SUM(price_c) FROM o o2 WHERE o2.o_custkey = o.o_custkey)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def corr_subquery_big_orders(spark, sf_dir):
+    """Correlated scalar subquery: orders that alone carry more than half
+    their customer's lifetime spend. Catalyst decorrelates this into an
+    aggregate + equi-join on o_custkey (no per-row re-execution — the
+    rewrite is what makes the shape viable at 100 TB, where a naive
+    correlated loop is O(rows × customers)). The comparison stays in exact
+    integer cents: price_c*2 > sum avoids a division."""
+    o = load_table(spark, sf_dir, "orders")
+    o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        cents(F.col("o_totalprice")).alias("price_c"),
+    ).createOrReplaceTempView("__cs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_big,
+               SUM(price_c) AS revenue_c
+        FROM __cs_orders o
+        WHERE price_c * 2 > (SELECT SUM(price_c) FROM __cs_orders o2
+                             WHERE o2.o_custkey = o.o_custkey)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "top_supplier_revenue",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS total_e4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_e4
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_e4 = (SELECT MAX(total_e4) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15 shape — aggregate 'view', global-max scalar subquery, then
+    a dimension join. The max is a 1-row broadcast; the supplier dimension
+    is broadcast too; only the lineitem scan + revenue aggregate shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select(
+            "l_suppkey",
+            (
+                cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+            ).alias("rev_e4"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev_e4").alias("total_e4"))
+    )
+    max_rev = rev.agg(F.max("total_e4").alias("m"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_e4 == max_rev.m, "inner")
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_e4")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "percentile_order_price",
+    """
+    SELECT o_orderpriority,
+           CAST(quantile_cont(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.25) * 4 AS BIGINT) AS p25_c4,
+           CAST(quantile_cont(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.50) * 4 AS BIGINT) AS p50_c4,
+           CAST(quantile_cont(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.75) * 4 AS BIGINT) AS p75_c4
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def percentile_order_price(spark, sf_dir):
+    """Exact linear-interpolation percentiles per group. Determinism: the
+    inputs are exact integer cents and p ∈ {.25, .5, .75}, so the
+    interpolated value is an exact multiple of 0.25 — scaling by 4 yields an
+    integer both engines compute exactly (no float-rounding ambiguity).
+    At 100 TB swap F.percentile for percentile_approx (documented trade)."""
+    o = load_table(spark, sf_dir, "orders")
+    pc = cents(F.col("o_totalprice"))
+    return (
+        o.select("o_orderpriority", pc.alias("price_c"))
+        .groupBy("o_orderpriority")
+        .agg(
+            (F.percentile("price_c", F.lit(0.25)) * 4).cast("long").alias("p25_c4"),
+            (F.percentile("price_c", F.lit(0.50)) * 4).cast("long").alias("p50_c4"),
+            (F.percentile("price_c", F.lit(0.75)) * 4).cast("long").alias("p75_c4"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "histogram_event_values",
+    """
+    SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_c
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def histogram_event_values(spark, sf_dir):
+    """Fixed-width histogram — the one-pass binning primitive behind
+    distribution profiling. Bucket id is FLOOR(v/width): a pure projection,
+    so the whole query is scan → hash aggregate (one shuffle of ~n_buckets
+    rows after partial aggregation)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(F.floor(F.col("value") / 50.0).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents(F.col("value"))).alias("sum_c"))
+        .orderBy("bucket")
+    )
