@@ -166,3 +166,49 @@ def test_jsonl_source_schema_projection(spark, tmp_path):
     assert rows["s2"].battery_level is None  # missing key -> null
     assert corrupt.count() == 1
     df.unpersist()
+
+
+def test_orc_roundtrip_partition_pruned(spark, sample_sensor_data, tmp_path):
+    from pyspark.sql import functions as F
+
+    from satsure_agri_datapipeline_spark.sources.orc import read_orc, write_orc_partitioned
+
+    df = sample_sensor_data.withColumn("date", F.to_date("timestamp"))
+    out = tmp_path / "orc_out"
+    write_orc_partitioned(df, out, partition_by=["date", "sensor_id"])
+
+    back = read_orc(spark, out)
+    assert back.count() == 5
+    pruned = back.where(F.col("sensor_id") == "sensor_1")
+    assert pruned.count() == 3
+    # partition filter must reach the scan, not run as a post-filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "sensor_1" in plan
+
+    # schema-on-read projection (unpartitioned layout: partition dirs would
+    # re-append their columns after the declared schema)
+    flat = tmp_path / "orc_flat"
+    write_orc_partitioned(df, flat)
+    typed = read_orc(
+        spark,
+        flat,
+        types={"sensor_id": "VARCHAR", "value": "DOUBLE"},
+    )
+    assert typed.columns == ["sensor_id", "value"]
+    assert typed.count() == 5
+
+
+def test_text_corpus_whole_files(spark, tmp_path):
+    from satsure_agri_datapipeline_spark.sources.orc import read_text_corpus
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    (corpus / "a.txt").write_text("hello world\nsecond line")
+    (corpus / "b.txt").write_text("another document")
+
+    docs = read_text_corpus(spark, corpus, whole_files=True)
+    rows = {r.doc_path.rsplit("/", 1)[-1]: r.text for r in docs.collect()}
+    assert rows == {"a.txt": "hello world\nsecond line", "b.txt": "another document"}
+
+    lines = read_text_corpus(spark, corpus, whole_files=False)
+    assert lines.count() == 3
