@@ -325,3 +325,107 @@ def top_ngrams(
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "ngram")
         .limit(k)
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination — flag training documents that share at
+    least ``min_hits`` distinct word n-grams with a benchmark/eval corpus
+    (the standard leakage guard before LLM training; 8-13 gram overlap is
+    the usual published criterion).
+
+    Returns (id, n_hits) for contaminated docs only; clean docs are absent
+    (callers anti-join to drop, or left-join to annotate).
+
+    Scale shape: both sides reduce to distinct 60-bit shingle hashes (the
+    dedup operators' Arrow path — text never shuffles). The benchmark side
+    is distinct-ed and is typically small (eval sets are thousands of docs,
+    not billions) so its hash set broadcast-joins against the exploded
+    train shingles; the only wide shuffle is the per-doc hit count keyed by
+    ``id_col``. With a huge benchmark AQE falls back to a shuffle join on
+    the hash — still never all-pairs.
+    """
+    from satsure_agri_datapipeline_spark.operators.dedup import shingle_hash_arrays
+
+    train_sh = shingle_hash_arrays(train, n=n, text_col=text_col, id_col=id_col)
+    bench_sh = (
+        shingle_hash_arrays(benchmark, n=n, text_col=text_col, id_col=id_col)
+        .select(F.explode("shs").alias("sh"))
+        .distinct()
+    )
+    hits = (
+        train_sh.select(F.col(id_col), F.explode("shs").alias("sh"))
+        .join(bench_sh, "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .where(F.col("n_hits") >= min_hits)
+    )
+    return hits
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_token_max: float = 0.20,
+    dup_bigram_max: float = 0.50,
+) -> DataFrame:
+    """Gopher/C4-style repetition quality signals per document:
+
+    - ``n_tokens``;
+    - ``distinct_ratio_e4``  — distinct tokens / tokens (×10⁴ half-up);
+    - ``top_token_ratio_e4`` — most frequent token's share;
+    - ``dup_bigram_ratio_e4``— 1 − distinct bigrams / bigrams;
+    - ``repetitive``         — true when top-token share or duplicate-bigram
+      share exceed the (Gopher-flavored) thresholds.
+
+    Shape: tokens explode with position, bigrams come from a ``lead`` over
+    the in-doc position (no interpreted higher-order functions in the hot
+    path), and everything aggregates back keyed by ``id_col`` — one
+    repartition serves the window and both aggregates. Counts are exact
+    integers; ratios are emitted as half-up ×10⁴ ints (oracle-stable).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    with_next = toks.withColumn("nxt", F.lead("tok").over(w))
+
+    per_tok = with_next.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.count_distinct(F.when(F.col("nxt").isNotNull(), F.concat_ws(" ", "tok", "nxt"))).alias(
+            "d_bi"
+        ),
+        F.sum(F.when(F.col("nxt").isNotNull(), 1).otherwise(0)).alias("n_bi"),
+    )
+    e4 = lambda x: F.floor(x * 10000 + F.lit(0.5)).cast("long")  # noqa: E731
+    agg = per_tok.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+        F.sum("d_bi").alias("d_bigrams"),
+        F.sum("n_bi").alias("n_bigrams"),
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        e4(F.col("n_distinct") / F.col("n_tokens")).alias("distinct_ratio_e4"),
+        e4(F.col("top_c") / F.col("n_tokens")).alias("top_token_ratio_e4"),
+        F.when(F.col("n_bigrams") > 0, e4(1 - F.col("d_bigrams") / F.col("n_bigrams")))
+        .otherwise(F.lit(0))
+        .alias("dup_bigram_ratio_e4"),
+        (
+            (F.col("top_c") / F.col("n_tokens") > F.lit(top_token_max))
+            | (
+                (F.col("n_bigrams") > 0)
+                & (1 - F.col("d_bigrams") / F.col("n_bigrams") > F.lit(dup_bigram_max))
+            )
+        ).alias("repetitive"),
+    )

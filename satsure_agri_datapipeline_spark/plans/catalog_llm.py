@@ -1043,3 +1043,89 @@ def doc_pair_edit_distance(spark, sf_dir):
         .select("id_a", "id_b", F.levenshtein("pa", "pb").alias("lev_120"))
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "doc_decontaminate",
+    """
+    WITH bench AS (SELECT text FROM documents WHERE doc_id % 97 = 0),
+    train AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+    tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM train),
+    ti AS (SELECT doc_id, w, UNNEST(generate_series(1, GREATEST(len(w) - 3, 0))) AS i FROM tw),
+    tsh AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5('0:' || array_to_string(w[i:i+3], ' ')), 1, 15))::BIGINT AS sh
+        FROM ti
+    ),
+    bw AS (SELECT string_split(text, ' ') AS w FROM bench),
+    bi AS (SELECT w, UNNEST(generate_series(1, GREATEST(len(w) - 3, 0))) AS i FROM bw),
+    bsh AS (
+        SELECT DISTINCT
+               ('0x' || substr(md5('0:' || array_to_string(w[i:i+3], ' ')), 1, 15))::BIGINT AS sh
+        FROM bi
+    )
+    SELECT t.doc_id, COUNT(*) AS n_hits
+    FROM tsh t JOIN bsh b ON t.sh = b.sh
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing ≥1 distinct 8-gram
+    with the benchmark slice (here doc_id % 97 == 0 stands in for an eval
+    set; n=4 because the synthetic word-salad corpus barely repeats longer
+    spans — real corpora use the operator's default 8-13). The benchmark's distinct shingle hashes broadcast against the
+    exploded train shingles (operators/text.py:decontaminate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return tx.decontaminate(train, bench, n=4, min_hits=1).orderBy("doc_id")
+
+
+@query(
+    "doc_repetition",
+    """
+    WITH words AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, w, UNNEST(generate_series(1, len(w))) AS i FROM words
+    ),
+    pairs AS (
+        SELECT doc_id, w[i] AS tok,
+               CASE WHEN i < len(w) THEN w[i] || ' ' || w[i+1] END AS bigram
+        FROM tok
+    ),
+    per_tok AS (
+        SELECT doc_id, tok, COUNT(*) AS c,
+               COUNT(DISTINCT bigram) AS d_bi,
+               SUM(CASE WHEN bigram IS NOT NULL THEN 1 ELSE 0 END) AS n_bi
+        FROM pairs GROUP BY doc_id, tok
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_distinct,
+               MAX(c) AS top_c,
+               SUM(d_bi) AS d_bigrams,
+               SUM(n_bi) AS n_bigrams
+        FROM per_tok GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR(CAST(n_distinct AS DOUBLE) / n_tokens * 10000 + 0.5) AS BIGINT) AS distinct_ratio_e4,
+           CAST(FLOOR(CAST(top_c AS DOUBLE) / n_tokens * 10000 + 0.5) AS BIGINT) AS top_token_ratio_e4,
+           CASE WHEN n_bigrams > 0
+                THEN CAST(FLOOR((1 - CAST(d_bigrams AS DOUBLE) / n_bigrams) * 10000 + 0.5) AS BIGINT)
+                ELSE 0 END AS dup_bigram_ratio_e4,
+           (CAST(top_c AS DOUBLE) / n_tokens > 0.20
+            OR (n_bigrams > 0 AND 1 - CAST(d_bigrams AS DOUBLE) / n_bigrams > 0.50)) AS repetitive
+    FROM agg
+    ORDER BY doc_id
+    """,
+)
+def doc_repetition(spark, sf_dir):
+    """Gopher/C4-style repetition quality signals (operators/text.py:
+    repetition_stats): distinct-token, top-token and duplicate-bigram
+    shares as ×10⁴ ints plus the threshold flag."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.repetition_stats(docs).orderBy("doc_id")

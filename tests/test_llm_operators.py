@@ -403,3 +403,45 @@ def test_salted_join_equals_plain_join(spark):
 
     with pytest.raises(ValueError):
         salted_join(fact, dim, ["k"], how="right")
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    from satsure_agri_datapipeline_spark.operators import text as tx
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # contains bench 4-gram
+            (2, "one two three four five six seven"),    # clean
+            (3, "beta gamma delta epsilon something else"),  # same 4-gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "xxx beta gamma delta epsilon yyy")], "doc_id long, text string"
+    )
+    hits = {r.doc_id: r.n_hits for r in tx.decontaminate(train, bench, n=4).collect()}
+    assert hits == {1: 1, 3: 1}
+    # min_hits raises the bar
+    assert tx.decontaminate(train, bench, n=4, min_hits=2).count() == 0
+
+
+def test_repetition_stats_exact_values(spark):
+    from satsure_agri_datapipeline_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a b"),        # top token 4/5, bigrams: aa aa aa ab -> 2 distinct of 4
+            (2, "w x y z"),          # no repetition
+            (3, "solo"),             # single token, no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in tx.repetition_stats(df).collect()}
+    r1 = rows[1]
+    assert (r1.n_tokens, r1.distinct_ratio_e4, r1.top_token_ratio_e4) == (5, 4000, 8000)
+    assert r1.dup_bigram_ratio_e4 == 5000 and r1.repetitive
+    r2 = rows[2]
+    assert (r2.n_tokens, r2.distinct_ratio_e4, r2.top_token_ratio_e4) == (4, 10000, 2500)
+    assert r2.dup_bigram_ratio_e4 == 0 and r2.repetitive  # 2500 > 2000 threshold
+    r3 = rows[3]
+    assert (r3.n_tokens, r3.dup_bigram_ratio_e4) == (1, 0)
