@@ -132,3 +132,62 @@ def sample_frames(
             F.substring(F.col("__b"), offset + 1, every_n_bytes).alias("frame_bytes"),
         )
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes_in", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real image resize: nearest-neighbor
+    sampling of the raw byte stream down/up to width*height bytes. Keeps the
+    (payload → smaller payload) shape and determinism of a real resize
+    without a codec."""
+    target = width * height
+    n = len(payload)
+    if n == 0:
+        return b"\x00" * target
+    return bytes(payload[(i * n) // target] for i in range(target))
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    real_resizer=None,
+) -> DataFrame:
+    """Image-resize plumbing over binary payloads (mapInPandas, Arrow
+    batches) — same contract as ``decode_image_features``: the Spark side
+    (schema, batching, partition preservation) is real; the pixel work is a
+    deterministic fake unless ``real_resizer(bytes, w, h) -> bytes`` is
+    injected (a real codec isn't available in this environment).
+
+    Map-only: no shuffle, output partitioning follows the input scan. Batch
+    memory is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` ×
+    (payload + width*height) bytes per row.
+    """
+    resizer = real_resizer or _fake_resize
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"), F.col(bin_col).alias("p"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "n_bytes_in": pdf["p"].map(len).astype("int32"),
+                    "resized": pdf["p"].map(lambda b: resizer(bytes(b), width, height)),
+                }
+            )
+
+    return src.mapInPandas(batches, RESIZED_SCHEMA)

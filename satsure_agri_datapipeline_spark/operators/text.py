@@ -47,15 +47,25 @@ def _marker_token_count(txt_col, markers: list[str]):
     return F.regexp_count(padded, F.lit(pat))
 
 
+# GPT-2-flavored pre-tokenizer, restricted to constructs RE2 and Java regex
+# implement identically (no lookahead; whitespace runs not counted as tokens):
+# a token is an optionally space-prefixed letter run, digit run, or
+# punctuation run.
+BPE_SPLIT_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Whitespace token count, BPE-ish subword estimate (4 chars/token rule of
-    thumb via a word-character count), char length."""
+    """Whitespace token count, BPE-ish counts (a real pre-tokenizer regex
+    match count plus the 4-chars/token rule of thumb), char length."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     word_chars = F.length(F.regexp_replace(F.col(text_col), r"[^0-9A-Za-z]", ""))
     return df.select(
         F.col(id_col),
         F.length(text_col).alias("n_chars_measured"),
         F.size(toks).alias("n_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_SPLIT_PATTERN)).cast("long").alias(
+            "bpe_regex_tokens"
+        ),
         F.ceil(word_chars / 4).cast("long").alias("est_bpe_tokens"),
         F.round(
             F.length(text_col) / F.greatest(F.size(toks), F.lit(1)), 4

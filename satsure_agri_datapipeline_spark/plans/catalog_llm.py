@@ -300,6 +300,7 @@ def doc_dedup_canonical(spark, sf_dir):
     SELECT doc_id,
            LENGTH(text) AS n_chars_measured,
            len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT) AS bpe_regex_tokens,
            CAST(CEIL(LENGTH(regexp_replace(text, '[^0-9A-Za-z]', '', 'g')) / 4.0) AS BIGINT) AS est_bpe_tokens,
            ROUND(LENGTH(text) * 1.0 / GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1), 4) AS avg_token_len
     FROM documents ORDER BY doc_id

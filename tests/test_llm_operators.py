@@ -445,3 +445,34 @@ def test_repetition_stats_exact_values(spark):
     assert r2.dup_bigram_ratio_e4 == 0 and r2.repetitive  # 2500 > 2000 threshold
     r3 = rows[3]
     assert (r3.n_tokens, r3.dup_bigram_ratio_e4) == (1, 0)
+
+
+def test_resize_images_deterministic_shape(spark):
+    from satsure_agri_datapipeline_spark.operators.multimodal import (
+        _fake_resize,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(100))), (2, b"abc"), (3, b"")],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in resize_images(df, width=4, height=2).collect()}
+    assert all(len(r.resized) == 8 for r in rows.values())
+    assert rows[1].n_bytes_in == 100
+    # downsample picks evenly spaced bytes; upsample repeats; empty pads zeros
+    assert bytes(rows[1].resized) == _fake_resize(bytes(range(100)), 4, 2)
+    assert bytes(rows[2].resized) == _fake_resize(b"abc", 4, 2)
+    assert bytes(rows[3].resized) == b"\x00" * 8
+
+
+def test_token_stats_bpe_regex(spark):
+    from satsure_agri_datapipeline_spark.operators.text import token_stats
+
+    df = spark.createDataFrame(
+        [(1, "hello world, it's 42 degrees!")], "doc_id long, text string"
+    )
+    r = token_stats(df).collect()[0]
+    # hello | world | , | it | ' | s | 42 | degrees | !
+    assert r.bpe_regex_tokens == 9
+    assert r.n_tokens == 5
