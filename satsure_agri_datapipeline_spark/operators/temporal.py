@@ -135,3 +135,58 @@ def range_join_count(
         .agg(F.count(F.lit(1)).alias("n_nearby"))
     )
     return probes.join(near, probes.columns, "left").na.fill({"n_nearby": 0})
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    key_col: str = "sensor_id",
+    ts_col: str = "timestamp",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: assign each row a per-key ``session_id``
+    (1-based, in time order); a new session starts after a silence longer
+    than ``gap_seconds``. The batch analog of ``F.session_window`` —
+    the lag/flag/cumulative-sum idiom.
+
+    One shuffle on ``key_col`` serves both windows (same partitioning and
+    ordering, Catalyst reuses the sort). Per-row state during execution is
+    one lag value — nothing buffers a whole session. Ties on ``ts_col``
+    deterministically break on ``tiebreak_col`` when given.
+    """
+    order = [ts_col, tiebreak_col] if tiebreak_col else [ts_col]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ts_s = F.unix_timestamp(F.col(ts_col))
+    prev = F.lag(ts_s).over(w)
+    is_start = (prev.isNull() | (ts_s - prev > gap_seconds)).cast("long")
+    return df.withColumn("session_id", F.sum(is_start).over(run))
+
+
+def session_stats(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    key_col: str = "sensor_id",
+    ts_col: str = "timestamp",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key session summary over ``sessionize``: session count, event
+    count, largest session (events) and longest session span (seconds).
+    Both aggregates stay keyed by ``key_col`` — no new shuffle key."""
+    s = sessionize(df, gap_seconds, key_col, ts_col, tiebreak_col)
+    per_session = s.groupBy(key_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.unix_timestamp(ts_col)) - F.min(F.unix_timestamp(ts_col))).alias(
+            "span_s"
+        ),
+    )
+    return (
+        per_session.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_session_events"),
+            F.max("span_s").alias("max_session_span_s"),
+        )
+        .orderBy(key_col)
+    )

@@ -652,39 +652,16 @@ def sensor_trend(spark, sf_dir):
 )
 def sensor_sessionize(spark, sf_dir):
     """Gap-based sessionization — the lag/flag/cumulative-sum idiom: a new
-    session starts after a >30 min silence. One shuffle on sensor_id serves
-    the lag window, the session-id running sum, and both aggregates (same
-    partition key throughout, so Catalyst reuses the exchange). At 100 TB
-    this is the batch analog of ``F.session_window`` (see streaming/ingest);
-    state per key is one row, never the whole session's events."""
+    session starts after a >30 min silence (operators/temporal.py:
+    sessionize). One shuffle on sensor_id serves the lag window, the
+    session-id running sum, and both aggregates (same partition key
+    throughout, so Catalyst reuses the exchange). At 100 TB this is the
+    batch analog of ``F.session_window`` (see streaming/ingest); state per
+    key is one row, never the whole session's events."""
+    from satsure_agri_datapipeline_spark.operators.temporal import session_stats
+
     r = events_as_readings(spark, sf_dir)
-    order_w = Window.partitionBy("sensor_id").orderBy("timestamp", "event_id")
-    ts_s = F.unix_timestamp("timestamp")
-    prev = F.lag(ts_s).over(order_w)
-    is_start = (prev.isNull() | (ts_s - prev > 1800)).cast("long")
-    run_w = (
-        Window.partitionBy("sensor_id")
-        .orderBy("timestamp", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    sessions = r.select(
-        "sensor_id",
-        "timestamp",
-        "event_id",
-        ts_s.alias("ts_s"),
-        is_start.alias("is_start"),
-    ).withColumn("session_id", F.sum("is_start").over(run_w))
-    per_session = sessions.groupBy("sensor_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        (F.max("ts_s") - F.min("ts_s")).alias("span_s"),
-    )
-    return (
-        per_session.groupBy("sensor_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_sessions"),
-            F.sum("n_events").alias("n_events"),
-            F.max("n_events").alias("max_session_events"),
-            F.max("span_s").alias("max_session_span_s"),
-        )
-        .orderBy("sensor_id")
+    return session_stats(
+        r, gap_seconds=1800, key_col="sensor_id", ts_col="timestamp",
+        tiebreak_col="event_id",
     )

@@ -203,3 +203,47 @@ def test_minhash_signatures_match_python_spec(spark, texts):
             for k in range(8)
         ]
     assert got == want
+
+
+@given(
+    gaps=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 7200)), min_size=1, max_size=40
+    )
+)
+@settings(**SETTINGS)
+def test_sessionize_matches_bruteforce(spark, gaps):
+    from satsure_agri_datapipeline_spark.operators.temporal import session_stats
+
+    # build per-key increasing timestamps from (key, delta_seconds) pairs
+    base = datetime(2023, 6, 1)
+    clocks: dict[int, datetime] = {}
+    rows = []
+    for i, (k, delta) in enumerate(gaps):
+        clocks[k] = clocks.get(k, base) + timedelta(seconds=delta)
+        rows.append((f"k{k}", clocks[k], i))
+    df = spark.createDataFrame(rows, "sensor_id string, timestamp timestamp, event_id long")
+
+    got = {
+        r.sensor_id: (r.n_sessions, r.n_events, r.max_session_events, r.max_session_span_s)
+        for r in session_stats(df, gap_seconds=1800, tiebreak_col="event_id").collect()
+    }
+
+    per_key: dict[str, list[datetime]] = {}
+    for key, ts, _ in rows:
+        per_key.setdefault(key, []).append(ts)
+    want = {}
+    for key, tss in per_key.items():
+        tss.sort()
+        sessions: list[list[datetime]] = []
+        for ts in tss:
+            if sessions and (ts - sessions[-1][-1]).total_seconds() <= 1800:
+                sessions[-1].append(ts)
+            else:
+                sessions.append([ts])
+        want[key] = (
+            len(sessions),
+            len(tss),
+            max(len(s) for s in sessions),
+            int(max((s[-1] - s[0]).total_seconds() for s in sessions)),
+        )
+    assert got == want
