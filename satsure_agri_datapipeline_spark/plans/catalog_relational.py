@@ -579,32 +579,24 @@ def ntile_price_quartiles(spark, sf_dir):
 )
 def pivot_sensor_type(spark, sf_dir):
     """Pivot (long → wide): per-sensor value totals, one column per event
-    type. The pivot values are DECLARED, not discovered — at 100 TB the
-    implicit variant costs an extra distinct-scan job over the fact table
-    before the real aggregation even starts. Compiles to one hash aggregate
-    (pivot aggs become conditional aggs; single shuffle)."""
+    type. The pivot values are DECLARED, not discovered — the implicit
+    variant costs an extra distinct-scan job over the fact table before the
+    real aggregation even starts. With the values known, the engine lowers
+    the pivot to conditional aggregation: ONE hash aggregate / one shuffle,
+    where ``df.pivot()`` would compile its generic two-phase plan — an
+    Aggregate keyed (sensor, type) feeding a PivotFirst aggregate keyed
+    (sensor), i.e. two shuffles (measured in test_plans.py)."""
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.select(
-            F.concat(F.lit("sensor_"), F.col("user_id").cast("string")).alias(
-                "sensor_id"
-            ),
-            "event_type",
-            cents(F.col("value")).alias("value_c"),
-        )
-        .groupBy("sensor_id")
-        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
-        .agg(F.sum("value_c"))
-        .select(
-            "sensor_id",
-            F.col("click").alias("click_c"),
-            F.col("error").alias("error_c"),
-            F.col("purchase").alias("purchase_c"),
-            F.col("signup").alias("signup_c"),
-            F.col("view").alias("view_c"),
-        )
-        .orderBy("sensor_id")
+    base = ev.select(
+        F.concat(F.lit("sensor_"), F.col("user_id").cast("string")).alias("sensor_id"),
+        "event_type",
+        cents(F.col("value")).alias("value_c"),
     )
+    agg = [
+        F.sum(F.when(F.col("event_type") == v, F.col("value_c"))).alias(f"{v}_c")
+        for v in ["click", "error", "purchase", "signup", "view"]
+    ]
+    return base.groupBy("sensor_id").agg(*agg).orderBy("sensor_id")
 
 
 @query(

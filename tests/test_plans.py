@@ -1,0 +1,101 @@
+"""Physical-plan assertions: the optimizer must pick the plan the operator
+was designed for, not merely any plan that returns correct rows. Guards the
+properties the 100 TB design depends on (broadcasts, decorrelation, filter
+pushdown, exchange counts) against silent regressions.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entry_mod.queries()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_pricing_summary_pushes_filter_to_scan(spark, queries):
+    plan = plan_of(queries["tpch_pricing_summary"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_top_supplier_broadcasts_dimension_and_max(spark, queries):
+    plan = plan_of(queries["top_supplier_revenue"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_corr_subquery_is_decorrelated(spark, queries):
+    # Catalyst must rewrite the correlated scalar subquery into an
+    # aggregate + join; no subquery node may survive optimization.
+    opt = optimized_of(queries["corr_subquery_big_orders"](spark, SF))
+    assert "scalar-subquery" not in opt.lower()
+    assert "Join" in opt
+
+
+def test_pivot_lowers_to_single_conditional_aggregate(spark, queries):
+    # declared pivot values lower to conditional aggregation: one partial +
+    # one final HashAggregate, one hash shuffle — vs .pivot()'s generic
+    # two-phase plan (4 aggregates, 2 shuffles)
+    plan = plan_of(queries["pivot_sensor_type"](spark, SF))
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_histogram_is_scan_plus_one_shuffle(spark, queries):
+    plan = plan_of(queries["histogram_event_values"](spark, SF))
+    # partial agg -> exchange -> final agg -> (sort for output order)
+    assert plan.count("Exchange") <= 2  # agg shuffle + orderBy range exchange
+
+
+def test_topk_is_take_ordered(spark, queries):
+    plan = plan_of(queries["topk_orders"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_gap_detection_never_materializes_grid(spark, queries):
+    # O(observed) rewrite: no explode of a sequence spanning the grid
+    opt = optimized_of(queries["sensor_gap_detection"](spark, SF))
+    assert "explode" not in opt.lower()
+
+
+def test_session_stats_reuses_one_exchange(spark):
+    from pyspark.sql import functions as F
+
+    from satsure_agri_datapipeline_spark.operators.temporal import session_stats
+    from satsure_agri_datapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events").select(
+        F.col("user_id").cast("string").alias("sensor_id"),
+        F.col("ts").alias("timestamp"),
+        "event_id",
+    )
+    plan = plan_of(session_stats(ev, tiebreak_col="event_id"))
+    # one shuffle keys the windows + both aggregates; orderBy adds a range
+    # exchange for output ordering
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_decontaminate_broadcasts_benchmark_hashes(spark):
+    from pyspark.sql import functions as F
+
+    from satsure_agri_datapipeline_spark.operators.text import decontaminate
+    from satsure_agri_datapipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    plan = plan_of(decontaminate(train, bench, n=4))
+    assert "BroadcastHashJoin" in plan
