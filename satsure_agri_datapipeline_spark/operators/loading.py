@@ -176,3 +176,71 @@ def storage_stats(output_dir: str | Path) -> dict[str, Any]:
         "partitions_created": len(partitions),
         "partition_list": sorted(partitions),
     }
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str | Path,
+    max_files_per_partition: int = 1,
+    compression: str = "zstd",
+) -> dict[str, Any]:
+    """Small-file compaction — the table-maintenance op every long-running
+    partitioned sink needs (streaming micro-batches and incremental loads
+    fragment partitions; thousands of tiny files turn scan planning and
+    footer reads into the bottleneck).
+
+    Only FRAGMENTED partitions are rewritten: the driver walks the tree
+    (metadata only), finds partition dirs holding more than
+    ``max_files_per_partition`` parquet files, reads just those partitions
+    back (partition-pruned scan), and rewrites them coalesced under dynamic
+    partition overwrite — untouched partitions keep their files byte-for-
+    byte. Returns a summary dict.
+
+    At 100 TB: cost is proportional to the fragmented fraction, not table
+    size; each rewrite is one partition-pruned scan + one coalesced write,
+    and dynamic overwrite makes the swap atomic per partition.
+    """
+    base = Path(path)
+    by_dir: dict[Path, int] = {}
+    for p in base.rglob("*.parquet"):
+        if p.is_file():
+            by_dir[p.parent] = by_dir.get(p.parent, 0) + 1
+    fragmented = {d for d, n in by_dir.items() if n > max_files_per_partition and d != base}
+    if not fragmented:
+        return {"partitions_compacted": 0, "files_before": sum(by_dir.values())}
+
+    # partition-dir → equality predicates from the Hive path segments
+    def dir_filter(d: Path):
+        cond = None
+        for seg in d.relative_to(base).parts:
+            k, _, v = seg.partition("=")
+            c = F.col(k) == v
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    df = spark.read.parquet(str(base))
+    part_cols = [
+        seg.partition("=")[0]
+        for seg in next(iter(fragmented)).relative_to(base).parts
+    ]
+    pred = None
+    for d in fragmented:
+        c = dir_filter(d)
+        pred = c if pred is None else (pred | c)
+
+    files_before = sum(by_dir.values())
+    (
+        df.where(pred)
+        .repartition(*part_cols)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*part_cols)
+        .parquet(str(base))
+    )
+    files_after = sum(1 for p in base.rglob("*.parquet") if p.is_file())
+    return {
+        "partitions_compacted": len(fragmented),
+        "files_before": files_before,
+        "files_after": files_after,
+    }

@@ -780,3 +780,91 @@ def histogram_event_values(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"), F.sum(cents(F.col("value"))).alias("sum_c"))
         .orderBy("bucket")
     )
+
+
+@query(
+    "calendar_monthly_orders",
+    """
+    SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m') AS month_str,
+           CAST(MAX(DAY(LAST_DAY(o_orderdate))) AS BIGINT) AS days_in_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN DAY(o_orderdate) > DAY(LAST_DAY(o_orderdate)) - 7
+                         THEN 1 ELSE 0 END) AS BIGINT) AS last_week_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def calendar_monthly_orders(spark, sf_dir):
+    """Calendar-function surface (date_trunc/last_day/dayofmonth): monthly
+    rollup with month length and a month-final-week share — the fiscal-
+    calendar shape. One hash aggregate; the calendar math is pure
+    projection, codegen'd."""
+    o = load_table(spark, sf_dir, "orders")
+    dim = F.dayofmonth(F.last_day("o_orderdate"))
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month_str"))
+        .agg(
+            F.max(dim).cast("long").alias("days_in_month"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.dayofmonth("o_orderdate") > dim - 7, 1).otherwise(0)
+            ).alias("last_week_orders"),
+            F.sum(cents(F.col("o_totalprice"))).alias("revenue_c"),
+        )
+        .orderBy("month_str")
+    )
+
+
+@query(
+    "null_safe_battery_match",
+    """
+    WITH readings AS (
+        SELECT 'sensor_' || CAST(user_id AS VARCHAR) AS sensor_id,
+               CASE WHEN event_id % 10 = 0 THEN NULL ELSE 50.0 + value END AS battery_level,
+               event_id
+        FROM events
+    ),
+    a AS (SELECT * FROM readings WHERE event_id % 2 = 0),
+    b AS (SELECT * FROM readings WHERE event_id % 2 = 1)
+    SELECT a.sensor_id,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN a.battery_level IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_pairs
+    FROM a JOIN b
+      ON a.sensor_id = b.sensor_id
+     AND a.battery_level IS NOT DISTINCT FROM b.battery_level
+    GROUP BY a.sensor_id
+    ORDER BY a.sensor_id
+    """,
+)
+def null_safe_battery_match(spark, sf_dir):
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    matches NULL exactly once per pair, unlike ``=`` which drops them.
+    Still a hash-joinable equi-key — null-safe equality keeps the join in
+    the hash family (nulls hash to a bucket) rather than degrading to a
+    nested loop."""
+    ev = load_table(spark, sf_dir, "events")
+    readings = ev.select(
+        F.concat(F.lit("sensor_"), F.col("user_id").cast("string")).alias("sensor_id"),
+        F.when(F.col("event_id") % 10 == 0, F.lit(None).cast("double"))
+        .otherwise(F.lit(50.0) + F.col("value"))
+        .alias("battery_level"),
+        "event_id",
+    )
+    a = readings.where(F.col("event_id") % 2 == 0).alias("a")
+    b = readings.where(F.col("event_id") % 2 == 1).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sensor_id") == F.col("b.sensor_id"))
+            & F.col("a.battery_level").eqNullSafe(F.col("b.battery_level")),
+        )
+        .groupBy(F.col("a.sensor_id").alias("sensor_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(F.col("a.battery_level").isNull(), 1).otherwise(0)
+            ).alias("null_pairs"),
+        )
+        .orderBy("sensor_id")
+    )

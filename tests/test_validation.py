@@ -88,3 +88,37 @@ def test_validate_end_to_end(spark, config):
     assert res.passed  # no missing values, no anomalies
     assert any("gap" in i for i in res.issues_found)
     assert profile_overall_stats(_frame(spark)).first().unique_sensors == 1
+
+
+def test_compact_partitions_rewrites_only_fragmented(spark, sample_sensor_data, tmp_path):
+    from pyspark.sql import functions as F
+
+    from satsure_agri_datapipeline_spark.operators.loading import (
+        compact_partitions,
+        storage_stats,
+    )
+
+    out = tmp_path / "frag"
+    df = sample_sensor_data.withColumn("date", F.to_date("timestamp"))
+    # fragment deliberately: 6 shuffle tasks each write into dirs they touch
+    df.repartition(6).write.partitionBy("sensor_id").parquet(str(out))
+    before = storage_stats(out)
+    assert before["files_written"] > 2  # fragmented
+
+    original = sorted(spark.read.parquet(str(out)).collect())
+    res = compact_partitions(spark, out, max_files_per_partition=1)
+    assert res["partitions_compacted"] >= 1
+    assert res["files_after"] < res["files_before"]
+
+    after = storage_stats(out)
+    # every partition dir now holds exactly one file
+    from pathlib import Path
+    counts = {}
+    for p in Path(out).rglob("*.parquet"):
+        counts[p.parent] = counts.get(p.parent, 0) + 1
+    assert all(n == 1 for n in counts.values())
+    # data identical
+    assert sorted(spark.read.parquet(str(out)).collect()) == original
+    # idempotent: second run is a no-op
+    res2 = compact_partitions(spark, out, max_files_per_partition=1)
+    assert res2["partitions_compacted"] == 0
