@@ -1130,3 +1130,35 @@ def doc_repetition(spark, sf_dir):
     shares as ×10⁴ ints plus the threshold flag."""
     docs = load_table(spark, sf_dir, "documents")
     return tx.repetition_stats(docs).orderBy("doc_id")
+
+
+@query(
+    "multimodal_frames",
+    """
+    WITH frames AS (
+        SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS n_bytes, text,
+               UNNEST(generate_series(0, 3)) AS frame_no
+        FROM documents
+    )
+    SELECT doc_id, frame_no,
+           md5(SUBSTRING(text, frame_no * 64 + 1, 64)) AS frame_md5
+    FROM frames
+    WHERE frame_no * 64 < n_bytes
+    ORDER BY doc_id, frame_no
+    """,
+)
+def multimodal_frames(spark, sf_dir):
+    """Frame-sampling plumbing oracle-checked end to end: fixed-offset
+    64-byte windows sliced from each binary payload (multimodal.py:
+    sample_frames), emitted as md5 hex so the binary frames themselves are
+    value-compared across engines. DuckDB's substring is VARCHAR-only, so
+    the oracle slices characters — equivalent to the Spark side's byte
+    slicing because the corpus is pure ASCII (octet_length == length
+    verified). Pure column expressions — explode + binary substring;
+    map-only besides the output sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    frames = mm.sample_frames(payload, every_n_bytes=64, max_frames=4)
+    return frames.select(
+        "doc_id", "frame_no", F.md5("frame_bytes").alias("frame_md5")
+    ).orderBy("doc_id", "frame_no")

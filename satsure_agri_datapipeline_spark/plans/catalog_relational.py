@@ -868,3 +868,44 @@ def null_safe_battery_match(spark, sf_dir):
         )
         .orderBy("sensor_id")
     )
+
+
+@query(
+    "quantile_bucket_orders",
+    """
+    WITH t AS (SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c FROM orders),
+    th AS (SELECT quantile_cont(price_c, 0.25) AS t1,
+                  quantile_cont(price_c, 0.50) AS t2,
+                  quantile_cont(price_c, 0.75) AS t3 FROM t),
+    b AS (
+        SELECT price_c,
+               1 + CAST(price_c > t1 AS INT) + CAST(price_c > t2 AS INT)
+                 + CAST(price_c > t3 AS INT) AS bucket
+        FROM t, th
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n,
+           MIN(price_c) AS min_price_c, MAX(price_c) AS max_price_c
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def quantile_bucket_orders(spark, sf_dir):
+    """Distributed quantile bucketing (operators/sampling.py:
+    quantile_buckets) — one aggregate for the thresholds + broadcast +
+    map-side comparisons; no NTILE global sort. Thresholds at .25/.5/.75
+    over integer cents are exact multiples of 0.25, so bucket assignment is
+    engine-exact (same determinism argument as percentile_order_price)."""
+    from satsure_agri_datapipeline_spark.operators.sampling import quantile_buckets
+
+    o = load_table(spark, sf_dir, "orders").select(
+        cents(F.col("o_totalprice")).alias("price_c")
+    )
+    b = quantile_buckets(o, "price_c", n_buckets=4)
+    return (
+        b.groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("price_c").alias("min_price_c"),
+            F.max("price_c").alias("max_price_c"),
+        )
+        .orderBy("bucket")
+    )
