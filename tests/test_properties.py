@@ -247,3 +247,52 @@ def test_sessionize_matches_bruteforce(spark, gaps):
             int(max((s[-1] - s[0]).total_seconds() for s in sessions)),
         )
     assert got == want
+
+
+@given(texts=st.lists(doc_strategy, min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_repetition_stats_match_bruteforce(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: r for r in tx.repetition_stats(df).collect()}
+
+    def e4(x):
+        import math
+
+        return math.floor(x * 10000 + 0.5)
+
+    for i, t in enumerate(texts):
+        toks = t.strip().split() if t.strip() else [""]
+        # Spark's split on '\s+' over an empty/trimmed string yields ['']
+        from collections import Counter
+
+        c = Counter(toks)
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        r = got[i]
+        assert r.n_tokens == len(toks)
+        assert r.distinct_ratio_e4 == e4(len(c) / len(toks))
+        assert r.top_token_ratio_e4 == e4(max(c.values()) / len(toks))
+        want_bi = e4(1 - len(set(bigrams)) / len(bigrams)) if bigrams else 0
+        assert r.dup_bigram_ratio_e4 == want_bi
+
+
+@given(
+    train=st.lists(doc_strategy, min_size=1, max_size=15),
+    bench=st.lists(doc_strategy, min_size=1, max_size=5),
+)
+@settings(**SETTINGS)
+def test_decontaminate_matches_bruteforce(spark, train, bench):
+    tdf = spark.createDataFrame(list(enumerate(train)), "doc_id long, text string")
+    bdf = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(bench)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.n_hits for r in tx.decontaminate(tdf, bdf, n=3).collect()}
+
+    bench_sh = set()
+    for t in bench:
+        bench_sh |= set(dd._shingle_set(t, 3))
+    want = {}
+    for i, t in enumerate(train):
+        hits = len(set(dd._shingle_set(t, 3)) & bench_sh)
+        if hits >= 1:
+            want[i] = hits
+    assert got == want
