@@ -190,3 +190,59 @@ def session_stats(
         )
         .orderBy(key_col)
     )
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, the earliest time each step in
+    ``steps`` was reached STRICTLY AFTER the previous step's reach time
+    (first 'signup', then first 'click' after that, ...). Returns one row
+    per user with a ``<step>_ts`` column per step (null = never reached).
+
+    Shape: one conditional aggregate per step, all keyed by ``user_col`` —
+    the per-step join back is on the same key as the aggregation, so the
+    partitioning established by the first shuffle is reused down the chain
+    (no new exchange per step; verified in test_plans.py). Cost is
+    O(steps × events) with no window over full event history and no
+    per-user event buffering.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ts = F.col(ts_col)
+    cur = df.groupBy(user_col).agg(
+        F.min(F.when(F.col(type_col) == steps[0], ts)).alias(f"{steps[0]}_ts")
+    )
+    for prev, step in zip(steps, steps[1:]):
+        nxt = (
+            df.join(cur.select(user_col, f"{prev}_ts"), user_col)
+            .groupBy(user_col)
+            .agg(
+                F.min(
+                    F.when(
+                        (F.col(type_col) == step) & (ts > F.col(f"{prev}_ts")), ts
+                    )
+                ).alias(f"{step}_ts")
+            )
+        )
+        cur = cur.join(nxt, user_col, "left")
+    return cur
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One-row funnel summary: how many users reached each step in order.
+    Monotonically non-increasing by construction."""
+    per_user = funnel_steps(df, steps, user_col, type_col, ts_col)
+    return per_user.agg(
+        *[F.count(F.col(f"{s}_ts")).alias(f"n_{s}") for s in steps]
+    )

@@ -118,3 +118,40 @@ def sensor_range_count(spark, sf_dir):
         radius_seconds=3600,
     )
     return out.select("event_id", "n_nearby").orderBy("event_id")
+
+
+@query(
+    "funnel_signup_click_purchase",
+    """
+    WITH t1 AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts
+        FROM events GROUP BY user_id
+    ),
+    t2 AS (
+        SELECT e.user_id,
+               MIN(CASE WHEN e.event_type = 'click' AND e.ts > t1.signup_ts
+                        THEN e.ts END) AS click_ts
+        FROM events e JOIN t1 ON e.user_id = t1.user_id GROUP BY e.user_id
+    ),
+    t3 AS (
+        SELECT e.user_id,
+               MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > t2.click_ts
+                        THEN e.ts END) AS purchase_ts
+        FROM events e JOIN t2 ON e.user_id = t2.user_id GROUP BY e.user_id
+    )
+    SELECT COUNT(t1.signup_ts) AS n_signup,
+           COUNT(t2.click_ts) AS n_click,
+           COUNT(t3.purchase_ts) AS n_purchase
+    FROM t1 JOIN t2 USING (user_id) JOIN t3 USING (user_id)
+    """,
+)
+def funnel_signup_click_purchase(spark, sf_dir):
+    """Ordered funnel (signup → click-after → purchase-after) counts over
+    the events stream (operators/temporal.py:funnel_counts). Every
+    aggregate and join in the chain is keyed by user_id, so the first
+    shuffle's partitioning is reused throughout."""
+    from satsure_agri_datapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return tp.funnel_counts(ev, ["signup", "click", "purchase"])

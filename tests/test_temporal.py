@@ -96,3 +96,37 @@ def test_range_join_count(readings, probes):
     assert out[3] == 1  # 10:00 within +-1h of 09:00 (inclusive boundary)
     assert out[4] == 0  # s2 reading at 10:30 is 90 min away
     assert out[5] == 0  # no readings for s3
+
+
+def test_funnel_ordered_semantics(spark):
+    from datetime import datetime
+
+    from satsure_agri_datapipeline_spark.operators.temporal import (
+        funnel_counts,
+        funnel_steps,
+    )
+
+    t = lambda m: datetime(2023, 6, 1, 10, m)  # noqa: E731
+    rows = [
+        # u1: full ordered funnel
+        (1, "signup", t(0)), (1, "click", t(5)), (1, "purchase", t(9)),
+        # u2: click BEFORE signup — click must not count
+        (2, "click", t(0)), (2, "signup", t(1)),
+        # u3: signup + purchase but never clicks — purchase must not count
+        (3, "signup", t(0)), (3, "purchase", t(2)),
+        # u4: no signup at all
+        (4, "click", t(0)), (4, "purchase", t(1)),
+        # u5: simultaneous click (not strictly after) — must not count
+        (5, "signup", t(3)), (5, "click", t(3)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    counts = funnel_counts(ev, ["signup", "click", "purchase"]).collect()[0]
+    assert (counts.n_signup, counts.n_click, counts.n_purchase) == (4, 1, 1)
+
+    per_user = {r.user_id: r for r in funnel_steps(ev, ["signup", "click"]).collect()}
+    assert per_user[1].click_ts == t(5)
+    assert per_user[2].click_ts is None
+    assert per_user[5].click_ts is None
+
+    with pytest.raises(ValueError):
+        funnel_steps(ev, [])
