@@ -1162,3 +1162,99 @@ def multimodal_frames(spark, sf_dir):
     return frames.select(
         "doc_id", "frame_no", F.md5("frame_bytes").alias("frame_md5")
     ).orderBy("doc_id", "frame_no")
+
+
+@query(
+    "doc_curation_pipeline",
+    r"""
+    WITH RECURSIVE feats AS (
+        SELECT doc_id, LENGTH(text) AS n_chars,
+               GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1) AS n_tokens,
+               LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                   t -> t IN ('the', 'and', 'of', 'to', 'in'))) AS stop_hits
+        FROM documents
+    ),
+    scaled AS (
+        SELECT doc_id, n_chars,
+               CAST(FLOOR(n_punct * 10000.0 / GREATEST(n_chars, 1) + 0.5) AS BIGINT) AS punct_e4,
+               CAST(FLOOR(stop_hits * 10000.0 / n_tokens + 0.5) AS BIGINT) AS stop_e4
+        FROM feats
+    ),
+    q AS (
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN scaled s ON d.doc_id = s.doc_id
+        WHERE CAST(FLOOR((0.5 * LEAST(s.n_chars / 500.0, 1.0)
+                    + 0.3 * LEAST(s.stop_e4 / 2000.0, 1.0)
+                    + 0.2 * (1.0 - LEAST(s.punct_e4 / 1000.0, 1.0))) * 10000 + 0.5) AS BIGINT) >= 5000
+    ),
+    ex AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(lower(trim(text)))),
+    d2 AS (SELECT q.doc_id, q.text FROM q JOIN ex USING (doc_id)),
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM d2),
+    idx2 AS (SELECT doc_id, w, UNNEST(generate_series(1, GREATEST(len(w) - 2, 0))) AS i FROM words),
+    sh2 AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5('0:' || array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT AS sh
+        FROM idx2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs2 AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON inter.id_a = sa.doc_id
+        JOIN sizes sb ON inter.id_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    ),
+    sym AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs2
+        UNION ALL SELECT id_b, id_a FROM pairs2
+    ),
+    reach(node, lbl) AS (
+        SELECT DISTINCT src, src FROM sym
+        UNION
+        SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.node
+    ),
+    losers AS (
+        SELECT node FROM (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node)
+        WHERE node <> cluster
+    ),
+    d3 AS (SELECT doc_id, text FROM d2 WHERE doc_id NOT IN (SELECT node FROM losers)),
+    bw AS (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 97 = 0),
+    bi AS (SELECT w, UNNEST(generate_series(1, GREATEST(len(w) - 3, 0))) AS i FROM bw),
+    bsh AS (
+        SELECT DISTINCT
+               ('0x' || substr(md5('0:' || array_to_string(w[i:i+3], ' ')), 1, 15))::BIGINT AS sh
+        FROM bi
+    ),
+    tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM d3),
+    ti AS (SELECT doc_id, w, UNNEST(generate_series(1, GREATEST(len(w) - 3, 0))) AS i FROM tw),
+    tsh AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5('0:' || array_to_string(w[i:i+3], ' ')), 1, 15))::BIGINT AS sh
+        FROM ti
+    ),
+    contaminated AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh b ON t.sh = b.sh)
+    SELECT doc_id FROM d3
+    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ORDER BY doc_id
+    """,
+)
+def doc_curation_pipeline(spark, sf_dir):
+    """The composed corpus-curation pipeline (plans/curation.py): quality
+    gate (score ≥ 0.5) → exact dedup keepers → near-dup canonical members
+    (3-gram Jaccard ≥ 0.5 clusters) → drop docs sharing any 4-gram with
+    the benchmark slice (doc_id % 97 = 0). One lazy lineage end to end —
+    the survivors' id set is what a training run would consume."""
+    from satsure_agri_datapipeline_spark.plans.curation import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    kept = curate_corpus(
+        docs, bench, min_quality_e4=5000, jaccard_threshold=0.5,
+        shingle_n=3, decon_n=4,
+    )
+    return kept.select("doc_id").orderBy("doc_id")

@@ -476,3 +476,33 @@ def test_token_stats_bpe_regex(spark):
     # hello | world | , | it | ' | s | 42 | degrees | !
     assert r.bpe_regex_tokens == 9
     assert r.n_tokens == 5
+
+
+def test_curation_pipeline_stages_monotonic(spark):
+    from pyspark.sql import functions as F
+
+    from satsure_agri_datapipeline_spark.plans.curation import (
+        curate_corpus,
+        curation_stats,
+    )
+    from satsure_agri_datapipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+
+    stats = curation_stats(docs, bench, min_quality_e4=5000)
+    assert (
+        stats["input"]
+        >= stats["after_quality_and_exact"]
+        >= stats["after_near_dup"]
+        >= stats["after_decontaminate"]
+    )
+    assert stats["after_decontaminate"] > 0
+
+    kept = curate_corpus(docs, bench, min_quality_e4=5000)
+    ids = [r.doc_id for r in kept.select("doc_id").collect()]
+    assert len(ids) == stats["after_decontaminate"]
+    assert len(set(ids)) == len(ids)
+    # benchmark members never survive (they share all their own n-grams)
+    bench_ids = {r.doc_id for r in bench.select("doc_id").collect()}
+    assert not (set(ids) & bench_ids)
