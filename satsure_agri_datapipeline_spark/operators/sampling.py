@@ -89,3 +89,49 @@ def stratified_sample(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 2048,
+    n_shards: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic concat-and-chunk sequence packing (the GPT-style
+    pretraining discipline): documents are virtually concatenated per shard
+    in a deterministic shuffled order and the token stream is cut every
+    ``seq_len`` tokens; each doc gets the (shard, bin, offset) where it
+    STARTS (docs crossing a boundary continue into the next bin — zero
+    padding waste, the training sequences are exactly full).
+
+    Distributed shape: docs hash into ``n_shards`` independent shards (the
+    parallelism unit — packing never needs a global order); within a shard
+    one running token cumsum over the deterministic (hash, id) order yields
+    ``bin = floor((cumsum − tokens) / seq_len)`` and
+    ``offset = (cumsum − tokens) mod seq_len`` — no per-bin state, and the
+    result depends only on (hash, id): stable under repartitioning,
+    retries, and cluster size. Hashes are the portable md5 family, so the
+    assignment is engine-reproducible (DuckDB oracle).
+    """
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    shard = F.pmod(sample_hash(id_col, 7), F.lit(n_shards))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("order_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = df.select(
+        F.col(id_col),
+        toks.alias("n_tokens"),
+        shard.alias("shard"),
+        sample_hash(id_col, 13).alias("order_h"),
+    )
+    packed = base.withColumn("cum", F.sum("n_tokens").over(w)).select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / seq_len).cast("long").alias("bin"),
+        ((F.col("cum") - F.col("n_tokens")) % seq_len).cast("long").alias("offset"),
+    )
+    return packed

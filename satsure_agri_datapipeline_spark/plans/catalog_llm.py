@@ -1258,3 +1258,46 @@ def doc_curation_pipeline(spark, sf_dir):
         shingle_n=3, decon_n=4,
     )
     return kept.select("doc_id").orderBy("doc_id")
+
+
+@query(
+    "doc_pack_sequences",
+    r"""
+    WITH base AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+               ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard,
+               ('0x' || substr(md5('13:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS order_h
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, shard, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY order_h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM base
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+           CAST((cum - n_tokens) % 512 AS BIGINT) AS offset
+    FROM packed
+    ORDER BY doc_id
+    """,
+)
+def doc_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (operators/sampling.py:
+    pack_sequences): every doc's (shard, bin, offset) start position in the
+    512-token training stream, 8 shards. One window sum per shard."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sp.pack_sequences(docs, seq_len=512, n_shards=8)
+        .select(
+            "doc_id",
+            F.col("shard").cast("long").alias("shard"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "bin",
+            "offset",
+        )
+        .orderBy("doc_id")
+    )

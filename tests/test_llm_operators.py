@@ -506,3 +506,29 @@ def test_curation_pipeline_stages_monotonic(spark):
     # benchmark members never survive (they share all their own n-grams)
     bench_ids = {r.doc_id for r in bench.select("doc_id").collect()}
     assert not (set(ids) & bench_ids)
+
+
+def test_pack_sequences_contiguous_stream(spark):
+    from collections import defaultdict
+
+    from satsure_agri_datapipeline_spark.operators import sampling as sp2
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (5 + i % 7))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    rows = sp2.pack_sequences(docs, seq_len=16, n_shards=4).collect()
+    assert len(rows) == 60
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r.shard].append(r)
+    for shard_rows in by_shard.values():
+        # reconstruct the stream: start positions must be exactly cumulative
+        shard_rows.sort(key=lambda r: (r.bin, r.offset, r.doc_id))
+        pos = 0
+        for r in shard_rows:
+            assert r.bin * 16 + r.offset == pos
+            pos += r.n_tokens
+    # determinism under repartitioning
+    again = sp2.pack_sequences(docs.repartition(7), seq_len=16, n_shards=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
