@@ -1301,3 +1301,67 @@ def doc_pack_sequences(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "doc_emb_quality_rank",
+    r"""
+    WITH feats AS (
+        SELECT doc_id, LENGTH(text) AS n_chars,
+               GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1) AS n_tokens,
+               LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                   t -> t IN ('the', 'and', 'of', 'to', 'in'))) AS stop_hits
+        FROM documents
+    ),
+    scaled AS (
+        SELECT doc_id, n_chars,
+               CAST(FLOOR(n_punct * 10000.0 / GREATEST(n_chars, 1) + 0.5) AS BIGINT) AS punct_e4,
+               CAST(FLOOR(stop_hits * 10000.0 / n_tokens + 0.5) AS BIGINT) AS stop_e4
+        FROM feats
+    ),
+    q AS (
+        SELECT doc_id,
+               CAST(FLOOR((0.5 * LEAST(n_chars / 500.0, 1.0)
+                     + 0.3 * LEAST(stop_e4 / 2000.0, 1.0)
+                     + 0.2 * (1.0 - LEAST(punct_e4 / 1000.0, 1.0))) * 10000 + 0.5) AS BIGINT) AS quality_score_e4
+        FROM scaled
+    ),
+    n AS (
+        SELECT vec_id,
+               ROUND(sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS emb_norm
+        FROM embeddings
+    )
+    SELECT q.doc_id, q.quality_score_e4, n.emb_norm
+    FROM q JOIN n ON q.doc_id = n.vec_id
+    ORDER BY q.quality_score_e4 DESC, q.doc_id
+    LIMIT 20
+    """,
+)
+def doc_emb_quality_rank(spark, sf_dir):
+    """Cross-modal curation ranking: join the text-quality signal with the
+    embedding-norm signal (documents ⋈ embeddings on id) and take the
+    top-20 — the multi-signal selection shape of data curation. Join is a
+    1:1 id equi-join; top-k is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    quality = tx.quality_score(docs).select("doc_id", "quality_score_e4")
+    norm = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            ),
+            6,
+        ).alias("emb_norm"),
+    )
+    return (
+        quality.join(norm, "doc_id")
+        .orderBy(F.desc("quality_score_e4"), "doc_id")
+        .limit(20)
+    )
