@@ -1365,3 +1365,32 @@ def doc_emb_quality_rank(spark, sf_dir):
         .orderBy(F.desc("quality_score_e4"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "multimodal_resize",
+    """
+    WITH dims AS (
+        SELECT doc_id, text, OCTET_LENGTH(ENCODE(text)) AS n,
+               UNNEST(generate_series(0, 63)) AS i
+        FROM documents
+    )
+    SELECT doc_id, CAST(MAX(n) AS INT) AS n_bytes_in,
+           md5(string_agg(text[(i * n) // 64 + 1], '' ORDER BY i)) AS resized_md5
+    FROM dims
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """Resize plumbing oracle-checked end to end: the deterministic
+    nearest-neighbor byte-sampling fake (multimodal.py:_fake_resize) to an
+    8×8 byte grid, value-compared via md5. The oracle reassembles the same
+    sample character-wise (valid on the verified pure-ASCII corpus, as in
+    multimodal_frames)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    resized = mm.resize_images(payload, width=8, height=8)
+    return resized.select(
+        "doc_id", "n_bytes_in", F.md5("resized").alias("resized_md5")
+    ).orderBy("doc_id")
