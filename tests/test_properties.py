@@ -296,3 +296,28 @@ def test_decontaminate_matches_bruteforce(spark, train, bench):
         if hits >= 1:
             want[i] = hits
     assert got == want
+
+
+def test_results_invariant_under_shuffle_partitioning(spark):
+    """Representative queries must produce identical rows regardless of
+    spark.sql.shuffle.partitions — the property that makes results stable
+    across cluster sizes. Covers a window chain, a bucket-join dedup, a
+    sessionization, and the packing operator."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    names = ["sensor_daily_avg", "doc_ngram_jaccard", "sensor_sessionize", "doc_pack_sequences"]
+    sf = "/root/testdata/sf0.001"
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n in ("5", "37"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            results[n] = {
+                name: sorted(map(tuple, qs[name](spark, sf).collect()))
+                for name in names
+            }
+        for name in names:
+            assert results["5"][name] == results["37"][name], name
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
