@@ -246,3 +246,45 @@ def funnel_counts(
     return per_user.agg(
         *[F.count(F.col(f"{s}_ts")).alias(f"n_{s}") for s in steps]
     )
+
+
+def hierarchical_rollup(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Hypertable-style continuous-aggregate chain: (hourly, daily, monthly)
+    rollups where each level derives from the PREVIOUS level's partials —
+    daily re-aggregates 24 hourly rows, monthly ~30 daily rows — never from
+    raw. This is the continuous-aggregate maintenance shape: at 100 TB the
+    raw table is touched once for the finest grain, and coarser grains cost
+    O(coarse rows); refreshing a late hour cascades through partials
+    instead of rescanning the day.
+
+    Composability contract (what makes the derivation exact, tested by the
+    oracle): the partial state is (sum, count, min, max) — all of which
+    merge associatively; avg is derived at read time as sum/count, never
+    averaged across levels.
+    """
+    hour = F.date_trunc("hour", F.col(ts_col))
+    hourly = df.groupBy(*key_cols, hour.alias("bucket")).agg(
+        F.sum(value_col).alias("v_sum"),
+        F.count(value_col).alias("v_count"),
+        F.min(value_col).alias("v_min"),
+        F.max(value_col).alias("v_max"),
+    )
+
+    def _up(frame: DataFrame, grain: str) -> DataFrame:
+        return frame.groupBy(
+            *key_cols, F.date_trunc(grain, F.col("bucket")).alias("bucket")
+        ).agg(
+            F.sum("v_sum").alias("v_sum"),
+            F.sum("v_count").alias("v_count"),
+            F.min("v_min").alias("v_min"),
+            F.max("v_max").alias("v_max"),
+        )
+
+    daily = _up(hourly, "day")
+    monthly = _up(daily, "month")
+    return hourly, daily, monthly

@@ -435,3 +435,38 @@ def _assess_quality(
         if m["anomaly_percentage"] > max_anomaly_pct:
             passed = False
     return passed
+
+
+def distinct_sketches(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    ``hll_sketch_agg``): one binary sketch per group. Unlike a plain
+    ``countDistinct`` result, sketches COMPOSE — union them across groups,
+    days, or incremental batches without touching raw data again. This is
+    the approximate counterpart the exact ``approx=False`` paths document:
+    at 100 TB, distinct-counting exactly means shuffling every distinct
+    value; a 2^lg_k-register sketch shuffles ~4 KiB per group at ~1-2%
+    error.
+
+    Returns (group, sketch, estimate).
+    """
+    return df.groupBy(group_col).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sketch")
+    ).select(
+        group_col,
+        "sketch",
+        F.hll_sketch_estimate("sketch").cast("long").alias("estimate"),
+    )
+
+
+def merge_sketches(sketches: DataFrame, lg_k: int = 12) -> DataFrame:
+    """Union a relation of HLL sketches into one global sketch + estimate —
+    the roll-up step of incremental distinct counting (sketch once per
+    partition/batch, merge forever)."""
+    return sketches.agg(
+        F.hll_union_agg(F.col("sketch"), F.lit(True)).alias("sketch")
+    ).select("sketch", F.hll_sketch_estimate("sketch").cast("long").alias("estimate"))

@@ -665,3 +665,45 @@ def sensor_sessionize(spark, sf_dir):
         r, gap_seconds=1800, key_col="sensor_id", ts_col="timestamp",
         tiebreak_col="event_id",
     )
+
+
+@query(
+    "sensor_rollup_monthly",
+    f"""
+    WITH readings AS ({READINGS_SQL})
+    SELECT sensor_id, reading_type,
+           STRFTIME(DATE_TRUNC('month', timestamp), '%Y-%m') AS month_str,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+           COUNT(value) AS n,
+           CAST(ROUND(MIN(value) * 100) AS BIGINT) AS min_c,
+           CAST(ROUND(MAX(value) * 100) AS BIGINT) AS max_c
+    FROM readings
+    WHERE value IS NOT NULL
+    GROUP BY sensor_id, reading_type, 3
+    ORDER BY sensor_id, reading_type, month_str
+    """,
+)
+def sensor_rollup_monthly(spark, sf_dir):
+    """Hypertable-style continuous-aggregate chain (operators/temporal.py:
+    hierarchical_rollup): the MONTHLY level computed raw → hourly → daily →
+    monthly through mergeable partials (sum/count/min/max). The oracle
+    aggregates raw → monthly DIRECTLY — matching hashes prove the partial
+    states compose exactly across levels. Values aggregate as integer
+    cents so the sums are order-independent."""
+    from satsure_agri_datapipeline_spark.operators.temporal import hierarchical_rollup
+
+    r = events_as_readings(spark, sf_dir).where(F.col("value").isNotNull())
+    r = r.withColumn("value_c", cents(F.col("value")))
+    _, _, monthly = hierarchical_rollup(
+        r, key_cols=["sensor_id", "reading_type"], ts_col="timestamp",
+        value_col="value_c",
+    )
+    return monthly.select(
+        "sensor_id",
+        "reading_type",
+        F.date_format("bucket", "yyyy-MM").alias("month_str"),
+        F.col("v_sum").alias("sum_c"),
+        F.col("v_count").alias("n"),
+        F.col("v_min").alias("min_c"),
+        F.col("v_max").alias("max_c"),
+    ).orderBy("sensor_id", "reading_type", "month_str")

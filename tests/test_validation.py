@@ -122,3 +122,27 @@ def test_compact_partitions_rewrites_only_fragmented(spark, sample_sensor_data, 
     # idempotent: second run is a no-op
     res2 = compact_partitions(spark, out, max_files_per_partition=1)
     assert res2["partitions_compacted"] == 0
+
+
+def test_hll_sketches_merge_and_estimate(spark):
+    from pyspark.sql import functions as F
+
+    from satsure_agri_datapipeline_spark.operators.validation import (
+        distinct_sketches,
+        merge_sketches,
+    )
+
+    # 3 groups with overlapping value sets; exact distinct union = 5000
+    df = spark.range(0, 15000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 5000).alias("v")
+    )
+    per_group = distinct_sketches(df, "g", "v")
+    rows = {r.g: r.estimate for r in per_group.collect()}
+    assert set(rows) == {0, 1, 2}
+    for est in rows.values():
+        assert abs(est - 5000) / 5000 < 0.05
+
+    merged = merge_sketches(per_group.select("sketch")).collect()[0]
+    assert abs(merged.estimate - 5000) / 5000 < 0.05
+    # union of overlapping sketches must not double count (sum would be 15000)
+    assert merged.estimate < 7500
