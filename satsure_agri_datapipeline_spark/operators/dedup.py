@@ -511,11 +511,36 @@ def simhash_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _driver_union_find(edge_rows, spark):
+    """Min-label union-find over a collected edge list. Result is identical
+    to the distributed propagation (component id = min node id — a property
+    of the component, independent of traversal order)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id so the min label is always the root
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows, "node_id long, component_id long")
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iterations: int = 50,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over an undirected pair relation — the step that
     turns near-dup PAIRS into dedup CLUSTERS. Returns (node_id, component_id)
@@ -533,7 +558,24 @@ def connected_components(
     pointer-doubling trick that collapses adversarial long chains in
     O(log² n) rounds instead of O(n), at the cost of one extra O(nodes)
     join per round.
+
+    Size-gated hybrid: the edge list is a DERIVED graph (candidate pairs),
+    orders of magnitude smaller than the corpus. When it fits comfortably
+    on the driver (≤ ``driver_threshold`` edges) a local union-find beats
+    several distributed rounds of joins by seconds of pure scheduling; the
+    distributed loop remains the path for genuinely large graphs. Both
+    paths produce the identical (node, min-id component) labeling.
     """
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        try:
+            rows = [
+                (r[0], r[1]) for r in edges.select(src_col, dst_col).collect()
+            ]
+            return _driver_union_find(rows, edges.sparkSession)
+        finally:
+            edges.unpersist()
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
@@ -545,6 +587,7 @@ def connected_components(
         .localCheckpoint()
     )
     sym = sym.localCheckpoint()
+    edges.unpersist()
     for _ in range(max_iterations):
         neigh = (
             sym.join(labels, sym.dst == labels.node)

@@ -532,3 +532,27 @@ def test_pack_sequences_contiguous_stream(spark):
     # determinism under repartitioning
     again = sp2.pack_sequences(docs.repartition(7), seq_len=16, n_shards=4).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_connected_components_paths_agree(spark):
+    from satsure_agri_datapipeline_spark.operators import dedup as dd2
+
+    # chain 0-1-2-3-4, clique {10,11,12}, isolated pair (20,21)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    via_driver = {
+        (r.node_id, r.component_id)
+        for r in dd2.connected_components(edges).collect()
+    }
+    via_distributed = {
+        (r.node_id, r.component_id)
+        for r in dd2.connected_components(edges, driver_threshold=0).collect()
+    }
+    assert via_driver == via_distributed
+    assert {(n, c) for n, c in via_driver if c == 0} == {
+        (0, 0), (1, 0), (2, 0), (3, 0), (4, 0)
+    }
+    assert {(n, c) for n, c in via_driver if c == 10} == {(10, 10), (11, 10), (12, 10)}
+    assert {(n, c) for n, c in via_driver if c == 20} == {(20, 20), (21, 20)}
