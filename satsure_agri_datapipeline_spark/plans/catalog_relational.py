@@ -909,3 +909,28 @@ def quantile_bucket_orders(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "set_ops_multiset",
+    """
+    WITH f AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
+         o AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O')
+    SELECT
+        (SELECT COUNT(*) FROM (SELECT * FROM f INTERSECT ALL SELECT * FROM o) t) AS inter_all,
+        (SELECT COUNT(*) FROM (SELECT * FROM f EXCEPT ALL SELECT * FROM o) t) AS except_all
+    """,
+)
+def set_ops_multiset(spark, sf_dir):
+    """Multiset INTERSECT ALL / EXCEPT ALL (duplicate-preserving set ops —
+    the §2.7 'not implemented' variants): per-row multiplicities are
+    min(a,b) and max(a−b, 0) respectively, computed by Spark's dedicated
+    intersectAll/exceptAll operators (one shuffle each on the row value)."""
+    ords = load_table(spark, sf_dir, "orders")
+    f = ords.where(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    o = ords.where(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    inter_all = f.intersectAll(o).count()
+    except_all = f.exceptAll(o).count()
+    return spark.createDataFrame(
+        [(inter_all, except_all)], "inter_all long, except_all long"
+    )
