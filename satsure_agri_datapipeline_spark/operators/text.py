@@ -439,3 +439,42 @@ def repetition_stats(
             )
         ).alias("repetitive"),
     )
+
+
+def span_udtf():
+    """Python UDTF (PySpark ≥3.5 table-function surface, SURVEY §2.11):
+    split a document into sentence-ish spans with char offsets — the shape
+    a chunker/annotator plugin would use when its logic genuinely can't be
+    a column expression.
+
+    This is the EXTENSION POINT demo, deliberately not used by the hot-path
+    operators: row-at-a-time Python is the slow path (chunk_documents does
+    the same job with codegen'd expressions); reach for a UDTF only when
+    per-row logic needs real Python (external tokenizers, parsers).
+
+    Usage::
+
+        SpanUDTF = span_udtf()
+        spark.udtf.register("doc_spans", SpanUDTF)
+        spark.sql("SELECT s.* FROM docs, LATERAL doc_spans(doc_id, text) s")
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: long, span_no: int, start: int, length: int, span: string")
+    class SpanUDTF:
+        def eval(self, doc_id: int, text: str):  # noqa: D102
+            if not text:
+                return
+            start = 0
+            span_no = 0
+            n = len(text)
+            for i, ch in enumerate(text):
+                if ch in ".!?" or i == n - 1:
+                    end = i + 1
+                    chunk = text[start:end].strip()
+                    if chunk:
+                        yield doc_id, span_no, start, end - start, chunk
+                        span_no += 1
+                    start = end
+
+    return SpanUDTF

@@ -556,3 +556,26 @@ def test_connected_components_paths_agree(spark):
     }
     assert {(n, c) for n, c in via_driver if c == 10} == {(10, 10), (11, 10), (12, 10)}
     assert {(n, c) for n, c in via_driver if c == 20} == {(20, 20), (21, 20)}
+
+
+def test_span_udtf_lateral_join(spark):
+    from satsure_agri_datapipeline_spark.operators.text import span_udtf
+
+    spark.udtf.register("doc_spans", span_udtf())
+    spark.createDataFrame(
+        [(1, "Hello world. How are you? Fine"), (2, ""), (3, "No punctuation here")],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("__udtf_docs")
+    rows = spark.sql(
+        "SELECT s.* FROM __udtf_docs, LATERAL doc_spans(doc_id, text) s ORDER BY doc_id, span_no"
+    ).collect()
+    spans = [(r.doc_id, r.span_no, r.span) for r in rows]
+    assert spans == [
+        (1, 0, "Hello world."),
+        (1, 1, "How are you?"),
+        (1, 2, "Fine"),
+        (3, 0, "No punctuation here"),
+    ]
+    # offsets reconstruct the original slices
+    for r in rows:
+        assert r.length > 0 and r.start >= 0
