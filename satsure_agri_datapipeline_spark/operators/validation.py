@@ -228,15 +228,11 @@ def detect_time_gaps(
         ).alias("n_steps"),
     )
 
-    observed = (
-        df.select(
-            "sensor_id",
-            "reading_type",
-            F.date_trunc("hour", F.col("timestamp")).alias("observed_hour"),
-        )
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-    )
+    observed = df.select(
+        "sensor_id",
+        "reading_type",
+        F.date_trunc("hour", F.col("timestamp")).alias("observed_hour"),
+    ).crossJoin(F.broadcast(bounds))
     # Grid index of the observed hour; off-grid hours (wrong phase for f>1, or
     # past the last grid point) don't cover any expected timestamp.
     diff = F.unix_timestamp("observed_hour") - F.unix_timestamp("grid_start")
@@ -249,7 +245,17 @@ def detect_time_gaps(
         )
     )
 
+    # Hour-dedup under the SAME window the hole detection uses (keep the
+    # first row of each idx run via lag) instead of a .distinct() — distinct
+    # would shuffle on (sensor, type, hour) and the window again on
+    # (sensor, type): two wide exchanges. This way one exchange + one sort
+    # serve the dedup, the lead, and the final combo aggregate.
     w = Window.partitionBy("sensor_id", "reading_type").orderBy("idx")
+    obs = (
+        obs.withColumn("__prev_idx", F.lag("idx").over(w))
+        .where(F.col("__prev_idx").isNull() | (F.col("__prev_idx") != F.col("idx")))
+        .drop("__prev_idx")
+    )
     obs = obs.withColumn("next_idx", F.lead("idx").over(w))
     hole = F.col("next_idx") > F.col("idx") + 1
     agg = (

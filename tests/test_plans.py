@@ -69,6 +69,10 @@ def test_gap_detection_never_materializes_grid(spark, queries):
     # O(observed) rewrite: no explode of a sequence spanning the grid
     opt = optimized_of(queries["sensor_gap_detection"](spark, SF))
     assert "explode" not in opt.lower()
+    # one wide exchange serves hour-dedup (lag), hole detection (lead) and
+    # the combo aggregate; only the output orderBy adds a range exchange
+    plan = plan_of(queries["sensor_gap_detection"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_session_stats_reuses_one_exchange(spark):
