@@ -288,3 +288,66 @@ def hierarchical_rollup(
     daily = _up(hourly, "day")
     monthly = _up(daily, "month")
     return hourly, daily, monthly
+
+
+def interpolate_gaps(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+    frequency_hours: int = 1,
+) -> DataFrame:
+    """Linear gap-fill on the hourly clock grid: for every missing grid
+    point strictly between two observed hours of a key, emit an
+    interpolated row (value linearly interpolated between the surrounding
+    observations). Returns (keys..., grid_ts, value, is_interpolated).
+
+    Scale shape: the full grid is never built — each key's observed hours
+    sort under ONE (keys) window (hour-level mean collapses duplicates
+    first), `lead` exposes each hole, and only the missing points inside a
+    hole are exploded (``sequence(idx+1, next_idx−1)``) — output rows =
+    observed + missing, the same O(observed + holes) discipline as
+    ``detect_time_gaps``. Boundary gaps (before the first / after the last
+    observation of a key) have no bracketing pair and are not invented.
+    """
+    secs = 3600 * int(frequency_hours)
+    hour = F.date_trunc("hour", F.col(ts_col))
+    # mean per grid hour (duplicate readings in one hour collapse here)
+    per_hour = df.groupBy(
+        *key_cols, (F.unix_timestamp(hour) / secs).cast("long").alias("idx")
+    ).agg(F.avg(value_col).alias("v"))
+
+    w = Window.partitionBy(*key_cols).orderBy("idx")
+    with_next = per_hour.select(
+        *key_cols,
+        "idx",
+        "v",
+        F.lead("idx").over(w).alias("next_idx"),
+        F.lead("v").over(w).alias("next_v"),
+    )
+    observed = with_next.select(
+        *key_cols,
+        F.timestamp_seconds(F.col("idx") * secs).alias("grid_ts"),
+        F.col("v").alias(value_col),
+        F.lit(False).alias("is_interpolated"),
+    )
+    holes = with_next.where(F.col("next_idx") > F.col("idx") + 1)
+    filled = holes.select(
+        *key_cols,
+        "idx",
+        "v",
+        "next_idx",
+        "next_v",
+        F.explode(F.sequence(F.col("idx") + 1, F.col("next_idx") - 1)).alias("m"),
+    ).select(
+        *key_cols,
+        F.timestamp_seconds(F.col("m") * secs).alias("grid_ts"),
+        (
+            F.col("v")
+            + (F.col("next_v") - F.col("v"))
+            * (F.col("m") - F.col("idx"))
+            / (F.col("next_idx") - F.col("idx"))
+        ).alias(value_col),
+        F.lit(True).alias("is_interpolated"),
+    )
+    return observed.unionByName(filled)

@@ -707,3 +707,73 @@ def sensor_rollup_monthly(spark, sf_dir):
         F.col("v_min").alias("min_c"),
         F.col("v_max").alias("max_c"),
     ).orderBy("sensor_id", "reading_type", "month_str")
+
+
+@query(
+    "sensor_gap_fill",
+    f"""
+    WITH readings AS ({READINGS_SQL}),
+    per_hour AS (
+        SELECT sensor_id, reading_type,
+               CAST(FLOOR(epoch(DATE_TRUNC('hour', timestamp)) / 3600) AS BIGINT) AS idx,
+               AVG(CAST(ROUND(value * 100) AS BIGINT)) AS v
+        FROM readings WHERE value IS NOT NULL
+        GROUP BY sensor_id, reading_type, 3
+    ),
+    with_next AS (
+        SELECT sensor_id, reading_type, idx, v,
+               LEAD(idx) OVER (PARTITION BY sensor_id, reading_type ORDER BY idx) AS next_idx,
+               LEAD(v) OVER (PARTITION BY sensor_id, reading_type ORDER BY idx) AS next_v
+        FROM per_hour
+    ),
+    observed AS (
+        SELECT sensor_id, reading_type, idx AS m, v AS val, FALSE AS is_interpolated
+        FROM with_next
+    ),
+    filled AS (
+        SELECT sensor_id, reading_type,
+               UNNEST(generate_series(idx + 1, next_idx - 1)) AS m,
+               v, next_v, idx, next_idx
+        FROM with_next WHERE next_idx > idx + 1
+    ),
+    interp AS (
+        SELECT sensor_id, reading_type, m,
+               v + (next_v - v) * (m - idx) / (next_idx - idx) AS val,
+               TRUE AS is_interpolated
+        FROM filled
+    ),
+    unioned AS (
+        SELECT * FROM observed UNION ALL SELECT sensor_id, reading_type, m, val, is_interpolated FROM interp
+    )
+    SELECT sensor_id, reading_type,
+           STRFTIME(to_timestamp(m * 3600), '%Y-%m-%d %H:%M:%S') AS grid_ts,
+           CAST(FLOOR(val * 100 + 0.5) AS BIGINT) AS value_e4,
+           is_interpolated
+    FROM unioned
+    ORDER BY sensor_id, reading_type, grid_ts
+    """,
+)
+def sensor_gap_fill(spark, sf_dir):
+    """Linear gap-fill on the hourly grid (operators/temporal.py:
+    interpolate_gaps): missing hours strictly inside a key's observed span
+    get linearly interpolated rows; boundary gaps are not invented. Values
+    run in exact integer cents (hour means are exact-sum divisions) so the
+    interpolation arithmetic is engine-identical; output ×10⁴ half-up."""
+    from satsure_agri_datapipeline_spark.operators.temporal import interpolate_gaps
+
+    r = (
+        events_as_readings(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .withColumn("value_c", cents(F.col("value")).cast("double"))
+    )
+    filled = interpolate_gaps(
+        r, key_cols=["sensor_id", "reading_type"], ts_col="timestamp",
+        value_col="value_c", frequency_hours=1,
+    )
+    return filled.select(
+        "sensor_id",
+        "reading_type",
+        F.date_format("grid_ts", "yyyy-MM-dd HH:mm:ss").alias("grid_ts"),
+        half_up(F.col("value_c") * 100).alias("value_e4"),
+        "is_interpolated",
+    ).orderBy("sensor_id", "reading_type", "grid_ts")

@@ -130,3 +130,30 @@ def test_funnel_ordered_semantics(spark):
 
     with pytest.raises(ValueError):
         funnel_steps(ev, [])
+
+
+def test_interpolate_gaps_linear_values(spark):
+    from datetime import datetime
+
+    from satsure_agri_datapipeline_spark.operators.temporal import interpolate_gaps
+
+    rows = [
+        # k1: hours 0 and 3 observed -> hours 1, 2 interpolated at 1/3, 2/3
+        ("k1", datetime(2023, 6, 1, 0, 15), 30.0),
+        ("k1", datetime(2023, 6, 1, 3, 45), 60.0),
+        # duplicate readings in one hour average first
+        ("k1", datetime(2023, 6, 1, 0, 30), 60.0),  # hour-0 mean = 45.0
+        # k2: single observation -> nothing to interpolate
+        ("k2", datetime(2023, 6, 1, 5, 0), 10.0),
+    ]
+    df = spark.createDataFrame(rows, "sensor_id string, timestamp timestamp, value double")
+    out = interpolate_gaps(df, key_cols=["sensor_id"]).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.sensor_id, {})[r.grid_ts.hour] = (r.value, r.is_interpolated)
+    k1 = by_key["k1"]
+    assert k1[0] == (45.0, False)
+    assert k1[1] == (50.0, True)
+    assert k1[2] == (55.0, True)
+    assert k1[3] == (60.0, False)
+    assert by_key["k2"] == {5: (10.0, False)}
