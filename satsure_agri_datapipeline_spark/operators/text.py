@@ -478,3 +478,48 @@ def span_udtf():
                     start = end
 
     return SpanUDTF
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k distinguishing terms by TF-IDF — the standard
+    keyword-extraction / topic-surfacing pass over a corpus.
+
+    The score uses a *scaled-integer linear idf*:
+    ``score_ppm = (tf * 1_000_000 * n_docs) div df_docs`` (BIGINT division),
+    monotonic in tf and in 1/df like log-idf but exactly reproducible across
+    engines — no floating-point ``ln`` whose last-ulp differences could flip
+    top-k ties between runtimes. Ties break on term for determinism.
+
+    Scale shape: tokenization is a codegen'd flatMap (split + explode, no
+    UDF); term frequencies are one hash aggregate keyed by (doc, term) with
+    map-side partial aggregation; document frequencies re-aggregate the
+    (already distinct) tf relation keyed by term — vocabulary-bounded, far
+    smaller than the corpus; the idf join shuffles on term; the corpus size
+    joins in as a broadcast 1-row aggregate (never a driver collect). The
+    final top-k is one window per doc. At 100 TB add a stop-term cap
+    (drop df_docs > max_df) before the join — same pattern as
+    ``max_shingle_df`` in the dedup operators.
+    """
+    base = df.where(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(id_col), F.lower(F.trim(F.col(text_col))).alias("__t"))
+    toks = base.select(id_col, F.explode(F.split("__t", r"\s+")).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_total = base.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn("score_ppm", F.expr("(tf * 1000000L * n_total) div df_docs"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_ppm"), "term")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(id_col, "term", "tf", "df_docs", "score_ppm")
+    )

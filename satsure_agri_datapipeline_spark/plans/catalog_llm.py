@@ -1394,3 +1394,43 @@ def multimodal_resize(spark, sf_dir):
     return resized.select(
         "doc_id", "n_bytes_in", F.md5("resized").alias("resized_md5")
     ).orderBy("doc_id")
+
+
+@query(
+    "doc_tfidf_terms",
+    r"""
+    WITH base AS (
+        SELECT doc_id, lower(trim(text)) AS t FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    toks AS (
+        SELECT doc_id, UNNEST(regexp_split_to_array(t, '\s+')) AS term FROM base
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_total FROM base),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_docs,
+               (tf.tf * 1000000 * n.n_total) // dfreq.df_docs AS score_ppm
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df_docs, score_ppm
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score_ppm DESC, term
+    ) <= 3
+    ORDER BY doc_id, score_ppm DESC, term
+    """,
+)
+def doc_tfidf_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF keywords with an engine-portable
+    scaled-integer linear idf (operators/text.py tf_idf_top_terms) — the
+    keyword-extraction pass of a corpus-understanding pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.tf_idf_top_terms(docs, k=3).orderBy(
+        "doc_id", F.desc("score_ppm"), "term"
+    )

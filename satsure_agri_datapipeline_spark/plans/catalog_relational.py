@@ -934,3 +934,47 @@ def set_ops_multiset(spark, sf_dir):
     return spark.createDataFrame(
         [(inter_all, except_all)], "inter_all long, except_all long"
     )
+
+
+@query(
+    "shipping_priority_topk",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+               AS revenue_e4,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_e4 DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority_topk(spark, sf_dir):
+    """TPC-H Q3 shape — unshipped-order shipping priority: segment dim
+    broadcast, both date filters pushed to the scans, fact-fact join
+    shuffles on orderkey, then one hash aggregate and a
+    TakeOrderedAndProject top-10 (no global sort)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+    return (
+        l.where(F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"))
+        .join(
+            o.where(F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("revenue_e4"))
+        .select("l_orderkey", "revenue_e4", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue_e4"), "l_orderkey")
+        .limit(10)
+    )

@@ -226,6 +226,23 @@ def test_top_ngrams(docs):
     assert all(r.n_occurrences >= r.n_docs for r in top)
 
 
+def test_tfidf_top_terms(docs):
+    out = tx.tf_idf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {0, 1, 2, 3, 4}
+    assert all(len(v) == 2 for v in by_doc.values())
+    # doc 2's words appear nowhere else: tf=1, df=1 -> score 1_000_000 * 5
+    top2 = by_doc[2][0]
+    assert top2.tf == 1 and top2.df_docs == 1 and top2.score_ppm == 5_000_000
+    # "the" appears twice per fox doc but in 3 docs: (2*1e6*5) div 3
+    the = [r for r in out if r.term == "the"]
+    assert the and all(r.score_ppm == (2 * 1_000_000 * 5) // 3 for r in the)
+    # determinism: ties break on term lexicographically
+    assert by_doc[2] == sorted(by_doc[2], key=lambda r: (-r.score_ppm, r.term))
+
+
 def test_sampling_deterministic(docs):
     from satsure_agri_datapipeline_spark.operators import sampling as sp
 
