@@ -362,3 +362,68 @@ def centroid_norms(
         F.col("n_vectors").cast("long").alias("n_vectors"),
         "centroid_norm",
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 0,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    arXiv:2303.09540): cluster the embedding space with the deterministic
+    k-means quantizer, then keep ONE representative per cluster — the vector
+    closest to its centroid (ties → smallest id). Returns
+    (cluster_id, keeper_vec_id, n_vectors, keeper_dist) — callers semi-join
+    the keepers against the corpus to drop the n_vectors−1 semantic
+    near-copies per cluster.
+
+    Determinism inherits from kmeans_fit (hash-seeded init, 9-dp-rounded
+    centroids) so the whole pass — including which document survives — is
+    exactly SQL-checkable despite the iterative fit.
+
+    Scale shape: the fit is the kmeans_fit loop (broadcast k×dim centroids,
+    shuffles bounded by rows × dim); the keeper pass is one broadcast
+    cross-join distance projection and TWO hash aggregates (argmin per
+    vector, then argmin + count per cluster) — no all-pairs comparison,
+    which is the whole point of SemDeDup versus pairwise near-dup at
+    100 TB scale."""
+    cent = kmeans_fit(
+        df, k=k, iterations=iterations, vec_col=vec_col, id_col=id_col, seed=seed
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("__id"), v.alias("__v"))
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("__v"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, val: acc + val,
+    )
+    d = base.crossJoin(F.broadcast(cent)).select(
+        "__id", F.col("cluster_id").alias("__c"), dist.alias("__dist")
+    )
+    asg = (
+        d.groupBy("__id")
+        .agg(F.min(F.struct(F.col("__dist"), F.col("__c"))).alias("__m"))
+        .select(
+            F.col("__id"),
+            F.col("__m.__c").alias("cluster_id"),
+            F.col("__m.__dist").alias("__dist"),
+        )
+    )
+    return (
+        asg.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min(F.struct(F.col("__dist"), F.col("__id"))).alias("__k"),
+        )
+        .select(
+            "cluster_id",
+            F.col("__k.__id").alias("keeper_vec_id"),
+            "n_vectors",
+            F.round(F.col("__k.__dist"), 6).alias("keeper_dist"),
+        )
+    )

@@ -1434,3 +1434,55 @@ def doc_tfidf_terms(spark, sf_dir):
     return tx.tf_idf_top_terms(docs, k=3).orderBy(
         "doc_id", F.desc("score_ppm"), "term"
     )
+
+
+@query(
+    "emb_semantic_dedup",
+    f"""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    seeded AS (
+        SELECT vec_id, v,
+               ROW_NUMBER() OVER (
+                   ORDER BY ('0x' || substr(md5('0:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                            vec_id
+               ) AS rn
+        FROM base
+    ),
+    cent0 AS (
+        SELECT rn - 1 AS cluster_id, list_transform(v, x -> ROUND(x, 9)) AS c
+        FROM seeded WHERE rn <= 8
+    ),
+    {_kmeans_round_sql(1)},
+    {_kmeans_round_sql(2)},
+    {_kmeans_round_sql(3)},
+    -- d3 = distances against the TRAINED quantizer cent2; keep the argmin
+    -- assignment WITH its distance this time
+    m3 AS (SELECT vec_id AS vid, MIN(dist) AS md FROM d3 GROUP BY 1),
+    asg AS (
+        SELECT d3.vec_id, MIN(d3.cluster_id) AS cluster_id, MIN(m3.md) AS dist
+        FROM d3 JOIN m3 ON d3.vec_id = m3.vid AND d3.dist = m3.md
+        GROUP BY d3.vec_id
+    ),
+    keeper AS (
+        SELECT cluster_id, vec_id AS keeper_vec_id, ROUND(dist, 6) AS keeper_dist
+        FROM asg
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY dist, vec_id) = 1
+    )
+    SELECT k.cluster_id, k.keeper_vec_id, CAST(c.n AS BIGINT) AS n_vectors,
+           k.keeper_dist
+    FROM keeper k
+    JOIN (SELECT cluster_id, COUNT(*) AS n FROM asg GROUP BY 1) c USING (cluster_id)
+    ORDER BY k.cluster_id
+    """,
+)
+def emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic deduplication: one surviving representative per
+    k-means cluster, chosen as nearest-to-centroid
+    (operators/similarity.py semantic_dedup). The oracle replays the
+    deterministic 2-round fit via unrolled recursion, then re-derives the
+    keeper choice."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(emb, k=8, iterations=2).orderBy("cluster_id")

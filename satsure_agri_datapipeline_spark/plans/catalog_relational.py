@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from satsure_agri_datapipeline_spark.operators.joins import salted_join
 from satsure_agri_datapipeline_spark.plans.catalog import cents, half_up, query
 from satsure_agri_datapipeline_spark.sources.tables import load_table
 
@@ -977,4 +978,40 @@ def shipping_priority_topk(spark, sf_dir):
         .select("l_orderkey", "revenue_e4", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue_e4"), "l_orderkey")
         .limit(10)
+    )
+
+
+@query(
+    "join_salted_priority_revenue",
+    """
+    SELECT o.o_orderpriority,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_c,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def join_salted_priority_revenue(spark, sf_dir):
+    """Hot-key salted join (operators/joins.py salted_join, n_salts=8)
+    oracle-checked against the plain unsalted join: spreading one join key
+    over 8 shuffle partitions must not change a single row. This is the
+    skew-mitigation path for keys too hot for AQE's partition splitting
+    (one key = most of the fact table) when the right side exceeds the
+    broadcast threshold."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    )
+    joined = salted_join(l, o, on=["l_orderkey"], how="inner", n_salts=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice"))).alias("revenue_c"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
     )

@@ -358,6 +358,22 @@ def test_kmeans_fit_and_assign(vectors):
     assert {r.cluster_id: r.centroid for r in again} == cmap
 
 
+def test_semantic_dedup(vectors):
+    cent = sim.kmeans_fit(vectors, k=4, iterations=2)
+    assigned = {r.vec_id: r.cluster_id for r in sim.kmeans_assign(vectors, cent).collect()}
+    out = sim.semantic_dedup(vectors, k=4, iterations=2).collect()
+    # one keeper per non-empty cluster; sizes partition the corpus
+    assert sum(r.n_vectors for r in out) == 50
+    assert len({r.cluster_id for r in out}) == len(out)
+    for r in out:
+        # the keeper belongs to the cluster it represents
+        assert assigned[r.keeper_vec_id] == r.cluster_id
+        assert r.keeper_dist >= 0.0
+    # deterministic across invocations
+    again = sim.semantic_dedup(vectors, k=4, iterations=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_kmeans_empty_cluster_keeps_seed(spark):
     # 3 distinct points, k=3, but two seeds may collapse onto one cluster;
     # every cluster id must still have a centroid after fitting
