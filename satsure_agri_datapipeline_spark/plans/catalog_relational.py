@@ -1015,3 +1015,82 @@ def join_salted_priority_revenue(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "events_json_props",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INT) AS max_k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_json_props(spark, sf_dir):
+    """Semi-structured JSON property extraction (the §2.8 'JSON functions'
+    surface): a declared-schema from_json parse — JVM-side, codegen'd, no
+    UDF — then one hash aggregate. At scale prefer from_json with an
+    explicit schema over schema_of_json inference (one pass, no sampling
+    job), and push non-null filters on the parsed struct."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k INT").alias("p")
+    ).where(F.col("p.k").isNotNull())
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("p.k").cast("long").alias("sum_k"),
+            F.max("p.k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "join_full_outer_user_activity",
+    """
+    WITH clicks AS (
+        SELECT user_id, COUNT(*) AS n_clicks FROM events
+        WHERE event_type = 'click' GROUP BY user_id
+    ),
+    purchases AS (
+        SELECT user_id, COUNT(*) AS n_purchases FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           COALESCE(c.n_clicks, 0) AS n_clicks,
+           COALESCE(p.n_purchases, 0) AS n_purchases
+    FROM clicks c FULL OUTER JOIN purchases p ON c.user_id = p.user_id
+    ORDER BY user_id
+    """,
+)
+def join_full_outer_user_activity(spark, sf_dir):
+    """FULL OUTER join (the remaining §2.3 join type): per-user click and
+    purchase totals with COALESCE'd keys — users present on either side
+    survive. Both inputs are pre-aggregated (user-bounded) before the join,
+    so the outer shuffle carries counters, not raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return (
+        clicks.join(purchases, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        )
+        .orderBy("user_id")
+    )
