@@ -1094,3 +1094,80 @@ def join_full_outer_user_activity(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    """
+    WITH long AS (
+        SELECT 'l_discount' AS measure, l_discount AS val FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', l_quantity FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT measure,
+           CAST(SUM(CAST(ROUND(val * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+           COUNT(*) AS n
+    FROM long GROUP BY measure ORDER BY measure
+    """,
+)
+def unpivot_lineitem_measures(spark, sf_dir):
+    """Wide→long UNPIVOT (melt) — the inverse of the declared-values pivot:
+    four measure columns become (measure, val) rows via Spark's native
+    unpivot (a codegen'd Expand node, one scan — not four self-unions),
+    then one hash aggregate per measure."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_discount", "l_extendedprice", "l_quantity", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.sum(cents(F.col("val"))).alias("sum_c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("measure")
+    )
+
+
+@query(
+    "window_rank_lead_orders",
+    """
+    SELECT o_custkey, o_orderkey,
+           DENSE_RANK() OVER w AS price_rank,
+           LEAD(o_orderkey) OVER w AS next_orderkey
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_custkey
+        ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC, o_orderkey
+    )
+    QUALIFY price_rank <= 3
+    ORDER BY o_custkey, price_rank, o_orderkey
+    """,
+)
+def window_rank_lead_orders(spark, sf_dir):
+    """DENSE_RANK + LEAD in one window (the §2.5 'not implemented' rank
+    family): top-3 priciest orders per customer with a pointer to the next
+    order in rank sequence — one shuffle on o_custkey serves both
+    functions. Rank keys are integer cents so ranking ties are
+    engine-portable."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        cents(F.col("o_totalprice")).desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.dense_rank().over(w).alias("price_rank"),
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        )
+        .where(F.col("price_rank") <= 3)
+        .orderBy("o_custkey", "price_rank", "o_orderkey")
+    )
