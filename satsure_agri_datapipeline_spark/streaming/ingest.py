@@ -277,3 +277,15 @@ def run_streaming_ingest(
     else:
         query = writer.start()
     return query
+
+
+def enrich_stream(
+    stream: DataFrame, dim: DataFrame, on: list[str], how: str = "left"
+) -> DataFrame:
+    """Stream-static join: every micro-batch joins against the static
+    dimension (stateless — no watermark or state store needed; Spark
+    re-plans the static side per batch, picking up broadcast). This is the
+    streaming analog of the batch dimension-enrichment joins: keep the
+    static side dimension-sized so each micro-batch pays a broadcast, not a
+    shuffle. Supported for inner/left with a streaming left side."""
+    return stream.join(F.broadcast(dim), on, how)

@@ -241,3 +241,46 @@ def test_cli_streaming_mode(spark, tmp_path):
     assert rc == 0
     out = spark.read.parquet(str(tmp_path / "data" / "processed"))
     assert out.count() == 24
+
+
+def test_stream_static_join_enrichment(spark, tmp_path):
+    """Stream-static left join against a broadcast dimension: every
+    micro-batch row is enriched; rows without a dim match keep nulls."""
+    from satsure_agri_datapipeline_spark.streaming.ingest import (
+        enrich_stream,
+        stream_sensor_readings,
+    )
+
+    cfg = PipelineConfig().resolve_paths(tmp_path)
+    raw = tmp_path / "data" / "raw"
+    raw.mkdir(parents=True, exist_ok=True)
+    pd.DataFrame(
+        {
+            "sensor_id": ["s1", "s1", "s2"],
+            "timestamp": [datetime(2023, 6, 1, h) for h in (0, 1, 2)],
+            "reading_type": ["temperature", "humidity", "temperature"],
+            "value": [20.0, 55.0, 21.5],
+            "battery_level": [80.0, 79.0, 78.0],
+        }
+    ).to_parquet(raw / "2023-06-01.parquet")
+
+    dim = spark.createDataFrame(
+        [("temperature", "celsius")], "reading_type string, unit string"
+    )
+    enriched = enrich_stream(
+        stream_sensor_readings(spark, cfg), dim, ["reading_type"]
+    )
+    out = tmp_path / "enrich_out"
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "enrich_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.reading_type, r.unit)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert rows == {("temperature", "celsius"), ("humidity", None)}
