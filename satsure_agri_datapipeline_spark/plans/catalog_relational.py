@@ -1171,3 +1171,64 @@ def window_rank_lead_orders(spark, sf_dir):
         .where(F.col("price_rank") <= 3)
         .orderBy("o_custkey", "price_rank", "o_orderkey")
     )
+
+
+@query(
+    "array_agg_customer_orders",
+    """
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS orderkeys
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def array_agg_customer_orders(spark, sf_dir):
+    """Ordered ARRAY_AGG (collect_list + array_sort — collect_list alone is
+    partition-order-nondeterministic, the sort makes it portable), rendered
+    canonically for comparison. Per-group array state is bounded by orders
+    per customer; for unbounded groups cap with slice() after the sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.array_join(
+                F.array_sort(F.collect_list("o_orderkey")).cast("array<string>"),
+                ",",
+            ).alias("orderkeys"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "regexp_priority_classes",
+    r"""
+    SELECT CAST(regexp_extract(o_orderpriority, '^(\d+)', 1) AS INT)
+               AS priority_class,
+           COUNT(*) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    GROUP BY priority_class
+    ORDER BY priority_class
+    """,
+)
+def regexp_priority_classes(spark, sf_dir):
+    """Regex capture-group extraction (the §2.8 'regex/string funcs'
+    surface): parse the numeric class out of '1-URGENT'-style codes with a
+    codegen'd regexp_extract, then aggregate — no UDF."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.regexp_extract("o_orderpriority", r"^(\d+)", 1)
+            .cast("int")
+            .alias("priority_class")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        )
+        .orderBy("priority_class")
+    )
