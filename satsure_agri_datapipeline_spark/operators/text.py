@@ -523,3 +523,40 @@ def tf_idf_top_terms(
         .where(F.col("__rn") <= k)
         .select(id_col, "term", "tf", "df_docs", "score_ppm")
     )
+
+
+def domain_mix_weights(
+    df: DataFrame,
+    group_cols: list[str] | None = None,
+    temperature: float = 2.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled domain sampling weights — the corpus-reweighting
+    step of multi-domain training-data mixing (public recipe from
+    multilingual-LM sampling: weight ∝ share^(1/T)). T=1 reproduces natural
+    token shares; T→∞ approaches uniform; T=2 (the common default) takes
+    the square root, damping head domains and boosting the tail.
+
+    Weights are emitted as half-up ×10⁶ integers. With T=2 the power is
+    ``sqrt`` — both engines' IEEE-correctly-rounded sqrt keeps the rounded
+    ratio engine-portable (same contract as the centroid-norm queries).
+
+    Scale shape: one hash aggregate over the corpus (map-side combined),
+    then window math over the O(domains) aggregate rows only.
+    """
+    group_cols = group_cols or ["lang", "source"]
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+    )
+    total = Window.partitionBy()
+    scaled = F.pow(F.col("n_tokens").cast("double"), 1.0 / temperature)
+    return agg.select(
+        *group_cols,
+        "n_docs",
+        "n_tokens",
+        F.floor(scaled * 1_000_000.0 / F.sum(scaled).over(total) + F.lit(0.5))
+        .cast("long")
+        .alias("weight_e6"),
+    )

@@ -1486,3 +1486,29 @@ def emb_semantic_dedup(spark, sf_dir):
     keeper choice."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.semantic_dedup(emb, k=8, iterations=2).orderBy("cluster_id")
+
+
+@query(
+    "corpus_domain_weights",
+    r"""
+    WITH agg AS (
+        SELECT lang, source, COUNT(*) AS n_docs,
+               SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS n_tokens
+        FROM documents
+        GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0
+                / SUM(sqrt(CAST(n_tokens AS DOUBLE))) OVER () + 0.5) AS BIGINT)
+               AS weight_e6
+    FROM agg
+    ORDER BY lang, source
+    """,
+)
+def corpus_domain_weights(spark, sf_dir):
+    """Temperature-scaled (T=2) domain mixing weights
+    (operators/text.py domain_mix_weights): sqrt-damped token shares per
+    (lang, source) — the corpus-reweighting step before sampling a
+    training mixture."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.domain_mix_weights(docs, temperature=2.0).orderBy("lang", "source")

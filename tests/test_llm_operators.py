@@ -612,3 +612,22 @@ def test_span_udtf_lateral_join(spark):
     # offsets reconstruct the original slices
     for r in rows:
         assert r.length > 0 and r.start >= 0
+
+
+def test_domain_mix_weights(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i", "en", "web"),     # 9 tokens
+            (2, "a b c d e f g", "en", "web"),          # 7 -> web 16
+            (3, "a b c d", "de", "book"),               # 4 -> book 4
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {(r.lang, r.source): r for r in tx.domain_mix_weights(df).collect()}
+    # T=2: sqrt(16)=4, sqrt(4)=2 -> weights 2/3 and 1/3
+    assert rows[("en", "web")].weight_e6 == 666667
+    assert rows[("de", "book")].weight_e6 == 333333
+    # T=1 reproduces natural token shares: 16/20 and 4/20
+    nat = {(r.lang, r.source): r for r in tx.domain_mix_weights(df, temperature=1.0).collect()}
+    assert nat[("en", "web")].weight_e6 == 800000
+    assert nat[("de", "book")].weight_e6 == 200000
