@@ -1512,3 +1512,56 @@ def corpus_domain_weights(spark, sf_dir):
     training mixture."""
     docs = load_table(spark, sf_dir, "documents")
     return tx.domain_mix_weights(docs, temperature=2.0).orderBy("lang", "source")
+
+
+# Composed oracle: reuse the registered doc_minhash_lsh SQL as a CTE (the
+# decorator stores every oracle in ORACLES at import time, earlier in this
+# module) and verify each text-candidate pair in embedding space.
+from satsure_agri_datapipeline_spark.plans.catalog import ORACLES as _ORACLES  # noqa: E402
+
+
+@query(
+    "doc_near_dup_crossmodal",
+    f"""
+    WITH mh AS ({_ORACLES["doc_minhash_lsh"]}),
+    prods AS (
+        SELECT mh.id_a, mh.id_b, mh.est_jaccard,
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+               sqrt(list_sum(list_transform(a.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+               sqrt(list_sum(list_transform(b.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+        FROM mh
+        JOIN embeddings a ON mh.id_a = a.vec_id
+        JOIN embeddings b ON mh.id_b = b.vec_id
+    )
+    SELECT id_a, id_b, est_jaccard, ROUND(dot / (na * nb), 6) AS cosine_sim
+    FROM prods
+    ORDER BY id_a, id_b
+    """,
+)
+def doc_near_dup_crossmodal(spark, sf_dir):
+    """Cross-modal near-dup verification: MinHash/LSH text candidates
+    re-scored with exact embedding cosine (documents ⋈ embeddings on id) —
+    the ensemble pattern where a cheap lexical recall stage feeds a
+    semantic precision stage. Scale shape: the candidate-pair relation is
+    tiny next to the corpus, so both embedding joins broadcast the pair
+    side and the full-corpus embedding table is never self-joined."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dd.minhash_lsh_pairs(docs, num_hashes=16, band_size=4, n=3)
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    cos = sim.cosine_similarity_col(F.col("__va"), F.col("__vb"))
+    return (
+        pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            F.round(cos, 6).alias("cosine_sim"),
+        )
+        .orderBy("id_a", "id_b")
+    )
