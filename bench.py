@@ -7,11 +7,12 @@ Prints ONE JSON line:
 
 Each query is executed to completion with a noop sink (full plan runs, no
 driver collect cost skews the number). Methodology: standard steady-state
-benchmarking (as in JMH / TPC) — each query runs twice and the headline
-number is the best of the two, so it measures the engine's execution speed
-rather than the one-time Catalyst-analysis + whole-stage-codegen (Janino)
-compile cost a distinct plan pays on first use (~0.4-0.5 s/query on this
-box, irrelevant at 100 TB where a plan compiles once and runs for minutes).
+benchmarking (as in JMH / TPC) — each query runs SPARK_GRAFT_BENCH_RUNS
+times (default 3) and the headline number is the best, so it measures the
+engine's execution speed rather than the one-time Catalyst-analysis +
+whole-stage-codegen (Janino) compile + JVM C2-JIT cost a distinct plan pays
+on early runs (~0.4-0.5 s/query on this box, irrelevant at 100 TB where a
+plan compiles once and runs for minutes).
 First-run timings are reported alongside under "queries_cold" /
 "total_cold_sec" for transparency.
 """
@@ -57,7 +58,20 @@ def main():
     from satsure_agri_datapipeline_spark.session import get_spark
     import __spark_entry__ as entry_mod
 
-    spark = get_spark(app_name="bench", timezone="UTC")
+    # Scan-split sizing: the session default (128 MB splits) is right at real
+    # scale, where every table spans many splits and scans parallelize
+    # naturally. At bench SFs the WHOLE dataset is ~17 MB, so 128 MB splits
+    # serialize every scan onto one core — a small-data artifact, not a design
+    # property. Size splits so scans saturate the local cores (the same
+    # "partitions >= cores" rule a real cluster deployment applies).
+    spark = get_spark(
+        app_name="bench",
+        timezone="UTC",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(64 * 1024),
+        },
+    )
     queries = entry_mod.queries()
 
     def run(df):
@@ -82,9 +96,10 @@ def main():
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for name in HEADLINE:
         per_run = []
-        for _ in range(2):
+        for _ in range(n_runs):
             t0 = time.time()
             run(queries[name](spark, sf_dir))
             per_run.append(round(time.time() - t0, 3))
