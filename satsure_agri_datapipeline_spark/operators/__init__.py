@@ -4,6 +4,7 @@ families (dedup, text analysis, similarity search, multimodal plumbing)."""
 from satsure_agri_datapipeline_spark.operators import (  # noqa: F401
     dedup,
     joins,
+    maintenance,
     multimodal,
     sampling,
     similarity,
@@ -29,6 +30,7 @@ __all__ = [
     "convert_timezone",
     "dedup",
     "joins",
+    "maintenance",
     "derive_daily_average",
     "derive_rolling_average",
     "drop_exact_duplicates",

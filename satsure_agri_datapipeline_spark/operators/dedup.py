@@ -641,3 +641,64 @@ def dedup_keep_canonical(
         F.col("node_id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span removal (line/paragraph-level dedup)
+# ---------------------------------------------------------------------------
+
+
+def dedup_spans(
+    df: DataFrame,
+    span_tokens: int = 10,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level duplicated-span removal, the C4/CCNet "line dedup" pattern
+    (C4 drops any three-sentence span seen more than once; CCNet dedups on
+    paragraph hashes): chunk each document into consecutive non-overlapping
+    ``span_tokens``-word spans, drop every span that occurs in >= ``min_docs``
+    distinct documents (boilerplate: headers, navigation, license blurbs),
+    and reassemble the survivors in order.
+
+    Pure built-in pipeline (no Python in the hot path): ``split`` →
+    ``transform(sequence(...))`` builds the span array map-side, ``posexplode``
+    fans out to one row per span, the corpus-wide occurrence count is a
+    hash-aggregate on the span's md5 (fixed-width shuffle key — document text
+    never shuffles beyond its own span rows), and documents reassemble with a
+    ``sort_array(collect_list(struct(pos, span)))`` group — partial aggregation
+    applies on the count side, and the rebuild shuffle is keyed by doc id.
+
+    Returns (id, text_clean, n_spans_kept); documents whose every span was
+    boilerplate drop out entirely (same convention as quality filtering).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    spans = F.when(F.size(toks) > 0, F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * span_tokens + 1, span_tokens)
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(
+        F.col(id_col), F.posexplode(spans).alias("pos", "span")
+    ).withColumn("span_h", F.md5(F.col("span")))
+    counts = exploded.groupBy("span_h").agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs")
+    )
+    kept = (
+        exploded.join(counts.where(F.col("n_docs") < min_docs), "span_h")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("pos", "span"))).alias("__ps"),
+            F.count(F.lit(1)).alias("n_spans_kept"),
+        )
+    )
+    return kept.select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", F.transform(F.col("__ps"), lambda s: s.getField("span"))
+        ).alias("text_clean"),
+        "n_spans_kept",
+    )

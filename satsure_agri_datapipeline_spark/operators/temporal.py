@@ -351,3 +351,36 @@ def interpolate_gaps(
         F.lit(True).alias("is_interpolated"),
     )
     return observed.unionByName(filled)
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention analysis: bucket users by the week of their first
+    event (cohort), then count how many of each cohort are active in each
+    subsequent week — the standard growth-analytics triangle, and at corpus
+    scale the shape behind "contributors still active N weeks after first
+    commit" style questions.
+
+    Weeks are absolute epoch-day buckets (``floor(epoch_days / 7)``) so the
+    result is a pure function of the data — no reference date. Cost: one
+    window keyed by user computes the cohort without a separate join pass
+    (min-over-partition reuses the per-user shuffle), then one hash-aggregate
+    on (cohort_week, week_offset). Distinct users per cell is exact here;
+    ``approx_count_distinct`` is the scale knob.
+    """
+    wk = lambda c: F.floor(F.unix_timestamp(c) / F.lit(86400 * period_days))  # noqa: E731
+    w = Window.partitionBy(user_col)
+    per_event = df.select(
+        F.col(user_col), wk(F.col(ts_col)).alias("event_week")
+    ).withColumn("cohort_week", F.min("event_week").over(w))
+    return (
+        per_event.groupBy(
+            "cohort_week",
+            (F.col("event_week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )

@@ -560,3 +560,74 @@ def domain_mix_weights(
         .cast("long")
         .alias("weight_e6"),
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    vocab_size: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary: the ``vocab_size`` most frequent whitespace tokens,
+    assigned dense ids 1..N by (count DESC, token ASC) — the deterministic
+    tie-break makes the id assignment a pure function of the corpus.
+
+    Shape: explode → hash-aggregate counts (map-side partials do the heavy
+    lifting: the shuffled relation is one row per *distinct* token, not per
+    occurrence) → single ``TakeOrderedAndProject``-style top-N via a
+    row_number window. The window's single-partition sort sees only distinct
+    tokens; for web-scale vocabularies pre-filter with a minimum count so the
+    ranked relation stays bounded (Zipf: a floor of a few hundred occurrences
+    caps it at ~millions of rows).
+    """
+    counts = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok"))
+    return (
+        counts.withColumn("tok_id", F.row_number().over(w))
+        .where(F.col("tok_id") <= vocab_size)
+        .select("tok", "tok_id", "cnt")
+    )
+
+
+def encode_ids(
+    df: DataFrame,
+    vocab: DataFrame,
+    max_len: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode each document's first ``max_len`` tokens to vocabulary ids
+    (out-of-vocabulary → 0), emitted as a comma-joined string — the
+    tokenize-to-ids step every LM data pipeline runs before packing.
+
+    The vocab is a broadcast dimension (bounded by construction), so encoding
+    is scan → posexplode (capped at ``max_len`` rows/doc) → broadcast-hash
+    join → re-agg keyed by doc id. Nothing shuffles except (doc_id, pos, id)
+    triples.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.slice(F.split(F.col(text_col), " "), 1, max_len)).alias(
+            "pos", "tok"
+        ),
+    )
+    encoded = (
+        toks.join(F.broadcast(vocab.select("tok", "tok_id")), "tok", "left")
+        .withColumn("tid", F.coalesce(F.col("tok_id"), F.lit(0)))
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("pos", "tid"))).alias("__pt"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    return encoded.select(
+        F.col(id_col),
+        F.concat_ws(
+            ",", F.transform(F.col("__pt"), lambda s: s.getField("tid").cast("string"))
+        ).alias("token_ids"),
+        "n_tokens",
+    )

@@ -87,6 +87,52 @@ def profile_overall_stats(df: DataFrame, approx: bool = False) -> DataFrame:
     )
 
 
+def mad_outliers(
+    df: DataFrame,
+    value_col: str = "value",
+    group_cols: list[str] | None = None,
+    k: float = 3.0,
+    approx: bool = False,
+) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation: flag rows with
+    ``|v - median| > k * 1.4826 * MAD`` per group (1.4826 scales MAD to the
+    stddev of a normal, so ``k`` is comparable to a z-score threshold).
+
+    The z-score flag (A3, reference ``transformation.py:287-302``) breaks
+    down when the contamination itself inflates mean/std; median/MAD have a
+    50% breakdown point, the standard robust alternative. Cost: three grouped
+    aggregates on the (low-cardinality) group key; the per-group stats frames
+    are tiny and explicitly broadcast back, so the fact table is never
+    shuffled — each pass is scan + map-side join + partial agg. At 100 TB set
+    ``approx=True`` for ``percentile_approx`` (mergeable sketch, map-side
+    partials, no exactness contract for an outlier *threshold* anyway).
+
+    Returns (group..., n, med, mad, n_outliers) — aggregate rows only.
+    """
+    group_cols = group_cols or ["reading_type"]
+    pct = (
+        (lambda c: F.percentile_approx(c, 0.5)) if approx else (lambda c: F.median(c))
+    )
+    med = df.groupBy(*group_cols).agg(pct(F.col(value_col)).alias("med"))
+    dev = df.join(F.broadcast(med), on=group_cols).withColumn(
+        "__adev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = dev.groupBy(*group_cols).agg(
+        F.first("med").alias("med"),
+        pct(F.col("__adev")).alias("mad"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    flagged = dev.join(F.broadcast(mad.select(*group_cols, "mad")), on=group_cols)
+    counts = flagged.groupBy(*group_cols).agg(
+        F.sum(
+            (F.col("__adev") > F.lit(k * 1.4826) * F.col("mad")).cast("long")
+        ).alias("n_outliers")
+    )
+    return mad.join(counts, on=group_cols).select(
+        *group_cols, "n", "med", "mad", "n_outliers"
+    )
+
+
 def validate_types(df: DataFrame) -> DataFrame:
     """A12 — type-violation counters (``validation.py:137-167``).
 

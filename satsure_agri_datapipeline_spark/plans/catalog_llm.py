@@ -1565,3 +1565,73 @@ def doc_near_dup_crossmodal(spark, sf_dir):
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "doc_dedup_spans",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    spans AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS span
+        FROM w, UNNEST(generate_series(0, CAST(CEIL(len(toks)/10.0) AS INT) - 1)) AS t(i)
+    ),
+    counts AS (
+        SELECT md5(span) AS span_h, COUNT(DISTINCT doc_id) AS n_docs
+        FROM spans GROUP BY md5(span)
+    ),
+    kept AS (
+        SELECT s.doc_id, s.pos, s.span
+        FROM spans s JOIN counts c ON md5(s.span) = c.span_h
+        WHERE c.n_docs < 2
+    )
+    SELECT doc_id,
+           string_agg(span, ' ' ORDER BY pos) AS text_clean,
+           COUNT(*) AS n_spans_kept
+    FROM kept GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_dedup_spans(spark, sf_dir):
+    """C4/CCNet-style duplicated-span removal (dedup.dedup_spans): drop every
+    10-token span occurring in >= 2 distinct docs, reassemble survivors.
+    Counts shuffle md5 keys only; rebuild shuffles (id, pos, span) rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.dedup_spans(docs, span_tokens=10, min_docs=2).orderBy("doc_id")
+
+
+@query(
+    "doc_tokenize_ids",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    counts AS (
+        SELECT tok, COUNT(*) AS cnt
+        FROM (SELECT UNNEST(toks) AS tok FROM w)
+        WHERE tok <> '' GROUP BY tok
+    ),
+    vocab AS (
+        SELECT tok, tok_id FROM (
+            SELECT tok, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS tok_id
+            FROM counts
+        ) WHERE tok_id <= 100
+    ),
+    tk AS (
+        SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+        FROM w, UNNEST(generate_series(1, LEAST(len(toks), 30))) AS t(i)
+    ),
+    enc AS (
+        SELECT tk.doc_id, tk.pos, COALESCE(v.tok_id, 0) AS tid
+        FROM tk LEFT JOIN vocab v ON tk.tok = v.tok
+    )
+    SELECT doc_id,
+           string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS token_ids,
+           COUNT(*) AS n_tokens
+    FROM enc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_tokenize_ids(spark, sf_dir):
+    """Vocab build + tokenize-to-ids (text.build_vocab / text.encode_ids):
+    top-100 tokens by (count DESC, token ASC) get dense ids; each doc's first
+    30 tokens encode against the broadcast vocab (OOV -> 0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = tx.build_vocab(docs, vocab_size=100)
+    return tx.encode_ids(docs, vocab, max_len=30).orderBy("doc_id")

@@ -1232,3 +1232,115 @@ def regexp_priority_classes(spark, sf_dir):
         )
         .orderBy("priority_class")
     )
+
+
+@query(
+    "orders_merge_upsert",
+    """
+    WITH base AS (
+        SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    changes AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, FALSE AS is_deleted
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        UNION ALL
+        SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1.0, FALSE
+        FROM base WHERE o_orderkey % 97 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice, TRUE
+        FROM base WHERE o_orderkey % 193 = 0 AND o_orderkey % 97 <> 0
+    ),
+    merged AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM changes WHERE NOT is_deleted
+        UNION ALL
+        SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice
+        FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.o_orderkey = b.o_orderkey)
+    )
+    SELECT o_orderkey,
+           o_orderstatus,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_c
+    FROM merged ORDER BY o_orderkey
+    """,
+)
+def orders_merge_upsert(spark, sf_dir):
+    """CDC merge: a derived change batch (inserts = post-1997 orders,
+    updates = keys % 97, deletes = keys % 193) applied onto the pre-1997
+    snapshot with ``maintenance.merge_upsert`` — one anti-join + union,
+    change side broadcastable (operators/maintenance.py)."""
+    from satsure_agri_datapipeline_spark.operators import maintenance as mt
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    split = F.lit("1997-01-01").cast("timestamp")
+    base = o.where(F.col("o_orderdate") < split).drop("o_orderdate")
+    inserts = (
+        o.where(F.col("o_orderdate") >= split)
+        .drop("o_orderdate")
+        .withColumn("is_deleted", F.lit(False))
+    )
+    updates = (
+        base.where(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+        .withColumn("is_deleted", F.lit(False))
+    )
+    deletes = base.where(
+        (F.col("o_orderkey") % 193 == 0) & (F.col("o_orderkey") % 97 != 0)
+    ).withColumn("is_deleted", F.lit(True))
+    changes = inserts.unionByName(updates).unionByName(deletes)
+    merged = mt.merge_upsert(base, changes, ["o_orderkey"], deleted_col="is_deleted")
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        cents(F.col("o_totalprice")).alias("totalprice_c"),
+    ).orderBy("o_orderkey")
+
+
+def _profile_col_sql(c: str) -> str:
+    return f"""
+        SELECT '{c}' AS column_name,
+               COUNT(*) AS n_rows,
+               COUNT(*) - COUNT({c}) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_str,
+               CAST(MAX({c}) AS VARCHAR) AS max_str
+        FROM orders
+    """
+
+
+@query(
+    "orders_profile",
+    " UNION ALL ".join(
+        _profile_col_sql(c)
+        for c in [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ]
+    )
+    + " ORDER BY column_name",
+)
+def orders_profile(spark, sf_dir):
+    """Generic column profiler (maintenance.profile_columns): ONE wide
+    aggregate pass computes rows/nulls/distinct/min/max for every column,
+    stacked to long format — vs the oracle's six separate scans."""
+    from satsure_agri_datapipeline_spark.operators import maintenance as mt
+
+    o = load_table(spark, sf_dir, "orders")
+    return mt.profile_columns(
+        o,
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    ).orderBy("column_name")

@@ -155,3 +155,127 @@ def funnel_signup_click_purchase(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return tp.funnel_counts(ev, ["signup", "click", "purchase"])
+
+
+@query(
+    "events_mad_outliers",
+    """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, ABS(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad, COUNT(*) AS n
+        FROM dev GROUP BY event_type
+    ),
+    cnt AS (
+        SELECT d.event_type,
+               CAST(SUM(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY d.event_type
+    )
+    SELECT m.event_type, m.n,
+           CAST(FLOOR(med.med * 100 + 0.5) AS BIGINT) AS med_e2,
+           CAST(FLOOR(m.mad * 100 + 0.5) AS BIGINT) AS mad_e2,
+           c.n_outliers
+    FROM mad m
+    JOIN med USING (event_type)
+    JOIN cnt c USING (event_type)
+    ORDER BY m.event_type
+    """,
+)
+def events_mad_outliers(spark, sf_dir):
+    """Robust MAD outlier counts per event_type (validation.mad_outliers) —
+    the 50%-breakdown alternative to the reference's z-score flag; per-group
+    stats broadcast back so the fact table never shuffles."""
+    from satsure_agri_datapipeline_spark.operators import validation as vl
+    from satsure_agri_datapipeline_spark.plans.catalog import half_up
+    from satsure_agri_datapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    r = vl.mad_outliers(ev, value_col="value", group_cols=["event_type"], k=3.0)
+    return r.select(
+        "event_type",
+        "n",
+        half_up(F.col("med") * 100).alias("med_e2"),
+        half_up(F.col("mad") * 100).alias("mad_e2"),
+        "n_outliers",
+    ).orderBy("event_type")
+
+
+@query(
+    "user_scd2_history",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, event_type, ts,
+               SUM(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run
+        FROM ordered
+    ),
+    per_run AS (
+        SELECT user_id, CAST(run AS BIGINT) AS version,
+               ANY_VALUE(event_type) AS event_type,
+               MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS valid_from_s
+        FROM runs GROUP BY user_id, run
+    )
+    SELECT user_id, version, event_type, valid_from_s,
+           COALESCE(LEAD(valid_from_s) OVER (PARTITION BY user_id ORDER BY version),
+                    -1) AS valid_to_s
+    FROM per_run ORDER BY user_id, version
+    """,
+)
+def user_scd2_history(spark, sf_dir):
+    """SCD-type-2 interval compression of the event stream
+    (maintenance.scd2_intervals): consecutive equal event_type runs per user
+    become validity intervals — change-point lag + running-sum run ids +
+    lead-closed intervals, all over ONE per-user shuffle."""
+    from satsure_agri_datapipeline_spark.operators import maintenance as mt
+    from satsure_agri_datapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return mt.scd2_intervals(
+        ev, key_col="user_id", attr_col="event_type", ts_col="ts",
+        tiebreak_col="event_id",
+    ).orderBy("user_id", "version")
+
+
+@query(
+    "user_retention_cohorts",
+    """
+    WITH pe AS (
+        SELECT user_id,
+               CAST(FLOOR(FLOOR(epoch(ts)) / 604800) AS BIGINT) AS event_week
+        FROM events
+    ),
+    c AS (
+        SELECT user_id, event_week,
+               MIN(event_week) OVER (PARTITION BY user_id) AS cohort_week
+        FROM pe
+    )
+    SELECT cohort_week,
+           event_week - cohort_week AS week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM c GROUP BY cohort_week, event_week - cohort_week
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def user_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle (temporal.retention_cohorts): absolute
+    epoch-week buckets, cohort via min-over-user window (reuses the per-user
+    shuffle), one hash-aggregate for the cells."""
+    from satsure_agri_datapipeline_spark.operators import temporal as tp2
+    from satsure_agri_datapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return tp2.retention_cohorts(ev, user_col="user_id", ts_col="ts").orderBy(
+        "cohort_week", "week_offset"
+    )

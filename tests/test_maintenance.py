@@ -1,0 +1,160 @@
+"""Unit tests for the incremental-maintenance, profiling, and corpus-curation
+operators added in round 3: merge_upsert / compact_changes / scd2_intervals /
+profile_columns (operators/maintenance.py), mad_outliers
+(operators/validation.py), dedup_spans (operators/dedup.py),
+build_vocab / encode_ids (operators/text.py), retention_cohorts
+(operators/temporal.py). Exact-value assertions on hand-built micro-frames,
+the reference's dominant test pattern (SURVEY.md §5.1)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from satsure_agri_datapipeline_spark.operators import maintenance as mt
+from satsure_agri_datapipeline_spark.operators import validation as vl
+from satsure_agri_datapipeline_spark.operators.dedup import dedup_spans
+from satsure_agri_datapipeline_spark.operators.temporal import retention_cohorts
+from satsure_agri_datapipeline_spark.operators.text import build_vocab, encode_ids
+
+
+def test_merge_upsert_update_insert_delete_untouched(spark):
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", False), (4, "d", False), (3, None, True)],
+        "k int, v string, is_deleted boolean",
+    )
+    out = {
+        r.k: r.v
+        for r in mt.merge_upsert(base, changes, ["k"], deleted_col="is_deleted").collect()
+    }
+    assert out == {1: "a", 2: "B", 4: "d"}  # 3 deleted, 1 untouched
+
+
+def test_merge_upsert_without_deletes_is_pure_upsert(spark):
+    base = spark.createDataFrame([(1, "a")], "k int, v string")
+    changes = spark.createDataFrame([(1, "A"), (2, "b")], "k int, v string")
+    out = {r.k: r.v for r in mt.merge_upsert(base, changes, ["k"]).collect()}
+    assert out == {1: "A", 2: "b"}
+
+
+def test_compact_changes_keeps_latest_version(spark):
+    changes = spark.createDataFrame(
+        [(1, "old", 1), (1, "new", 2), (2, "only", 5)], "k int, v string, ver int"
+    )
+    out = {r.k: r.v for r in mt.compact_changes(changes, ["k"], "ver").collect()}
+    assert out == {1: "new", 2: "only"}
+
+
+def test_scd2_intervals_compresses_runs_and_closes_versions(spark):
+    t = lambda h: datetime(2023, 6, 1, h)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, "x", t(0), 1),
+            (1, "x", t(1), 2),
+            (1, "y", t(2), 3),
+            (1, "x", t(3), 4),
+            (2, "z", t(0), 5),
+        ],
+        "user_id int, event_type string, ts timestamp, event_id int",
+    )
+    rows = {
+        (r.user_id, r.version): (r.event_type, r.valid_from_s, r.valid_to_s)
+        for r in mt.scd2_intervals(df, "user_id", "event_type", "ts", "event_id").collect()
+    }
+    e = lambda h: int(datetime(2023, 6, 1, h).timestamp())  # noqa: E731
+    assert rows[(1, 1)] == ("x", e(0), e(2))
+    assert rows[(1, 2)] == ("y", e(2), e(3))
+    assert rows[(1, 3)] == ("x", e(3), -1)  # open version
+    assert rows[(2, 1)] == ("z", e(0), -1)
+
+
+def test_profile_columns_counts_nulls_distinct_minmax(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "b"), (2, "a")], "k int, v string"
+    )
+    prof = {r.column_name: r for r in mt.profile_columns(df).collect()}
+    assert (prof["k"].n_rows, prof["k"].n_nulls, prof["k"].n_distinct) == (3, 0, 2)
+    assert (prof["k"].min_str, prof["k"].max_str) == ("1", "2")
+    assert (prof["v"].n_nulls, prof["v"].n_distinct) == (1, 2)
+    assert (prof["v"].min_str, prof["v"].max_str) == ("a", "b")
+
+
+def test_mad_outliers_flags_gross_outlier_not_inliers(spark):
+    # med=3, MAD=1 -> threshold 3*1.4826 = 4.4478; only 100 exceeds it.
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]
+    df = spark.createDataFrame([("t", v) for v in vals], "g string, value double")
+    [r] = vl.mad_outliers(df, value_col="value", group_cols=["g"], k=3.0).collect()
+    assert (r.n, r.med, r.mad, r.n_outliers) == (5, 3.0, 1.0, 1)
+
+
+def test_mad_outliers_zero_mad_group(spark):
+    # Constant group: MAD=0 -> nothing exceeds a zero threshold strictly
+    # except deviations > 0; all deviations are 0 -> no outliers.
+    df = spark.createDataFrame([("c", 7.0)] * 4, "g string, value double")
+    [r] = vl.mad_outliers(df, value_col="value", group_cols=["g"]).collect()
+    assert (r.mad, r.n_outliers) == (0.0, 0)
+
+
+def test_dedup_spans_drops_cross_doc_boilerplate(spark):
+    shared = " ".join(f"s{i}" for i in range(10))  # one exact 10-token span
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(5))  # short tail span
+    df = spark.createDataFrame(
+        [(1, f"{shared} {uniq_a}"), (2, f"{shared} {uniq_b}"), (3, uniq_b)],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: (r.text_clean, r.n_spans_kept) for r in dedup_spans(df).collect()}
+    # the shared leading span is gone from both docs; uniq_b appears in docs
+    # 2 and 3 as an identical tail span -> also boilerplate, so doc 2 and 3
+    # lose it (doc 2 keeps nothing -> dropped entirely; doc 3 dropped too).
+    assert out == {1: (uniq_a, 1)}
+
+
+def test_dedup_spans_keeps_singleton_doc_intact(spark):
+    text = " ".join(f"w{i}" for i in range(25))  # 3 spans: 10+10+5
+    df = spark.createDataFrame([(7, text)], "doc_id int, text string")
+    [r] = dedup_spans(df).collect()
+    assert r.text_clean == text and r.n_spans_kept == 3
+
+
+def test_build_vocab_rank_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "b b a a c")], "doc_id int, text string"
+    )
+    vocab = {r.tok: (r.tok_id, r.cnt) for r in build_vocab(df, vocab_size=2).collect()}
+    # a and b tie at 2; 'a' < 'b' lexicographically -> a gets id 1
+    assert vocab == {"a": (1, 2), "b": (2, 2)}
+
+
+def test_encode_ids_oov_and_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "b a zz a"), (2, "zz")], "doc_id int, text string"
+    )
+    # corpus counts: a=2, zz=2, b=1 -> vocab of 2 is {a: 1, zz: 2}; b is OOV
+    vocab = build_vocab(docs, vocab_size=2)
+    out = {r.doc_id: (r.token_ids, r.n_tokens) for r in encode_ids(docs, vocab).collect()}
+    assert out == {1: ("0,1,2,1", 4), 2: ("2", 1)}
+
+
+def test_encode_ids_truncates_at_max_len(spark):
+    docs = spark.createDataFrame([(1, "a a a a a")], "doc_id int, text string")
+    vocab = build_vocab(docs, vocab_size=1)
+    [r] = encode_ids(docs, vocab, max_len=3).collect()
+    assert r.token_ids == "1,1,1" and r.n_tokens == 3
+
+
+def test_retention_cohorts_triangle(spark):
+    day = 86400
+    ts = lambda d: datetime.utcfromtimestamp(d * day)  # noqa: E731
+    df = spark.createDataFrame(
+        # user 1 first active week 0, active again week 2; user 2 week 2 only
+        [(1, ts(0)), (1, ts(1)), (1, ts(15)), (2, ts(14))],
+        "user_id int, ts timestamp",
+    )
+    cells = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in retention_cohorts(df).collect()
+    }
+    assert cells == {(0, 0): 1, (0, 2): 1, (2, 0): 1}
