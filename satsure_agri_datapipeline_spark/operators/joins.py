@@ -42,3 +42,34 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return l_salted.join(r_salted, [*on, "__salt"], how).drop("__salt")
+
+
+def key_histogram(
+    df: DataFrame, keys: list[str], top_n: int = 20
+) -> DataFrame:
+    """Join/shuffle-key skew diagnostic: the ``top_n`` heaviest key values
+    with their row counts and corpus share (basis points) — the measurement
+    you run BEFORE deciding a join needs salting (``salted_join``) or AQE
+    skew splitting.
+
+    One hash-aggregate over the raw table (map-side partials compress to one
+    row per distinct key); the share window and top-N ranking run on the
+    per-key aggregate relation, which is orders of magnitude smaller than the
+    input — never on raw rows.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.col("n_rows").desc(), *[F.col(k) for k in keys])
+    return (
+        counts.withColumn(
+            "share_bp",
+            F.floor(F.col("n_rows") * 10000.0 / F.sum("n_rows").over(w_all) + 0.5).cast(
+                "long"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= top_n)
+        .select(*keys, "n_rows", "share_bp", "rank")
+    )

@@ -144,3 +144,52 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             "(column_name, n_rows, n_nulls, n_distinct, min_str, max_str)"
         )
     )
+
+
+def snapshot_diff(
+    before: DataFrame,
+    after: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Generate a CDC batch from two table snapshots — the inverse of
+    ``merge_upsert``: rows only in ``after`` are inserts, rows only in
+    ``before`` are deletes, rows in both with any ``compare_cols`` differing
+    (null-safe) are updates; unchanged rows are dropped.
+
+    One full-outer join keyed by ``keys`` — both snapshots shuffle once on
+    the same key (co-partitioned/bucketed snapshots make it exchange-free).
+    Value columns in the result carry the *after* image for inserts/updates
+    and the *before* image for deletes (the row being removed).
+    """
+    compare_cols = compare_cols or [c for c in after.columns if c not in keys]
+    b = before.select(
+        *keys,
+        F.lit(1).alias("__in_b"),
+        *[F.col(c).alias(f"__b_{c}") for c in compare_cols],
+    )
+    a = after.select(
+        *keys,
+        F.lit(1).alias("__in_a"),
+        *[F.col(c).alias(f"__a_{c}") for c in compare_cols],
+    )
+    j = b.join(a, on=keys, how="full")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"__b_{c}").eqNullSafe(F.col(f"__a_{c}"))
+    change_type = (
+        F.when(F.col("__in_a").isNull(), F.lit("delete"))
+        .when(F.col("__in_b").isNull(), F.lit("insert"))
+        .when(changed, F.lit("update"))
+    )
+    out_vals = [
+        F.when(F.col("__in_a").isNull(), F.col(f"__b_{c}"))
+        .otherwise(F.col(f"__a_{c}"))
+        .alias(c)
+        for c in compare_cols
+    ]
+    return (
+        j.withColumn("change_type", change_type)
+        .where(F.col("change_type").isNotNull())
+        .select(*keys, "change_type", *out_vals)
+    )

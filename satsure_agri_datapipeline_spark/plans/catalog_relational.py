@@ -1344,3 +1344,115 @@ def orders_profile(spark, sf_dir):
             "o_orderpriority",
         ],
     ).orderBy("column_name")
+
+
+@query(
+    "orders_snapshot_diff",
+    """
+    WITH before_s AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    after_s AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 5.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    j AS (
+        SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+               b.o_totalprice AS bp, a.o_totalprice AS ap,
+               b.o_orderkey IS NOT NULL AS in_b,
+               a.o_orderkey IS NOT NULL AS in_a
+        FROM before_s b FULL JOIN after_s a ON b.o_orderkey = a.o_orderkey
+    )
+    SELECT o_orderkey,
+           CASE WHEN NOT in_a THEN 'delete'
+                WHEN NOT in_b THEN 'insert'
+                ELSE 'update' END AS change_type,
+           CAST(ROUND(COALESCE(ap, bp) * 100) AS BIGINT) AS totalprice_c
+    FROM j
+    WHERE NOT in_a OR NOT in_b OR bp <> ap
+    ORDER BY o_orderkey
+    """,
+)
+def orders_snapshot_diff(spark, sf_dir):
+    """CDC generation (maintenance.snapshot_diff): diff two derived order
+    snapshots into insert/update/delete rows via ONE full-outer join with
+    null-safe value comparison — the batch merge_upsert would then apply."""
+    from satsure_agri_datapipeline_spark.operators import maintenance as mt
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    before = o.where(F.col("o_orderkey") % 7 != 0)
+    after = o.where(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 5.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    d = mt.snapshot_diff(before, after, ["o_orderkey"])
+    return d.select(
+        "o_orderkey",
+        "change_type",
+        cents(F.col("o_totalprice")).alias("totalprice_c"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "events_key_skew",
+    """
+    WITH counts AS (
+        SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT SUM(n_rows) AS t FROM counts),
+    ranked AS (
+        SELECT user_id, n_rows,
+               CAST(FLOOR(n_rows * 10000.0 / tot.t + 0.5) AS BIGINT) AS share_bp,
+               ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id) AS rank
+        FROM counts, tot
+    )
+    SELECT user_id, n_rows, share_bp, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 20 ORDER BY rank
+    """,
+)
+def events_key_skew(spark, sf_dir):
+    """Shuffle-key skew diagnostic (joins.key_histogram): top-20 heaviest
+    user_id keys with corpus share in basis points — the pre-flight before
+    choosing salting / AQE skew handling for a join on that key."""
+    from satsure_agri_datapipeline_spark.operators.joins import key_histogram
+
+    ev = load_table(spark, sf_dir, "events")
+    return key_histogram(ev, ["user_id"], top_n=20).orderBy("rank")
+
+
+@query(
+    "argmax_order_per_priority",
+    """
+    SELECT o_orderpriority,
+           o_orderkey AS top_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS top_totalprice_c
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey DESC
+               ) AS rn
+        FROM orders
+    ) WHERE rn = 1 ORDER BY o_orderpriority
+    """,
+)
+def argmax_order_per_priority(spark, sf_dir):
+    """Grouped argmax via ``max_by`` with a struct ordering key (deterministic
+    tie-break) — a single hash-aggregate, vs the oracle's window+filter
+    formulation: same semantics, two independent derivations. At scale the
+    aggregate form wins: partial max_by composes map-side; the window form
+    sorts every group."""
+    o = load_table(spark, sf_dir, "orders")
+    ord_key = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.max_by(F.col("o_orderkey"), ord_key).alias("top_orderkey"),
+            cents(F.max(ord_key).getField("o_totalprice")).alias("top_totalprice_c"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+from pyspark.sql import functions as F
+
 from satsure_agri_datapipeline_spark.operators import maintenance as mt
 from satsure_agri_datapipeline_spark.operators import validation as vl
 from satsure_agri_datapipeline_spark.operators.dedup import dedup_spans
@@ -158,3 +160,67 @@ def test_retention_cohorts_triangle(spark):
         for r in retention_cohorts(df).collect()
     }
     assert cells == {(0, 0): 1, (0, 2): 1, (2, 0): 1}
+
+
+def test_snapshot_diff_insert_update_delete_and_nullsafe(spark):
+    before = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "k int, v string"
+    )
+    after = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, None), (5, "e")], "k int, v string"
+    )
+    out = {
+        r.k: (r.change_type, r.v)
+        for r in mt.snapshot_diff(before, after, ["k"]).collect()
+    }
+    # 1 unchanged (dropped); 3 null==null unchanged (null-safe compare)
+    assert out == {
+        2: ("update", "B"),
+        4: ("delete", "d"),
+        5: ("insert", "e"),
+    }
+
+
+def test_snapshot_diff_null_to_value_is_update(spark):
+    before = spark.createDataFrame([(1, None)], "k int, v string")
+    after = spark.createDataFrame([(1, "x")], "k int, v string")
+    [r] = mt.snapshot_diff(before, after, ["k"]).collect()
+    assert (r.change_type, r.v) == ("update", "x")
+
+
+def test_snapshot_diff_roundtrips_through_merge_upsert(spark):
+    # Applying the generated diff onto `before` must reproduce `after`.
+    before = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    after = spark.createDataFrame([(1, "A"), (3, "c"), (9, "z")], "k int, v string")
+    diff = mt.snapshot_diff(before, after, ["k"]).withColumn(
+        "is_deleted", F.col("change_type") == "delete"
+    )
+    applied = mt.merge_upsert(
+        before, diff.drop("change_type"), ["k"], deleted_col="is_deleted"
+    )
+    assert {(r.k, r.v) for r in applied.collect()} == {
+        (r.k, r.v) for r in after.collect()
+    }
+
+
+
+def test_key_histogram_ranks_and_share(spark):
+    from satsure_agri_datapipeline_spark.operators.joins import key_histogram
+
+    rows = [("hot",)] * 6 + [("warm",)] * 3 + [("cold",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    out = {r.k: (r.n_rows, r.share_bp, r.rank) for r in key_histogram(df, ["k"]).collect()}
+    assert out == {
+        "hot": (6, 6000, 1),
+        "warm": (3, 3000, 2),
+        "cold": (1, 1000, 3),
+    }
+
+
+def test_key_histogram_top_n_cutoff(spark):
+    from satsure_agri_datapipeline_spark.operators.joins import key_histogram
+
+    df = spark.createDataFrame([(i % 5,) for i in range(50)], "k int")
+    assert key_histogram(df, ["k"], top_n=2).count() == 2
