@@ -631,3 +631,115 @@ def encode_ids(
         ).alias("token_ids"),
         "n_tokens",
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    top_tokens: int = 50,
+    max_postings: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bounded inverted-index build: for the ``top_tokens`` highest-document-
+    frequency tokens, the first ``max_postings`` doc ids (ascending) as a
+    posting list, plus the full document frequency.
+
+    Every stage is bounded BEFORE any per-token collection: distinct
+    (token, doc) pairs → df counts (map-side partials) → top-N tokens by
+    (df DESC, token ASC) → per-token ``row_number`` caps the posting list at
+    ``max_postings`` rows *before* the ``collect_list``, so no unbounded
+    per-group state ever materializes — the discipline an inverted index
+    over a 100 TB corpus requires (full posting lists would be written
+    partitioned by token range, not collected).
+    """
+    pairs = (
+        df.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    dfreq = pairs.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w_top = Window.orderBy(F.col("df").desc(), F.col("tok"))
+    top = dfreq.withColumn("__r", F.row_number().over(w_top)).where(
+        F.col("__r") <= top_tokens
+    )
+    w_post = Window.partitionBy("tok").orderBy(F.col(id_col))
+    ranked = (
+        pairs.join(F.broadcast(top.select("tok", "df")), "tok")
+        .withColumn("__rn", F.row_number().over(w_post))
+        .where(F.col("__rn") <= max_postings)
+    )
+    return (
+        ranked.groupBy("tok")
+        .agg(
+            F.first("df").alias("df"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__rn", id_col))),
+                    lambda s: s.getField(id_col).cast("string"),
+                ),
+            ).alias("postings"),
+        )
+        .select("tok", "df", "postings")
+    )
+
+
+def collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    top_n: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining by integer lift: score adjacent-token bigrams with
+    ``floor(c_ab * 1e6 / (c_a * c_b))`` — monotone in PMI for a fixed corpus
+    (the corpus-size terms are rank-invariant constants), but computed in
+    EXACT integer arithmetic, so scores are identical in any engine (a
+    log-based PMI would inherit libm rounding differences).
+
+    Bigrams come from one pass of ``zip_with`` over the token array with its
+    own tail (map-side, no explode of overlapping windows); unigram counts
+    broadcast back onto the bigram aggregate, which is orders of magnitude
+    smaller than the corpus. ``min_count`` prunes the long tail before
+    ranking, the standard Zipf guard.
+    """
+    toks = F.split(F.col(text_col), " ")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    uni = (
+        df.select(F.explode(toks).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        df.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+    )
+    parts = F.split(F.col("bigram"), " ")
+    scored = (
+        bi.withColumn("__a", parts.getItem(0))
+        .withColumn("__b", parts.getItem(1))
+        .join(F.broadcast(uni.withColumnRenamed("c", "c_a")), F.col("__a") == F.col("tok"))
+        .drop("tok")
+        .join(
+            F.broadcast(uni.withColumnRenamed("c", "c_b")), F.col("__b") == F.col("tok")
+        )
+        .drop("tok")
+        .withColumn(
+            "lift_e6",
+            F.expr("c_ab * 1000000L div (c_a * c_b)"),
+        )
+    )
+    w = Window.orderBy(F.col("lift_e6").desc(), F.col("bigram"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= top_n)
+        .select("bigram", "c_ab", "c_a", "c_b", "lift_e6", F.col("__r").alias("rank"))
+    )

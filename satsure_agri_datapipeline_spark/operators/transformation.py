@@ -260,3 +260,32 @@ def transform(df: DataFrame, config: PipelineConfig) -> DataFrame:
     df = flag_anomalies(df, config)
     df = handle_outliers(df, config.transformation.outlier_handling)
     return df
+
+
+def forward_fill(
+    df: DataFrame,
+    columns: list[str],
+    key_cols: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """LOCF imputation (last observation carried forward): fill nulls in
+    ``columns`` with the most recent non-null value per key, in ``order_cols``
+    order — the standard time-series gap treatment the reference's
+    median-impute (A2) does not cover (median rewrites history; LOCF respects
+    the timeline).
+
+    One window per key over an unbounded-preceding frame using
+    ``last(ignorenulls=True)`` — every fill column shares the single
+    per-key shuffle+sort. Rows before a key's first observation stay null
+    (no lookahead; a backfill variant would be ``first`` over the mirrored
+    following frame).
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in columns:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out

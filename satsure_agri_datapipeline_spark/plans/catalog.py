@@ -777,3 +777,35 @@ def sensor_gap_fill(spark, sf_dir):
         half_up(F.col("value_c") * 100).alias("value_e4"),
         "is_interpolated",
     ).orderBy("sensor_id", "reading_type", "grid_ts")
+
+
+@query(
+    "sensor_forward_fill",
+    f"""
+    WITH readings AS ({READINGS_SQL})
+    SELECT event_id, sensor_id,
+           COALESCE(
+               CAST(FLOOR(last_value(battery_level IGNORE NULLS) OVER (
+                   PARTITION BY sensor_id ORDER BY timestamp, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) * 100 + 0.5) AS BIGINT),
+               -1) AS battery_e2
+    FROM readings ORDER BY event_id
+    """,
+)
+def sensor_forward_fill(spark, sf_dir):
+    """LOCF imputation (transformation.forward_fill): most recent non-null
+    battery reading carried forward per sensor — the timeline-respecting
+    alternative to median impute (A2); -1 marks rows before the first
+    observation."""
+    r = events_as_readings(spark, sf_dir)
+    filled = tr.forward_fill(
+        r, ["battery_level"], ["sensor_id"], ["timestamp", "event_id"]
+    )
+    return filled.select(
+        "event_id",
+        "sensor_id",
+        F.coalesce(half_up(F.col("battery_level") * 100), F.lit(-1).cast("long")).alias(
+            "battery_e2"
+        ),
+    ).orderBy("event_id")

@@ -1635,3 +1635,73 @@ def doc_tokenize_ids(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     vocab = tx.build_vocab(docs, vocab_size=100)
     return tx.encode_ids(docs, vocab, max_len=30).orderBy("doc_id")
+
+
+@query(
+    "doc_inverted_index",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+        ) WHERE tok <> ''
+    ),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM pairs GROUP BY tok),
+    top AS (
+        SELECT tok, df FROM (
+            SELECT tok, df, ROW_NUMBER() OVER (ORDER BY df DESC, tok) AS r
+            FROM dfreq
+        ) WHERE r <= 50
+    ),
+    ranked AS (
+        SELECT p.tok, t.df, p.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY p.tok ORDER BY p.doc_id) AS rn
+        FROM pairs p JOIN top t ON p.tok = t.tok
+    )
+    SELECT tok, df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM ranked WHERE rn <= 20 GROUP BY tok, df ORDER BY tok
+    """,
+)
+def doc_inverted_index(spark, sf_dir):
+    """Bounded inverted index (text.inverted_index): top-50 tokens by doc
+    frequency, posting lists capped at 20 BEFORE collection — no unbounded
+    per-group state."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.inverted_index(docs, top_tokens=50, max_postings=20).orderBy("tok")
+
+
+@query(
+    "doc_collocations",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    uni AS (
+        SELECT tok, COUNT(*) AS c
+        FROM (SELECT UNNEST(toks) AS tok FROM w)
+        WHERE tok <> '' GROUP BY tok
+    ),
+    bi AS (
+        SELECT toks[i] || ' ' || toks[i+1] AS bigram, COUNT(*) AS c_ab
+        FROM w, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+        GROUP BY 1 HAVING COUNT(*) >= 5
+    ),
+    scored AS (
+        SELECT bigram, c_ab, a.c AS c_a, b.c AS c_b,
+               c_ab * 1000000 // (a.c * b.c) AS lift_e6
+        FROM bi
+        JOIN uni a ON string_split(bigram, ' ')[1] = a.tok
+        JOIN uni b ON string_split(bigram, ' ')[2] = b.tok
+    )
+    SELECT bigram, c_ab, c_a, c_b, CAST(lift_e6 AS BIGINT) AS lift_e6,
+           CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY lift_e6 DESC, bigram) AS rank
+        FROM scored
+    ) WHERE rank <= 20 ORDER BY rank
+    """,
+)
+def doc_collocations(spark, sf_dir):
+    """Collocation mining by exact integer lift (text.collocations):
+    zip_with adjacent-token bigrams, broadcast unigram counts, integer
+    ``div`` scoring — rank-equivalent to PMI without libm drift."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.collocations(docs, min_count=5, top_n=20).orderBy("rank")

@@ -1456,3 +1456,30 @@ def argmax_order_per_priority(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "window_percent_rank_orders",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(FLOOR(percent_rank() OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice
+           ) * 1000000 + 0.5) AS BIGINT) AS pr_e6,
+           CAST(FLOOR(cume_dist() OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice
+           ) * 1000000 + 0.5) AS BIGINT) AS cd_e6
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def window_percent_rank_orders(spark, sf_dir):
+    """Relative-standing windows (percent_rank / cume_dist) per priority
+    class — both are (rank-1)/(n-1)-style exact integer ratios scaled to e6,
+    so cross-engine-deterministic despite the double intermediate."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        half_up(F.percent_rank().over(w) * 1000000).alias("pr_e6"),
+        half_up(F.cume_dist().over(w) * 1000000).alias("cd_e6"),
+    ).orderBy("o_orderkey")

@@ -224,3 +224,61 @@ def test_key_histogram_top_n_cutoff(spark):
 
     df = spark.createDataFrame([(i % 5,) for i in range(50)], "k int")
     assert key_histogram(df, ["k"], top_n=2).count() == 2
+
+
+def test_forward_fill_carries_last_observation(spark):
+    from satsure_agri_datapipeline_spark.operators.transformation import forward_fill
+
+    df = spark.createDataFrame(
+        [
+            ("s1", 1, None),   # before first obs -> stays null
+            ("s1", 2, 10.0),
+            ("s1", 3, None),   # -> 10.0
+            ("s1", 4, 20.0),
+            ("s1", 5, None),   # -> 20.0
+            ("s2", 1, None),   # other key untouched by s1's values
+        ],
+        "sensor_id string, seq int, battery double",
+    )
+    out = forward_fill(df, ["battery"], ["sensor_id"], ["seq"])
+    got = {(r.sensor_id, r.seq): r.battery for r in out.collect()}
+    assert got == {
+        ("s1", 1): None,
+        ("s1", 2): 10.0,
+        ("s1", 3): 10.0,
+        ("s1", 4): 20.0,
+        ("s1", 5): 20.0,
+        ("s2", 1): None,
+    }
+
+
+def test_inverted_index_caps_postings_and_ranks_by_df(spark):
+    from satsure_agri_datapipeline_spark.operators.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "x y"), (3, "x z"), (4, "x")],
+        "doc_id int, text string",
+    )
+    out = {r.tok: (r.df, r.postings) for r in inverted_index(docs, top_tokens=2, max_postings=2).collect()}
+    # df: x=4, y=2, z=1 -> top 2 are x, y; x's postings capped at 2
+    assert out == {"x": (4, "1,2"), "y": (2, "1,2")}
+
+
+def test_collocations_integer_lift_and_min_count(spark):
+    from satsure_agri_datapipeline_spark.operators.text import collocations
+
+    # "a b" occurs 3x; unigrams: a=3, b=3 -> lift = 3*1e6 div 9 = 333333
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b")], "doc_id int, text string"
+    )
+    rows = collocations(docs, min_count=3, top_n=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.bigram, r.c_ab, r.c_a, r.c_b, r.lift_e6, r.rank) == ("a b", 3, 3, 3, 333333, 1)
+
+
+def test_collocations_single_token_docs_produce_no_bigrams(spark):
+    from satsure_agri_datapipeline_spark.operators.text import collocations
+
+    docs = spark.createDataFrame([(1, "solo"), (2, "solo")], "doc_id int, text string")
+    assert collocations(docs, min_count=1).count() == 0
