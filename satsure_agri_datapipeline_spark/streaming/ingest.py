@@ -289,3 +289,63 @@ def enrich_stream(
     static side dimension-sized so each micro-batch pays a broadcast, not a
     shuffle. Supported for inner/left with a streaming left side."""
     return stream.join(F.broadcast(dim), on, how)
+
+
+def run_streaming_upsert(
+    spark: SparkSession,
+    config: PipelineConfig,
+    state_dir: str | Path,
+    checkpoint_dir: str | Path,
+    keys: list[str] | None = None,
+    version_col: str = "timestamp",
+    once: bool = True,
+    max_files_per_trigger: int = 10,
+):
+    """Maintain a latest-state table from the stream: each micro-batch is
+    compacted to its newest row per key (``compact_changes``) and folded into
+    the standing state newest-wins — the streaming materialization of a
+    "current value per (sensor, type)" dimension table.
+
+    Newest-wins (union + compact on ``version_col``) rather than
+    batch-blindly-wins makes the fold order-insensitive and idempotent:
+    replayed epochs and out-of-order file discovery converge to the same
+    state. A CDC stream carrying authoritative deletes would use
+    ``maintenance.merge_upsert`` with its ``deleted_col`` instead. The state
+    table is bounded by key cardinality (not stream length), so the
+    per-batch rewrite is a deliberate sandbox substitute for a transactional
+    MERGE sink (Delta/Iceberg ``MERGE INTO``) — the operator composition is
+    what carries over.
+    """
+    from satsure_agri_datapipeline_spark.operators.maintenance import compact_changes
+
+    keys = keys or ["sensor_id", "reading_type"]
+    state_path = str(state_dir)
+    readings = stream_sensor_readings(spark, config, max_files_per_trigger)
+
+    def _apply(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        latest = compact_changes(batch_df, keys, version_col)
+        if _state_exists(spark, state_path):
+            base = spark.read.parquet(state_path)
+            latest = compact_changes(base.unionByName(latest), keys, version_col)
+        # materialize before overwriting the path we just read from
+        latest = latest.persist()
+        latest.count()
+        latest.write.mode("overwrite").parquet(state_path)
+        latest.unpersist()
+
+    writer = readings.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", str(checkpoint_dir)
+    )
+    if once:
+        return writer.trigger(availableNow=True).start()
+    return writer.start()
+
+
+def _state_exists(spark: SparkSession, path: str) -> bool:
+    try:
+        spark.read.parquet(path).schema
+        return True
+    except Exception:
+        return False

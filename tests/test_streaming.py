@@ -284,3 +284,38 @@ def test_stream_static_join_enrichment(spark, tmp_path):
         for r in spark.read.parquet(str(out)).collect()
     }
     assert rows == {("temperature", "celsius"), ("humidity", None)}
+
+
+def test_streaming_upsert_latest_state(spark, tmp_path):
+    """Latest-state table maintained across micro-batches: after processing
+    two days of files one-file-per-trigger, the state equals the batch
+    newest-row-per-key answer; a re-run with a fresh checkpoint (full replay)
+    converges to the identical state (newest-wins idempotence)."""
+    from satsure_agri_datapipeline_spark.streaming.ingest import run_streaming_upsert
+
+    cfg = PipelineConfig().resolve_paths(tmp_path)
+    raw = tmp_path / "data" / "raw"
+    _write_raw(raw, 1)
+    _write_raw(raw, 2)
+
+    q = run_streaming_upsert(
+        spark, cfg, tmp_path / "state", tmp_path / "up_ckpt", once=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    state = spark.read.parquet(str(tmp_path / "state"))
+    rows = state.collect()
+    # one key (s1, temperature); newest row is day-2 hour 23
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.timestamp == datetime(2023, 6, 2, 23) and r.value == 43.0
+
+    # full replay into the same state dir with a fresh checkpoint: converges
+    q2 = run_streaming_upsert(
+        spark, cfg, tmp_path / "state", tmp_path / "up_ckpt2", once=True,
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination(180)
+    [r2] = spark.read.parquet(str(tmp_path / "state")).collect()
+    assert r2.timestamp == r.timestamp and r2.value == r.value
