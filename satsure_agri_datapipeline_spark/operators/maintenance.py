@@ -115,12 +115,13 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     distinct counts and min/max (rendered as strings so heterogenous column
     types stack into one frame).
 
-    Single wide aggregate — ONE pass over the table computes every metric for
-    every column (Tungsten partial/final hash agg), then a ``stack`` pivots
-    the 1-row result to long format driver-free. At 100 TB swap
-    ``count_distinct`` for ``approx_count_distinct`` (the ``approx`` flag);
-    exact distinct over many wide columns is the only term that grows a
-    shuffle here.
+    Single wide aggregate — ONE scan of the table computes every metric for
+    every column, then a ``stack`` pivots the 1-row result to long format
+    driver-free. The multiple exact ``count_distinct``s lower to Catalyst's
+    standard Expand rewrite ((n_cols+1)-way row replication before the
+    partial agg — verified via ``.explain``: one scan, one Expand, two
+    exchanges); at 100 TB swap in ``approx_count_distinct``, which needs no
+    Expand and keeps the pass purely map-side until the final 1-row merge.
     """
     cols = cols or df.columns
     aggs = []

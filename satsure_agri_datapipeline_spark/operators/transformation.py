@@ -289,3 +289,44 @@ def forward_fill(
     for c in columns:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str = "value",
+    group_cols: list[str] | None = None,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    approx: bool = False,
+) -> DataFrame:
+    """Winsorization: clamp ``value_col`` to the [lower, upper] quantiles of
+    its group — the outlier *treatment* counterpart to the detection flags
+    (z-score A3, MAD): instead of dropping or flagging, tails are pulled to
+    the fence, preserving row count for downstream aggregates.
+
+    One grouped percentile aggregate (tiny: one row per group) broadcast back
+    onto the facts, then a map-side ``least/greatest`` clamp — the fact table
+    is scanned twice but never shuffled. ``approx=True`` switches to
+    ``percentile_approx`` (mergeable sketch) for 100 TB inputs where exact
+    fences are overkill.
+
+    Adds ``{value_col}_w`` (clamped), ``clamped_low`` / ``clamped_high``.
+    """
+    group_cols = group_cols or ["reading_type"]
+    if approx:
+        pct = lambda q: F.expr(f"percentile_approx({value_col}, {q})")  # noqa: E731
+    else:
+        pct = lambda q: F.expr(f"percentile({value_col}, {q})")  # noqa: E731
+    fences = df.groupBy(*group_cols).agg(
+        pct(lower).alias("__lo"), pct(upper).alias("__hi")
+    )
+    out = df.join(F.broadcast(fences), on=group_cols)
+    v = F.col(value_col)
+    return (
+        out.withColumn("clamped_low", v < F.col("__lo"))
+        .withColumn("clamped_high", v > F.col("__hi"))
+        .withColumn(
+            f"{value_col}_w", F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+        )
+        .drop("__lo", "__hi")
+    )

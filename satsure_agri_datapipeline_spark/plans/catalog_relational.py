@@ -1483,3 +1483,72 @@ def window_percent_rank_orders(spark, sf_dir):
         half_up(F.percent_rank().over(w) * 1000000).alias("pr_e6"),
         half_up(F.cume_dist().over(w) * 1000000).alias("cd_e6"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "not_in_null_semantics",
+    """
+    SELECT
+        (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+            (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END
+             FROM orders)) AS n_raw,
+        (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+            (SELECT o_custkey FROM orders WHERE o_orderstatus <> 'P')) AS n_filtered
+    """,
+)
+def not_in_null_semantics(spark, sf_dir):
+    """ANSI NOT IN three-valued-logic check, cross-engine: a NULL anywhere in
+    the subquery makes NOT IN unsatisfiable (n_raw = 0 — the classic
+    footgun), while the null-filtered variant is a real anti-join. Spark
+    lowers the raw form to a null-aware anti-join (broadcast NAAJ); both
+    engines must agree on both counts."""
+    from satsure_agri_datapipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+            (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+                (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END
+                 FROM orders)) AS n_raw,
+            (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+                (SELECT o_custkey FROM orders WHERE o_orderstatus <> 'P')) AS n_filtered
+        """
+    )
+
+
+@query(
+    "cheapest_supplier_per_part",
+    """
+    WITH mins AS (
+        SELECT l_partkey, MIN(l_extendedprice) AS m
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l.l_partkey, l.l_suppkey,
+           CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS price_c
+    FROM lineitem l JOIN mins ON l.l_partkey = mins.l_partkey
+    WHERE l.l_extendedprice = mins.m
+    ORDER BY l.l_partkey, l.l_suppkey
+    """,
+)
+def cheapest_supplier_per_part(spark, sf_dir):
+    """Aggregate-equality join-back (TPC-H Q2's core shape, on lineitem):
+    per-part MIN price, then join back to recover ALL rows achieving it —
+    returns every tied winner, which argmax (`max_by`) cannot. The per-part
+    aggregate is dimension-sized and broadcast; double equality is safe
+    because MIN is a selection, not arithmetic (identical bits both
+    engines)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    mins = li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("m"))
+    return (
+        li.join(F.broadcast(mins), "l_partkey")
+        .where(F.col("l_extendedprice") == F.col("m"))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            cents(F.col("l_extendedprice")).alias("price_c"),
+        )
+        .orderBy("l_partkey", "l_suppkey")
+    )

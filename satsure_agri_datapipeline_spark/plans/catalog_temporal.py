@@ -279,3 +279,49 @@ def user_retention_cohorts(spark, sf_dir):
     return tp2.retention_cohorts(ev, user_col="user_id", ts_col="ts").orderBy(
         "cohort_week", "week_offset"
     )
+
+
+@query(
+    "events_winsorized",
+    """
+    WITH fences AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type
+    ),
+    clamped AS (
+        SELECT e.event_type,
+               CASE WHEN e.value < f.lo THEN 1 ELSE 0 END AS is_lo,
+               CASE WHEN e.value > f.hi THEN 1 ELSE 0 END AS is_hi,
+               LEAST(GREATEST(e.value, f.lo), f.hi) AS vw
+        FROM events e JOIN fences f USING (event_type)
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(is_lo) AS BIGINT) AS n_low,
+           CAST(SUM(is_hi) AS BIGINT) AS n_high,
+           CAST(SUM(CAST(ROUND(vw * 100) AS BIGINT)) AS BIGINT) AS sum_clamped_c
+    FROM clamped GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_winsorized(spark, sf_dir):
+    """Winsorization (transformation.winsorize): clamp values to per-type
+    [p5, p95] fences — outlier treatment that preserves row count; exact
+    integer-cents sum keeps the aggregate order-independent."""
+    from satsure_agri_datapipeline_spark.operators.transformation import winsorize
+    from satsure_agri_datapipeline_spark.plans.catalog import cents
+    from satsure_agri_datapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = winsorize(ev, value_col="value", group_cols=["event_type"])
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("clamped_low").cast("long")).alias("n_low"),
+            F.sum(F.col("clamped_high").cast("long")).alias("n_high"),
+            F.sum(cents(F.col("value_w"))).alias("sum_clamped_c"),
+        )
+        .orderBy("event_type")
+    )

@@ -282,3 +282,24 @@ def test_collocations_single_token_docs_produce_no_bigrams(spark):
 
     docs = spark.createDataFrame([(1, "solo"), (2, "solo")], "doc_id int, text string")
     assert collocations(docs, min_count=1).count() == 0
+
+
+def test_winsorize_clamps_tails_preserves_rows(spark):
+    from satsure_agri_datapipeline_spark.operators.transformation import winsorize
+
+    # values 1..10: p5 fence 1.45, p95 fence 9.55 (linear interpolation)
+    df = spark.createDataFrame(
+        [("t", float(i)) for i in range(1, 11)], "g string, value double"
+    )
+    out = winsorize(df, value_col="value", group_cols=["g"]).collect()
+    assert len(out) == 10  # row count preserved
+    lo = [r for r in out if r.clamped_low]
+    hi = [r for r in out if r.clamped_high]
+    import pytest
+
+    assert [r.value for r in lo] == [1.0]
+    assert lo[0].value_w == pytest.approx(1.45)
+    assert [r.value for r in hi] == [10.0]
+    assert hi[0].value_w == pytest.approx(9.55)
+    untouched = [r for r in out if not (r.clamped_low or r.clamped_high)]
+    assert all(r.value_w == r.value for r in untouched)
