@@ -702,3 +702,40 @@ def dedup_spans(
         ).alias("text_clean"),
         "n_spans_kept",
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Near-dup dedup keeping the BEST-scoring member of each cluster
+    (highest ``score_col``, ties to the higher id) — the production
+    refinement of ``dedup_keep_canonical``: when duplicates differ (truncated
+    copies, boilerplate-injected mirrors), you keep the longest/highest-
+    quality version, not the lowest id.
+
+    Same shape as the canonical variant plus one aggregate: components →
+    join member scores (the component relation is O(docs-in-any-pair), far
+    smaller than the corpus) → per-cluster ``max_by`` picks winners → losers
+    anti-join the corpus. Every join is keyed and dimension-sized except the
+    final anti-join, which AQE broadcasts when the dup set is small."""
+    comps = connected_components(pairs, src_col, dst_col)
+    members = comps.join(
+        df.select(F.col(id_col).alias("node_id"), F.col(score_col).alias("__s")),
+        "node_id",
+    )
+    winners = members.groupBy("component_id").agg(
+        F.max_by(
+            F.col("node_id"), F.struct(F.col("__s"), F.col("node_id"))
+        ).alias("__winner")
+    )
+    losers = (
+        members.join(winners, "component_id")
+        .where(F.col("node_id") != F.col("__winner"))
+        .select(F.col("node_id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -1705,3 +1705,48 @@ def doc_collocations(spark, sf_dir):
     ``div`` scoring — rank-equivalent to PMI without libm drift."""
     docs = load_table(spark, sf_dir, "documents")
     return tx.collocations(docs, min_count=5, top_n=20).orderBy("rank")
+
+
+@query(
+    "doc_dedup_best_quality",
+    f"""
+    WITH RECURSIVE {JACCARD_PAIRS_SQL},
+    sym AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT DISTINCT src, src FROM sym
+        UNION
+        SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.node
+    ),
+    members AS (
+        SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node
+    ),
+    ranked AS (
+        SELECT m.node,
+               ROW_NUMBER() OVER (
+                   PARTITION BY m.cluster
+                   ORDER BY d.n_chars DESC, m.node DESC
+               ) AS rn
+        FROM members m JOIN documents d ON m.node = d.doc_id
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM ranked WHERE rn > 1)
+    ORDER BY doc_id
+    """,
+)
+def doc_dedup_best_quality(spark, sf_dir):
+    """Quality-priority near-dedup (dedup.dedup_keep_best): each Jaccard
+    cluster keeps its LONGEST member (n_chars, ties to higher id) instead of
+    the min id — truncated copies lose to the full document. Oracle
+    re-derives clusters with a recursive CTE and picks winners by window
+    rank; Spark picks them with a per-cluster max_by aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return (
+        dd.dedup_keep_best(docs, pairs, score_col="n_chars")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

@@ -303,3 +303,16 @@ def test_winsorize_clamps_tails_preserves_rows(spark):
     assert hi[0].value_w == pytest.approx(9.55)
     untouched = [r for r in out if not (r.clamped_low or r.clamped_high)]
     assert all(r.value_w == r.value for r in untouched)
+
+
+def test_dedup_keep_best_prefers_high_score_member(spark):
+    from satsure_agri_datapipeline_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 500), (3, 500), (9, 42)],  # 9 is un-paired
+        "doc_id int, n_chars int",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a int, id_b int")
+    kept = sorted(r.doc_id for r in dedup_keep_best(docs, pairs, "n_chars").collect())
+    # cluster {1,2,3}: scores 100/500/500 -> tie between 2 and 3 -> higher id 3
+    assert kept == [3, 9]
