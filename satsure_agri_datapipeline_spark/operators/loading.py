@@ -244,3 +244,34 @@ def compact_partitions(
         "files_before": files_before,
         "files_after": files_after,
     }
+
+
+def _spread_bits_expr(col_sql: str) -> str:
+    """SQL expression interleaving a 16-bit value's bits with zeros (the
+    classic magic-number spread), portable to any engine with shift/and/or."""
+    e = f"(CAST({col_sql} AS BIGINT) & 65535)"
+    e = f"(({e} | ({e} << 8)) & 16711935)"        # 0x00FF00FF
+    e = f"(({e} | ({e} << 4)) & 252645135)"       # 0x0F0F0F0F
+    e = f"(({e} | ({e} << 2)) & 858993459)"       # 0x33333333
+    e = f"(({e} | ({e} << 1)) & 1431655765)"      # 0x55555555
+    return e
+
+
+def zorder_key_sql(x_sql: str, y_sql: str) -> str:
+    """Portable SQL for a 32-bit Morton (Z-order) key of two 16-bit values:
+    x occupies even bits, y odd bits."""
+    return f"({_spread_bits_expr(x_sql)} | ({_spread_bits_expr(y_sql)} << 1))"
+
+
+def zorder_key(x_col: str, y_col: str):
+    """Morton (Z-order) interleave key as a Column — multi-dimensional
+    clustering for data skipping: sorting (or range-partitioning) a table by
+    this key before writing makes parquet row groups locally compact in BOTH
+    dimensions, so min/max row-group stats prune 2-D range predicates the
+    way a 1-D sort only prunes its own column. This is the portable core of
+    Delta/Iceberg OPTIMIZE ZORDER; pure integer bit arithmetic, identical in
+    any engine. Inputs are clamped to 16 bits each (pre-scale/bucket wider
+    domains first)."""
+    from pyspark.sql import functions as F
+
+    return F.expr(zorder_key_sql(x_col, y_col))

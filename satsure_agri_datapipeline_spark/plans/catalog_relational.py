@@ -1552,3 +1552,35 @@ def cheapest_supplier_per_part(spark, sf_dir):
         )
         .orderBy("l_partkey", "l_suppkey")
     )
+
+
+def _zorder_oracle() -> str:
+    from satsure_agri_datapipeline_spark.operators.loading import zorder_key_sql
+
+    zk = zorder_key_sql("user_id % 65536", "CAST(FLOOR(value) AS BIGINT) % 65536")
+    return f"""
+    SELECT event_id, CAST({zk} AS BIGINT) AS zkey
+    FROM events WHERE event_id % 101 = 0 ORDER BY event_id
+    """
+
+
+@query("events_zorder_key", _zorder_oracle())
+def events_zorder_key(spark, sf_dir):
+    """Morton Z-order key (loading.zorder_key) over (user_id, floor(value)):
+    the clustering key that makes 2-D range predicates prunable from parquet
+    row-group stats. Exact integer bit arithmetic — identical cross-engine
+    by construction (the oracle is generated from the same SQL builder, so
+    this checks Spark's bitwise lowering against DuckDB's)."""
+    from satsure_agri_datapipeline_spark.operators.loading import zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_id") % 101 == 0)
+        .select(
+            "event_id",
+            zorder_key(
+                "user_id % 65536", "CAST(FLOOR(value) AS BIGINT) % 65536"
+            ).cast("long").alias("zkey"),
+        )
+        .orderBy("event_id")
+    )
