@@ -739,3 +739,49 @@ def dedup_keep_best(
         .select(F.col("node_id").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold_e4: int = 8000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by max-containment: ``inter / min(|A|, |B|)`` —
+    the asymmetric-duplication detector symmetric Jaccard misses: a short
+    document wholly embedded in a long one (quote farms, truncated mirrors,
+    article+boilerplate wrappers) has low Jaccard (union is large) but
+    containment ≈ 1. RefinedWeb/CCNet-style pipelines run BOTH signals.
+
+    Same execution shape as :func:`ngram_jaccard_pairs` (shingle-hash bucket
+    self-join, shuffled-hash, set sizes riding the exploded relation); the
+    score is kept in exact integer basis points (``inter * 1e4 div min``),
+    so thresholds and outputs are engine-exact. Returns
+    (id_a, id_b, inter, n_a, n_b, containment_e4), id_a < id_b.
+    """
+    arr = shingle_hash_arrays(df, n=n, seed=0, text_col=text_col, id_col=id_col)
+    arr = arr.persist(StorageLevel.MEMORY_AND_DISK)
+    sh = arr.select(
+        F.col(id_col),
+        F.size("shs").alias("n_sh"),
+        F.explode("shs").alias("sh"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "sh")
+    inter = (
+        a.hint("shuffle_hash")
+        .join(b, ["sh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+        )
+    )
+    out = inter.withColumn(
+        "containment_e4",
+        F.expr("inter * 10000L div least(n_a, n_b)"),
+    ).where(F.col("containment_e4") >= threshold_e4)
+    return _register_cache(out, arr)

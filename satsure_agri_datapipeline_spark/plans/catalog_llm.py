@@ -1750,3 +1750,36 @@ def doc_dedup_best_quality(spark, sf_dir):
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "doc_containment_pairs",
+    f"""
+    WITH {SHINGLES_SQL},
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5('0:' || shingle), 1, 15))::BIGINT AS sh
+        FROM shingles
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hashed GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM hashed a JOIN hashed b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(inter * 10000 // LEAST(sa.n_sh, sb.n_sh) AS BIGINT) AS containment_e4
+    FROM inter
+    JOIN sizes sa ON inter.id_a = sa.doc_id
+    JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE inter * 10000 // LEAST(sa.n_sh, sb.n_sh) >= 8000
+    ORDER BY id_a, id_b
+    """,
+)
+def doc_containment_pairs(spark, sf_dir):
+    """Max-containment near-dup pairs (dedup.containment_pairs): catches a
+    short doc embedded in a long one, which symmetric Jaccard misses; score
+    in exact integer basis points."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.containment_pairs(docs, n=3, threshold_e4=8000).orderBy(
+        "id_a", "id_b"
+    )

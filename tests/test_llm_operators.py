@@ -631,3 +631,28 @@ def test_domain_mix_weights(spark):
     nat = {(r.lang, r.source): r for r in tx.domain_mix_weights(df, temperature=1.0).collect()}
     assert nat[("en", "web")].weight_e6 == 800000
     assert nat[("de", "book")].weight_e6 == 200000
+
+
+def test_containment_catches_embedded_short_doc(spark):
+    """A short doc wholly contained in a long one: containment = 1.0 while
+    Jaccard stays below a 0.5 threshold — the case the symmetric signal
+    misses (dedup.containment_pairs docstring)."""
+    from satsure_agri_datapipeline_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+        release,
+    )
+
+    short = " ".join(f"w{i}" for i in range(12))          # 10 3-gram shingles
+    long = short + " " + " ".join(f"x{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id int, text string"
+    )
+    cp = containment_pairs(docs, n=3, threshold_e4=8000)
+    [r] = cp.collect()
+    assert (r.id_a, r.id_b, r.containment_e4) == (1, 2, 10000)
+    release(cp)
+
+    jp = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    assert jp.count() == 0  # symmetric Jaccard misses it
+    release(jp)
