@@ -1584,3 +1584,45 @@ def events_zorder_key(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "orders_subtree_rollup",
+    """
+    WITH RECURSIVE chain(anc, price) AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        UNION ALL
+        SELECT anc // 10, price FROM chain WHERE anc > 0
+    )
+    SELECT anc AS node,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(price * 100) AS BIGINT)) AS BIGINT) AS subtree_revenue_c
+    FROM chain WHERE anc < 100
+    GROUP BY anc ORDER BY anc
+    """,
+)
+def orders_subtree_rollup(spark, sf_dir):
+    """Recursive-CTE hierarchical rollup (Spark 4 ``WITH RECURSIVE``):
+    every order key walks its ancestor chain ``key -> key div 10 -> ... -> 0``
+    (a synthetic decimal-trie hierarchy) and revenue aggregates per subtree.
+    Recursion depth is O(log10(max_key)) — bounded and scale-safe; each
+    round is one narrow projection, and the aggregate is an ordinary
+    hash-agg over the expanded chain."""
+    from satsure_agri_datapipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(anc, price) AS (
+            SELECT o_orderkey, o_totalprice FROM orders
+            UNION ALL
+            SELECT anc div 10, price FROM chain WHERE anc > 0
+        )
+        SELECT anc AS node,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(price * 100) AS BIGINT)) AS BIGINT)
+                   AS subtree_revenue_c
+        FROM chain WHERE anc < 100
+        GROUP BY anc ORDER BY anc
+        """
+    )
