@@ -325,3 +325,39 @@ def events_winsorized(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_value_percentiles",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(FLOOR(quantile_cont(value, 0.50) * 100 + 0.5) AS BIGINT) AS p50_e2,
+           CAST(FLOOR(quantile_cont(value, 0.95) * 100 + 0.5) AS BIGINT) AS p95_e2,
+           CAST(FLOOR(quantile_cont(value, 0.99) * 100 + 0.5) AS BIGINT) AS p99_e2
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_value_percentiles(spark, sf_dir):
+    """SLA-style tail percentiles (p50/p95/p99) per event_type in ONE
+    grouped aggregate — `percentile` takes the probe array, so the sort-based
+    exact computation runs once per group, not once per probe. The scale
+    switch is `percentile_approx` with the same array signature (mergeable
+    sketch, map-side partials)."""
+    from satsure_agri_datapipeline_spark.plans.catalog import half_up
+    from satsure_agri_datapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    pcts = F.expr("percentile(value, array(0.50, 0.95, 0.99))")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), pcts.alias("__p"))
+        .select(
+            "event_type",
+            "n",
+            half_up(F.col("__p").getItem(0) * 100).alias("p50_e2"),
+            half_up(F.col("__p").getItem(1) * 100).alias("p95_e2"),
+            half_up(F.col("__p").getItem(2) * 100).alias("p99_e2"),
+        )
+        .orderBy("event_type")
+    )
