@@ -522,3 +522,38 @@ def merge_sketches(sketches: DataFrame, lg_k: int = 12) -> DataFrame:
     return sketches.agg(
         F.hll_union_agg(F.col("sketch"), F.lit(True)).alias("sketch")
     ).select("sketch", F.hll_sketch_estimate("sketch").cast("long").alias("estimate"))
+
+
+def theta_group_sketches(
+    df: DataFrame, col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group Theta sketches over ``col`` (DataSketches, Spark 4 native
+    ``theta_sketch_agg``): unlike HLL, Theta sketches support set
+    INTERSECTION and DIFFERENCE, so distinct-overlap questions ("users who
+    did A and B") become sketch algebra instead of a self-join. Sketches are
+    mergeable: build per group/partition/day once, combine forever —
+    exact below the sketch's nominal-entries capacity (default 2^12),
+    bounded-error samples beyond it."""
+    return df.groupBy(*group_cols).agg(
+        F.expr(f"theta_sketch_agg({col})").alias("theta_sketch")
+    )
+
+
+def theta_overlap(sketches: DataFrame, group_col: str, a: str, b: str) -> DataFrame:
+    """Distinct-count overlap report between two groups' Theta sketches:
+    |A|, |B|, |A∩B|, |A∪B|, |A\\B| — one row, computed entirely from the two
+    fixed-size sketches (the raw data is never revisited; at 100 TB the
+    sketches are KB-sized summaries of arbitrarily large groups)."""
+    sa = sketches.where(F.col(group_col) == a).select(
+        F.col("theta_sketch").alias("__a")
+    )
+    sb = sketches.where(F.col(group_col) == b).select(
+        F.col("theta_sketch").alias("__b")
+    )
+    return sa.crossJoin(sb).select(
+        F.expr("theta_sketch_estimate(__a)").alias("n_a"),
+        F.expr("theta_sketch_estimate(__b)").alias("n_b"),
+        F.expr("theta_sketch_estimate(theta_intersection(__a, __b))").alias("n_both"),
+        F.expr("theta_sketch_estimate(theta_union(__a, __b))").alias("n_either"),
+        F.expr("theta_sketch_estimate(theta_difference(__a, __b))").alias("n_only_a"),
+    )

@@ -103,3 +103,41 @@ def test_decontaminate_broadcasts_benchmark_hashes(spark):
     train = docs.where(F.col("doc_id") % 97 != 0)
     plan = plan_of(decontaminate(train, bench, n=4))
     assert "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """AQE runtime bloom filters (on by default in session.py's Spark 4
+    defaults) push a might_contain pre-filter from a selective dimension
+    side into the fact scan of a shuffle join — the runtime analog of static
+    predicate pushdown. Thresholds are lowered here because the sandbox
+    tables sit far below the 10 GB production default."""
+    from pyspark.sql import functions as F
+
+    from satsure_agri_datapipeline_spark.sources.tables import load_table
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        o = load_table(spark, "/root/testdata/sf0.001", "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        plan = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            ._jdf.queryExecution()
+            .toString()
+            .lower()
+        )
+        assert "bloomfilter" in plan or "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

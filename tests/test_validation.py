@@ -146,3 +146,31 @@ def test_hll_sketches_merge_and_estimate(spark):
     assert abs(merged.estimate - 5000) / 5000 < 0.05
     # union of overlapping sketches must not double count (sum would be 15000)
     assert merged.estimate < 7500
+
+
+def test_theta_overlap_matches_exact_at_small_cardinality(spark):
+    """Theta sketches are exact below nominal-entries capacity: the
+    click∩purchase distinct-user overlap from sketch algebra must equal the
+    exact intersect-join answer at test scale (operators/validation.py
+    theta_group_sketches/theta_overlap)."""
+    from pyspark.sql import functions as F
+
+    from satsure_agri_datapipeline_spark.operators.validation import (
+        theta_group_sketches,
+        theta_overlap,
+    )
+    from satsure_agri_datapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    sk = theta_group_sketches(ev, "user_id", ["event_type"])
+    [r] = theta_overlap(sk, "event_type", "click", "purchase").collect()
+
+    def users(t):
+        return ev.where(F.col("event_type") == t).select("user_id").distinct()
+
+    exact_a = users("click").count()
+    exact_b = users("purchase").count()
+    exact_both = users("click").intersect(users("purchase")).count()
+    assert (r.n_a, r.n_b, r.n_both) == (exact_a, exact_b, exact_both)
+    assert r.n_either == exact_a + exact_b - exact_both
+    assert r.n_only_a == exact_a - exact_both
