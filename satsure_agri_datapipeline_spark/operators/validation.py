@@ -557,3 +557,38 @@ def theta_overlap(sketches: DataFrame, group_col: str, a: str, b: str) -> DataFr
         F.expr("theta_sketch_estimate(theta_union(__a, __b))").alias("n_either"),
         F.expr("theta_sketch_estimate(theta_difference(__a, __b))").alias("n_only_a"),
     )
+
+
+def kll_group_sketches(
+    df: DataFrame, col: str, group_cols: list[str], k: int = 200
+) -> DataFrame:
+    """Per-group KLL quantile sketches (DataSketches, Spark 4 native):
+    the mergeable-quantile counterpart to the HLL/Theta distinct sketches —
+    build per group/partition/day once, merge forever. This is how a 100 TB
+    pipeline maintains p50/p95/p99 incrementally: per-batch sketches are
+    KB-sized, and merging N of them never rescans data. Rank error is
+    ~1.65/sqrt(k) at 99% confidence (k=200 → ~1.2%)."""
+    return df.groupBy(*group_cols).agg(
+        F.expr(f"kll_sketch_agg_double({col}, {k})").alias("kll_sketch")
+    )
+
+
+def kll_merged_quantiles(
+    sketches: DataFrame, probes: list[float] | None = None
+) -> DataFrame:
+    """Merge a relation of KLL sketches into one and read global quantiles —
+    one row with a column per probe. The merge is an ordinary aggregate
+    (``kll_merge_agg_double``), so partial merging applies and the input can
+    be any number of per-group/per-day sketches."""
+    probes = probes or [0.5, 0.95, 0.99]
+    merged = sketches.agg(
+        F.expr("kll_merge_agg_double(kll_sketch)").alias("__m")
+    )
+    return merged.select(
+        *[
+            F.expr(f"kll_sketch_get_quantile_double(__m, {q})").alias(
+                f"p{int(q * 100)}"
+            )
+            for q in probes
+        ]
+    )

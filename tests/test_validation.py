@@ -174,3 +174,25 @@ def test_theta_overlap_matches_exact_at_small_cardinality(spark):
     assert (r.n_a, r.n_b, r.n_both) == (exact_a, exact_b, exact_both)
     assert r.n_either == exact_a + exact_b - exact_both
     assert r.n_only_a == exact_a - exact_both
+
+
+def test_kll_merged_quantiles_within_rank_error(spark):
+    """Per-type KLL sketches merged to a global sketch: each sketched
+    quantile's TRUE rank (fraction of values <= it) must sit within the
+    k=200 rank-error bound (~2%) of the probe — the merge path loses no
+    accuracy guarantee (operators/validation.py kll_group_sketches)."""
+    from pyspark.sql import functions as F
+
+    from satsure_agri_datapipeline_spark.operators.validation import (
+        kll_group_sketches,
+        kll_merged_quantiles,
+    )
+    from satsure_agri_datapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    sk = kll_group_sketches(ev, "value", ["event_type"])
+    [q] = kll_merged_quantiles(sk, probes=[0.5, 0.95]).collect()
+    total = ev.count()
+    for probe, val in ((0.5, q.p50), (0.95, q.p95)):
+        true_rank = ev.where(F.col("value") <= val).count() / total
+        assert abs(true_rank - probe) < 0.02, (probe, val, true_rank)
