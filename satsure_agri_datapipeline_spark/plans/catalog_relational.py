@@ -1626,3 +1626,89 @@ def orders_subtree_rollup(spark, sf_dir):
         GROUP BY anc ORDER BY anc
         """
     )
+
+
+@query(
+    "tpch_promo_revenue",
+    """
+    WITH j AS (
+        SELECT CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS rev_e4,
+               p.p_type
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-04-01'
+    )
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) AS BIGINT)
+               AS promo_rev_e4,
+           CAST(SUM(rev_e4) AS BIGINT) AS total_rev_e4,
+           CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) * 10000
+                // SUM(rev_e4) AS BIGINT) AS promo_share_bp
+    FROM j
+    """,
+)
+def tpch_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape — promo revenue share for a quarter: broadcast part
+    dimension, shipdate range pushed to the lineitem scan, revenue kept in
+    exact 1e-4 currency units so the share is an exact integer ratio."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+    j = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(rev.alias("rev_e4"), "p_type")
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_e4")).otherwise(0))
+    total = F.sum(F.col("rev_e4"))
+    return j.agg(
+        promo.cast("long").alias("promo_rev_e4"),
+        total.cast("long").alias("total_rev_e4"),
+        F.expr(
+            "CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) * 10000"
+            " div sum(rev_e4) AS BIGINT)"
+        ).alias("promo_share_bp"),
+    )
+
+
+@query(
+    "tpch_disjunctive_revenue",
+    """
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+               AS revenue_e4
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape — OR-of-ANDs over mixed-side predicates: the classic
+    disjunctive-pushdown test. Catalyst extracts the common part-side
+    disjunction (brand/size) below the join where possible and evaluates the
+    residual on joined rows; the part dimension broadcasts either way."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & q.between(20, 30))
+    )
+    rev = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(rev).cast("long").alias("revenue_e4"),
+        )
+    )
