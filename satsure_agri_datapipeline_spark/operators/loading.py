@@ -275,3 +275,31 @@ def zorder_key(x_col: str, y_col: str):
     from pyspark.sql import functions as F
 
     return F.expr(zorder_key_sql(x_col, y_col))
+
+
+def write_zordered(
+    df,
+    x_col: str,
+    y_col: str,
+    output_dir,
+    n_files: int = 16,
+    compression: str = "zstd",
+):
+    """Z-order-clustered parquet write: range-partition + sort by the Morton
+    key of (x, y), so every output file covers a compact 2-D block and its
+    row-group/file min-max stats prune BOTH dimensions' range predicates
+    (a 1-D sort prunes only its own column and leaves the other dimension's
+    span at full width per file). ``repartitionByRange`` samples the key to
+    balance file sizes — the write stays one shuffle + per-partition sort,
+    exactly like a plain sorted write."""
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn("__zkey", zorder_key(x_col, y_col))
+    (
+        keyed.repartitionByRange(n_files, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(str(output_dir))
+    )

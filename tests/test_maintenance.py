@@ -358,3 +358,43 @@ def test_zorder_sorted_write_is_locally_compact(spark, tmp_path):
         xs = [p[0] for p in chunk]
         ys = [p[1] for p in chunk]
         assert max(xs) - min(xs) <= 15 and max(ys) - min(ys) <= 15
+
+
+def test_write_zordered_bounds_both_dims_per_file(spark, tmp_path):
+    """Files from a z-ordered write cover compact 2-D blocks: per-file spans
+    are bounded in BOTH dimensions, while an x-sorted write leaves y at full
+    width — the min/max-stat pruning advantage, measured directly."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from satsure_agri_datapipeline_spark.operators.loading import write_zordered
+
+    pts = [(x, y) for x, y in itertools.product(range(64), range(64))]
+    df = spark.createDataFrame(pts, "x int, y int")
+
+    write_zordered(df, "x", "y", tmp_path / "zo", n_files=16)
+    spans = (
+        spark.read.parquet(str(tmp_path / "zo"))
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .collect()
+    )
+    assert len(spans) > 1
+    # each 2-D block stays well under the full 0..63 width in BOTH dims
+    assert max(r.sx for r in spans) <= 32 and max(r.sy for r in spans) <= 32
+
+    # contrast: 1-D x-sorted write leaves y at full width per file
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "xs"))
+    y_spans = (
+        spark.read.parquet(str(tmp_path / "xs"))
+        .groupBy(F.input_file_name().alias("f"))
+        .agg((F.max("y") - F.min("y")).alias("sy"))
+        .collect()
+    )
+    assert max(r.sy for r in y_spans) == 63
