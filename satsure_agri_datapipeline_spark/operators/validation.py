@@ -592,3 +592,73 @@ def kll_merged_quantiles(
             for q in probes
         ]
     )
+
+
+def cms_sketch(
+    df: DataFrame,
+    col: str,
+    eps: float = 0.01,
+    confidence: float = 0.95,
+    seed: int = 42,
+) -> DataFrame:
+    """Count-Min frequency sketch over ``col`` (Spark's native
+    ``count_min_sketch`` aggregate): one binary row summarizing per-item
+    frequencies with one-sided error — estimates never undercount and
+    overcount by at most ``eps * N`` with ``confidence``. The last member of
+    the sketch family: HLL answers "how many distinct", Theta "how do sets
+    overlap", KLL "what are the quantiles", CMS "how often does THIS item
+    occur" — all mergeable, all constant-size, none rescan data."""
+    return df.agg(
+        F.expr(f"count_min_sketch({col}, {eps}d, {confidence}d, {seed})").alias(
+            "cms_sketch"
+        )
+    )
+
+
+def cms_estimate(spark: SparkSession, sketch_bytes: bytes, items: list) -> dict:
+    """Read item-frequency estimates out of a serialized Count-Min sketch
+    (driver-side, O(1) per item — the sketch IS the summary; public Spark
+    ``CountMinSketch.readFrom``)."""
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(sketch_bytes))
+    )
+    return {item: cms.estimateCount(item) for item in items}
+
+
+def cms_merge(spark: SparkSession, sketch_blobs: list[bytes]) -> bytes:
+    """Merge serialized Count-Min sketches (same eps/confidence/seed family)
+    into one — per-batch sketches combine associatively, so frequency
+    monitoring over a stream never reprocesses history."""
+    jvm = spark._jvm
+    first, *rest = sketch_blobs
+    acc = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(first))
+    )
+    for b in rest:
+        acc.mergeInPlace(
+            jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+                jvm.java.io.ByteArrayInputStream(bytes(b))
+            )
+        )
+    out = jvm.java.io.ByteArrayOutputStream()
+    acc.writeTo(out)
+    return bytes(out.toByteArray())
+
+
+def observed_counters(df: DataFrame, name: str, critical_cols: list[str]):
+    """Attach pipeline counters to an EXISTING action via ``observe`` —
+    row count and per-column null counts are computed as the data streams
+    through whatever action the caller runs next (write, count, collect),
+    costing ZERO extra jobs. This is the idiomatic Spark replacement for the
+    reference's per-stage counter dict (``transformation.py:33-40``), which
+    pays a full pass per counter. Returns (df, observation); read
+    ``observation.get`` AFTER the action completes."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}")
+        for c in critical_cols
+    ]
+    return df.observe(obs, *metrics), obs

@@ -196,3 +196,41 @@ def test_kll_merged_quantiles_within_rank_error(spark):
     for probe, val in ((0.5, q.p50), (0.95, q.p95)):
         true_rank = ev.where(F.col("value") <= val).count() / total
         assert abs(true_rank - probe) < 0.02, (probe, val, true_rank)
+
+
+def test_cms_sketch_estimates_and_merges(spark):
+    """CMS one-sided error: estimates never undercount, overcount bounded by
+    eps*N; merging two half sketches equals sketching the whole
+    (operators/validation.py cms_sketch/cms_estimate/cms_merge)."""
+    from satsure_agri_datapipeline_spark.operators.validation import (
+        cms_estimate,
+        cms_merge,
+        cms_sketch,
+    )
+
+    rows = [("hot",)] * 500 + [("warm",)] * 50 + [("cold",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    [r] = cms_sketch(df, "k", eps=0.01).collect()
+    est = cms_estimate(spark, r.cms_sketch, ["hot", "warm", "cold"])
+    n = len(rows)
+    for item, true in (("hot", 500), ("warm", 50), ("cold", 5)):
+        assert true <= est[item] <= true + 0.01 * n + 1
+
+    [a] = cms_sketch(df.where(F.col("k") != "cold"), "k").collect()
+    [b] = cms_sketch(df.where(F.col("k") == "cold"), "k").collect()
+    merged = cms_merge(spark, [a.cms_sketch, b.cms_sketch])
+    est2 = cms_estimate(spark, merged, ["hot", "cold"])
+    assert est2["hot"] >= 500 and est2["cold"] >= 5
+
+
+def test_observed_counters_ride_the_action(spark):
+    """observe-based counters: one action yields rows + null counts with no
+    extra jobs (operators/validation.py observed_counters)."""
+    from satsure_agri_datapipeline_spark.operators.validation import observed_counters
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None)], "id int, v string"
+    )
+    observed, obs = observed_counters(df, "stage0", ["v"])
+    observed.write.format("noop").mode("overwrite").save()
+    assert obs.get == {"n_rows": 3, "null_v": 2}
