@@ -1712,3 +1712,41 @@ def tpch_disjunctive_revenue(spark, sf_dir):
             F.sum(rev).cast("long").alias("revenue_e4"),
         )
     )
+
+
+@query(
+    "tpch_small_qty_revenue",
+    """
+    WITH avg_qty AS (
+        SELECT l_partkey,
+               CAST(FLOOR(AVG(CAST(ROUND(l_quantity * 100) AS BIGINT)) * 0.2 + 0.5)
+                    AS BIGINT) AS qty_fence_e2
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_c
+    FROM lineitem l
+    JOIN avg_qty a ON l.l_partkey = a.l_partkey
+    WHERE CAST(ROUND(l.l_quantity * 100) AS BIGINT) < a.qty_fence_e2
+    """,
+)
+def tpch_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape — lines below 20% of their part's average quantity:
+    the correlated-average pattern, decorrelated into a per-part aggregate
+    broadcast back onto the facts. The fence is computed in exact scaled
+    integers (avg of exact cents, half-up) so the comparison is
+    engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_c = cents(F.col("l_quantity"))
+    fences = li.groupBy("l_partkey").agg(
+        half_up(F.avg(qty_c) * 0.2).alias("qty_fence_e2")
+    )
+    return (
+        li.join(F.broadcast(fences), "l_partkey")
+        .where(cents(F.col("l_quantity")) < F.col("qty_fence_e2"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("revenue_c"),
+        )
+    )
