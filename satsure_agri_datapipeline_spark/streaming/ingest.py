@@ -349,3 +349,30 @@ def _state_exists(spark: SparkSession, path: str) -> bool:
         return True
     except Exception:
         return False
+
+
+def correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    within_seconds: int,
+    watermark_seconds: int = 3600,
+):
+    """Stream-stream inner join: pair each left event with right events for
+    the same key occurring within ``within_seconds`` AFTER it (cause →
+    effect correlation, e.g. reading followed by an alert ack). Both sides
+    carry watermarks and the join condition bounds the time skew, so Spark
+    can expire buffered state — the two conditions together are what make a
+    stream-stream join's state finite; without them state grows forever.
+    State per key is O(events inside the watermark window), independent of
+    stream length."""
+    lw = left.withWatermark(left_time, f"{watermark_seconds} seconds")
+    rw = right.withWatermark(right_time, f"{watermark_seconds} seconds")
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_time] >= lw[left_time])
+        & (rw[right_time] <= lw[left_time] + F.expr(f"interval {within_seconds} seconds"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])

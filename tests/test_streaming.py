@@ -5,6 +5,7 @@ file-checkpoint, ingestion.py:143-201)."""
 from datetime import datetime
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from satsure_agri_datapipeline_spark.config import PipelineConfig
 from satsure_agri_datapipeline_spark.streaming.ingest import run_streaming_ingest
@@ -319,3 +320,60 @@ def test_streaming_upsert_latest_state(spark, tmp_path):
     q2.awaitTermination(180)
     [r2] = spark.read.parquet(str(tmp_path / "state")).collect()
     assert r2.timestamp == r.timestamp and r2.value == r.value
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two streams over the same source (temperature vs humidity readings)
+    correlate within a 30-minute window per sensor: batch-computed oracle
+    pairs must match the streaming interval join's output
+    (streaming/ingest.py correlate_streams)."""
+    import pandas as pd
+
+    from satsure_agri_datapipeline_spark.streaming.ingest import (
+        correlate_streams,
+        stream_sensor_readings,
+    )
+
+    cfg = PipelineConfig().resolve_paths(tmp_path)
+    raw = tmp_path / "data" / "raw"
+    raw.mkdir(parents=True, exist_ok=True)
+    rows = []
+    for h in range(6):
+        rows.append(("s1", datetime(2023, 6, 1, h, 0), "temperature", 20.0 + h, 80.0))
+        # humidity 10 min after each temperature reading -> joins; plus one
+        # far-away humidity at hour 12 that pairs with nothing
+        rows.append(("s1", datetime(2023, 6, 1, h, 10), "humidity", 60.0 + h, 80.0))
+    rows.append(("s1", datetime(2023, 6, 1, 12, 0), "humidity", 99.0, 80.0))
+    pd.DataFrame(
+        rows, columns=["sensor_id", "timestamp", "reading_type", "value", "battery_level"]
+    ).to_parquet(raw / "2023-06-01.parquet", coerce_timestamps="us")
+
+    readings = stream_sensor_readings(spark, cfg)
+    temp = readings.where(F.col("reading_type") == "temperature").select(
+        "sensor_id", F.col("timestamp").alias("t_ts"), F.col("value").alias("t_val")
+    )
+    hum = readings.where(F.col("reading_type") == "humidity").select(
+        F.col("sensor_id").alias("h_sensor"),
+        F.col("timestamp").alias("h_ts"),
+        F.col("value").alias("h_val"),
+    )
+    joined = correlate_streams(
+        temp.withColumnRenamed("sensor_id", "key"),
+        hum.withColumnRenamed("h_sensor", "key"),
+        key="key",
+        left_time="t_ts",
+        right_time="h_ts",
+        within_seconds=1800,
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", str(tmp_path / "ssj_out"))
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(str(tmp_path / "ssj_out"))
+    pairs = {(r.t_val, r.h_val) for r in out.collect()}
+    # each temperature reading pairs with exactly its 10-min-later humidity
+    assert pairs == {(20.0 + h, 60.0 + h) for h in range(6)}
