@@ -23,7 +23,6 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from satsure_agri_datapipeline_spark.config import PipelineConfig
 from satsure_agri_datapipeline_spark.operators.validation import (
     ValidationResult,
     quality_score,
