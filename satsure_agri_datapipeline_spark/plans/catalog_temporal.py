@@ -361,3 +361,36 @@ def events_value_percentiles(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_filtered_aggregates",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE value > 400) AS n_high,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                FILTER (WHERE value > 400) AS BIGINT) AS high_sum_c,
+           COUNT(DISTINCT user_id) FILTER (WHERE value > 400) AS n_high_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_filtered_aggregates(spark, sf_dir):
+    """ANSI aggregate FILTER clause (SQL surface, one hash-agg pass): each
+    aggregate carries its own predicate instead of a CASE fold — Catalyst
+    lowers both forms to the same conditional aggregation, checked here
+    cross-engine through the SQL front-end rather than the DataFrame API."""
+    from satsure_agri_datapipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type,
+               COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE value > 400) AS n_high,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                    FILTER (WHERE value > 400) AS BIGINT) AS high_sum_c,
+               COUNT(DISTINCT user_id) FILTER (WHERE value > 400) AS n_high_users
+        FROM events GROUP BY event_type ORDER BY event_type
+        """
+    )
