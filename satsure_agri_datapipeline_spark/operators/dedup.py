@@ -785,3 +785,52 @@ def containment_pairs(
         F.expr("inter * 10000L div least(n_a, n_b)"),
     ).where(F.col("containment_e4") >= threshold_e4)
     return _register_cache(out, arr)
+
+
+def rare_term_pairs(
+    df: DataFrame,
+    n: int = 3,
+    max_df: int = 10,
+    top_n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocking for record linkage / near-dup candidate generation through
+    RARE attributes: documents sharing low-document-frequency word
+    ``n``-grams are paired and scored by an integer inverse-df weight
+    (``1e6 div df²`` per shared gram) — the classic "block on distinctive
+    attributes" pattern (ids, rare phrases, boilerplate-free quotes). On a
+    natural corpus single rare tokens work too; n-grams keep the attribute
+    distinctive even when the vocabulary is small.
+
+    The df cap is the scale guarantee: an attribute with df ≤ ``max_df``
+    yields at most df·(df−1)/2 pairs, so join fan-out is bounded per
+    attribute by construction — common phrases can NEVER explode the join
+    (they're filtered before it, not after). Scores are pure integers:
+    engine-exact ranking. Returns the ``top_n`` pairs by (score, id_a, id_b).
+    """
+    pairs_rel = word_shingles(df, n=n, text_col=text_col, id_col=id_col).select(
+        F.col(id_col), F.col("shingle").alias("tok")
+    )
+    dfreq = pairs_rel.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    rare = dfreq.where((F.col("df") >= 2) & (F.col("df") <= max_df)).withColumn(
+        "w", F.expr("1000000 div (df * df)")
+    )
+    keyed = pairs_rel.join(F.broadcast(rare), "tok")
+    a = keyed.select(F.col(id_col).alias("id_a"), "tok", "w")
+    b = keyed.select(F.col(id_col).alias("id_b"), "tok")
+    scored = (
+        a.join(b, "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum("w").alias("score"),
+            F.count(F.lit(1)).alias("shared_terms"),
+        )
+    )
+    w_rank = Window.orderBy(F.col("score").desc(), F.col("id_a"), F.col("id_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= top_n)
+        .select("id_a", "id_b", "shared_terms", "score", "rank")
+    )

@@ -1783,3 +1783,37 @@ def doc_containment_pairs(spark, sf_dir):
     return dd.containment_pairs(docs, n=3, threshold_e4=8000).orderBy(
         "id_a", "id_b"
     )
+
+
+@query(
+    "doc_blocking_pairs",
+    f"""
+    WITH {SHINGLES_SQL},
+    pairs_rel AS (SELECT doc_id, shingle AS tok FROM shingles),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM pairs_rel GROUP BY tok),
+    rare AS (
+        SELECT tok, 1000000 // (df * df) AS w
+        FROM dfreq WHERE df >= 2 AND df <= 10
+    ),
+    keyed AS (SELECT p.doc_id, p.tok, r.w FROM pairs_rel p JOIN rare r ON p.tok = r.tok),
+    scored AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_terms,
+               CAST(SUM(a.w) AS BIGINT) AS score
+        FROM keyed a JOIN keyed b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, shared_terms, score, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, id_a, id_b) AS rank
+        FROM scored
+    ) WHERE rank <= 20 ORDER BY rank
+    """,
+)
+def doc_blocking_pairs(spark, sf_dir):
+    """Rare-attribute blocking (dedup.rare_term_pairs): candidate pairs
+    through low-df word 3-grams with integer inverse-df² scores — join
+    fan-out bounded per attribute by the df cap itself, so common phrases
+    can never explode the join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.rare_term_pairs(docs, n=3, max_df=10, top_n=20).orderBy("rank")

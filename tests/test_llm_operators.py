@@ -656,3 +656,24 @@ def test_containment_catches_embedded_short_doc(spark):
     jp = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
     assert jp.count() == 0  # symmetric Jaccard misses it
     release(jp)
+
+
+def test_rare_term_pairs_blocks_on_distinctive_grams(spark):
+    """Docs sharing a distinctive 3-gram pair up; a gram above the df cap
+    (here: shared by ALL docs) is excluded before the join
+    (dedup.rare_term_pairs)."""
+    from satsure_agri_datapipeline_spark.operators.dedup import rare_term_pairs
+
+    common = "alpha beta gamma"  # in every doc -> df=4 > max_df=3
+    df = spark.createDataFrame(
+        [
+            (1, f"{common} unique phrase one"),
+            (2, f"{common} unique phrase one"),   # shares rare grams with 1
+            (3, f"{common} totally different text"),
+            (4, f"{common} yet another thing"),
+        ],
+        "doc_id int, text string",
+    )
+    out = rare_term_pairs(df, n=3, max_df=3, top_n=10).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    assert out[0].shared_terms > 0 and out[0].score > 0
