@@ -135,3 +135,40 @@ def pack_sequences(
         ((F.col("cum") - F.col("n_tokens")) % seq_len).cast("long").alias("offset"),
     )
     return packed
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weight-biased top-k selection: each row gets priority
+    ``sampling_hash div weight`` (pure integer division) and the k lowest
+    priorities win — heavier rows draw systematically smaller priorities, so
+    selection probability grows with weight, and the whole draw is a pure
+    function of (ids, weights, seed): reproducible across engines, retries,
+    and repartitioning, unlike ``F.rand``-based weighted sampling.
+
+    (Exact Efraimidis–Spirakis A-ES uses ``u^(1/w)`` keys — floating pow,
+    which drifts across libm implementations; integer ``hash div w`` keeps
+    the monotone weight bias with none of the drift.) One
+    TakeOrderedAndProject — no shuffle beyond the top-k."""
+    w = Window.orderBy(F.col("__pri"), F.col(id_col))
+    return (
+        df.withColumn("__pri", F.expr(
+            f"CAST({_sample_hash_sql(id_col, seed)} div CAST({weight_col} AS BIGINT) AS BIGINT)"
+        ))
+        .withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= k)
+        .drop("__pri", "__rank")
+    )
+
+
+def _sample_hash_sql(id_col: str, seed: int) -> str:
+    """SQL text of sample_hash (kept in sync with the Column version)."""
+    return (
+        f"CAST(conv(substring(md5(concat('{seed}:', CAST({id_col} AS STRING))), 1, 15),"
+        " 16, 10) AS BIGINT)"
+    )

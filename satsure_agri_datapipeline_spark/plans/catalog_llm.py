@@ -1817,3 +1817,32 @@ def doc_blocking_pairs(spark, sf_dir):
     can never explode the join."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.rare_term_pairs(docs, n=3, max_df=10, top_n=20).orderBy("rank")
+
+
+@query(
+    "doc_sample_weighted",
+    """
+    WITH pri AS (
+        SELECT doc_id, n_chars,
+               ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   // n_chars AS p
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM (
+        SELECT doc_id, n_chars, ROW_NUMBER() OVER (ORDER BY p, doc_id) AS rn
+        FROM pri
+    ) WHERE rn <= 25 ORDER BY doc_id
+    """,
+)
+def doc_sample_weighted(spark, sf_dir):
+    """Deterministic weight-biased sampling (sampling.weighted_sample):
+    integer hash-div-weight priorities, k lowest win — longer docs
+    systematically favored, zero float drift, reproducible across engines
+    and retries."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sp.weighted_sample(docs, weight_col="n_chars", k=25, seed=7)
+        .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )

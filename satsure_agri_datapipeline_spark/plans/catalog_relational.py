@@ -1750,3 +1750,46 @@ def tpch_small_qty_revenue(spark, sf_dir):
             F.sum(cents(F.col("l_extendedprice"))).alias("revenue_c"),
         )
     )
+
+
+@query(
+    "orders_mom_growth",
+    """
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(month, '%Y-%m-%d') AS month_str, rev_c,
+           COALESCE(CAST((rev_c - LAG(rev_c) OVER (ORDER BY month)) * 10000
+                    // LAG(rev_c) OVER (ORDER BY month) AS BIGINT), 0) AS growth_bp
+    FROM monthly ORDER BY month_str
+    """,
+)
+def orders_mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth: aggregate to a monthly series
+    (exact cents), then a lag window over the AGGREGATE relation — the
+    window's single partition holds one row per month, never raw orders;
+    growth emitted as an exact integer basis-point ratio."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_c"))
+    w = Window.orderBy("month")
+    prev = F.lag("rev_c").over(w)
+    return (
+        monthly.withColumn("__prev", prev)
+        .withColumn(
+            "growth_bp",
+            F.coalesce(
+                F.expr("CAST((rev_c - __prev) * 10000 div __prev AS BIGINT)"),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .select(
+            F.date_format("month", "yyyy-MM-dd").alias("month_str"),
+            "rev_c",
+            "growth_bp",
+        )
+        .orderBy("month_str")
+    )
