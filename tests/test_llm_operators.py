@@ -677,3 +677,15 @@ def test_rare_term_pairs_blocks_on_distinctive_grams(spark):
     out = rare_term_pairs(df, n=3, max_df=3, top_n=10).collect()
     assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
     assert out[0].shared_terms > 0 and out[0].score > 0
+
+
+def test_weighted_sample_favors_heavy_rows_and_is_deterministic(spark):
+    from satsure_agri_datapipeline_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1) for i in range(100)] + [(999, 1_000_000)]
+    df = spark.createDataFrame(rows, "doc_id int, w int")
+    picked1 = {r.doc_id for r in weighted_sample(df, "w", k=5, seed=11).collect()}
+    picked2 = {r.doc_id for r in weighted_sample(df, "w", k=5, seed=11).collect()}
+    assert picked1 == picked2 and len(picked1) == 5  # pure function of (ids, w, seed)
+    # priority = hash/w: the million-weight row's priority is ~1e6 smaller
+    assert 999 in picked1
