@@ -1846,3 +1846,75 @@ def doc_sample_weighted(spark, sf_dir):
         .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "doc_cap_per_source",
+    """
+    WITH ranked AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+)
+def doc_cap_per_source(spark, sf_dir):
+    """Per-source quota enforcement (the anti-domination rule every corpus
+    mix applies: no single domain may flood the training set): one window
+    keyed by source caps membership at N docs, deterministic by id order;
+    reported as kept-vs-total per source. The window streams each source
+    partition — no per-group buffering beyond the running count."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy("source").orderBy("doc_id"))
+    return (
+        docs.withColumn("__rn", rn)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("__rn") <= 20).cast("long")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "corpus_diversity",
+    """
+    WITH toks AS (
+        SELECT source, tok FROM (
+            SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents
+        ) WHERE tok <> ''
+    )
+    SELECT source,
+           COUNT(*) AS n_tokens,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types,
+           CAST(COUNT(DISTINCT tok) * 1000000 // COUNT(*) AS BIGINT) AS ttr_e6
+    FROM toks GROUP BY source ORDER BY source
+    """,
+)
+def corpus_diversity(spark, sf_dir):
+    """Type-token ratio per source — the standard lexical-diversity signal
+    for corpus mix reporting (low TTR = repetitive/template-heavy source).
+    One hash-aggregate; the exact distinct is per (source, token) partials.
+    Emitted as an exact integer ratio (e6)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_distinct(F.col("tok")).alias("n_types"),
+            F.expr("CAST(count(DISTINCT tok) * 1000000 div count(1) AS BIGINT)").alias(
+                "ttr_e6"
+            ),
+        )
+        .orderBy("source")
+    )
