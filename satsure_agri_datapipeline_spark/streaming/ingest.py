@@ -359,15 +359,19 @@ def correlate_streams(
     right_time: str,
     within_seconds: int,
     watermark_seconds: int = 3600,
+    how: str = "inner",
 ):
-    """Stream-stream inner join: pair each left event with right events for
+    """Stream-stream join: pair each left event with right events for
     the same key occurring within ``within_seconds`` AFTER it (cause →
     effect correlation, e.g. reading followed by an alert ack). Both sides
     carry watermarks and the join condition bounds the time skew, so Spark
     can expire buffered state — the two conditions together are what make a
     stream-stream join's state finite; without them state grows forever.
     State per key is O(events inside the watermark window), independent of
-    stream length."""
+    stream length. ``how="left_outer"`` additionally emits null-padded left
+    rows when the watermark passes their eviction bound (null emission is
+    watermark-driven: an unmatched row waits until late matches are
+    impossible)."""
     lw = left.withWatermark(left_time, f"{watermark_seconds} seconds")
     rw = right.withWatermark(right_time, f"{watermark_seconds} seconds")
     cond = (
@@ -375,4 +379,4 @@ def correlate_streams(
         & (rw[right_time] >= lw[left_time])
         & (rw[right_time] <= lw[left_time] + F.expr(f"interval {within_seconds} seconds"))
     )
-    return lw.join(rw, cond, "inner").drop(rw[key])
+    return lw.join(rw, cond, how).drop(rw[key])

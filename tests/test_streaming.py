@@ -377,3 +377,86 @@ def test_stream_stream_interval_join(spark, tmp_path):
     pairs = {(r.t_val, r.h_val) for r in out.collect()}
     # each temperature reading pairs with exactly its 10-min-later humidity
     assert pairs == {(20.0 + h, 60.0 + h) for h in range(6)}
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """LEFT OUTER stream-stream join: temperature readings with no humidity
+    within the window emit null-padded rows once the watermark passes their
+    eviction bound. File 2's much-later data advances the watermark past
+    file 1's window, flushing file 1's unmatched state (the outer join's
+    null emission is watermark-driven — without the advance, state would
+    wait forever)."""
+    import pandas as pd
+
+    from satsure_agri_datapipeline_spark.streaming.ingest import (
+        correlate_streams,
+        stream_sensor_readings,
+    )
+
+    cfg = PipelineConfig().resolve_paths(tmp_path)
+    raw = tmp_path / "data" / "raw"
+    raw.mkdir(parents=True, exist_ok=True)
+    cols = ["sensor_id", "timestamp", "reading_type", "value", "battery_level"]
+    # file 1: two temps, only the first has humidity within 30 min
+    pd.DataFrame(
+        [
+            ("s1", datetime(2023, 6, 1, 0, 0), "temperature", 20.0, 80.0),
+            ("s1", datetime(2023, 6, 1, 0, 10), "humidity", 60.0, 80.0),
+            ("s1", datetime(2023, 6, 1, 1, 0), "temperature", 21.0, 80.0),
+        ],
+        columns=cols,
+    ).to_parquet(raw / "2023-06-01.parquet", coerce_timestamps="us")
+    # file 2: far future -> advances watermark (1h delay) beyond file 1;
+    # file 3 triggers one more batch AFTER the advance, which is when outer
+    # null emission actually happens (watermark updates at batch end, so the
+    # flush needs a subsequent batch to run)
+    # far-future rows of BOTH types (other sensor, so no spurious joins):
+    # each side's watermark node only sees its own filtered rows, and the
+    # global watermark is the MIN across nodes - advancing just one side
+    # would leave the join state frozen
+    pd.DataFrame(
+        [
+            ("s2", datetime(2023, 6, 3, 0, 0), "temperature", 30.0, 80.0),
+            ("s2", datetime(2023, 6, 3, 0, 0), "humidity", 90.0, 80.0),
+        ],
+        columns=cols,
+    ).to_parquet(raw / "2023-06-02.parquet", coerce_timestamps="us")
+    pd.DataFrame(
+        [
+            ("s2", datetime(2023, 6, 3, 1, 0), "temperature", 31.0, 80.0),
+            ("s2", datetime(2023, 6, 3, 1, 0), "humidity", 91.0, 80.0),
+        ],
+        columns=cols,
+    ).to_parquet(raw / "2023-06-03.parquet", coerce_timestamps="us")
+
+    readings = stream_sensor_readings(spark, cfg, max_files_per_trigger=1)
+    temp = readings.where(F.col("reading_type") == "temperature").select(
+        F.col("sensor_id").alias("key"),
+        F.col("timestamp").alias("t_ts"),
+        F.col("value").alias("t_val"),
+    )
+    hum = readings.where(F.col("reading_type") == "humidity").select(
+        F.col("sensor_id").alias("key"),
+        F.col("timestamp").alias("h_ts"),
+        F.col("value").alias("h_val"),
+    )
+    joined = correlate_streams(
+        temp, hum, key="key", left_time="t_ts", right_time="h_ts",
+        within_seconds=1800, watermark_seconds=3600, how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", str(tmp_path / "ssj2_out"))
+        .option("checkpointLocation", str(tmp_path / "ssj2_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = {
+        (r.t_val, r.h_val)
+        for r in spark.read.parquet(str(tmp_path / "ssj2_out")).collect()
+    }
+    # matched pair emits joined; 1am temp (no humidity in window) emits null
+    assert (20.0, 60.0) in out
+    assert (21.0, None) in out
+    assert (30.0, 90.0) in out  # far-future same-instant pair also joins
