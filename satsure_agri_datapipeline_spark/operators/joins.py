@@ -73,3 +73,44 @@ def key_histogram(
         .where(F.col("rank") <= top_n)
         .select(*keys, "n_rows", "share_bp", "rank")
     )
+
+
+def salted_two_phase_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    n_salts: int = 8,
+    salt_src: str | None = None,
+) -> DataFrame:
+    """Two-phase aggregation with an explicit salt for pathologically hot
+    group keys: phase 1 aggregates by (keys, salt) — splitting each hot
+    key's rows across ``n_salts`` reducers — phase 2 re-merges by keys.
+
+    Spark's hash aggregate already does map-side partials, which covers most
+    skew; the explicit salt matters when phase-1 state per key is large
+    (collect/percentile-style aggregates) or when AQE is off. Only
+    re-mergeable aggregates are legal here (`sum`, `count`, `min`, `max`):
+    sum-of-sums = sum, min-of-mins = min. The salt derives from a stable row
+    attribute (``salt_src``, default the first agg column) via a hash — NOT
+    ``rand()``, so retries and replays land rows on the same salt.
+
+    ``aggs`` maps column -> one of sum|count|min|max.
+    """
+    _MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    _PHASE1 = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    for fn in aggs.values():
+        if fn not in _MERGE:
+            raise ValueError(f"non-re-mergeable aggregate: {fn}")
+    src = salt_src or next(iter(aggs))
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(src)), F.lit(n_salts))
+    )
+    phase1 = salted.groupBy(*keys, "__salt").agg(
+        *[_PHASE1[fn](F.col(c)).alias(f"__p1_{c}") for c, fn in aggs.items()]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[
+            _MERGE[fn](F.col(f"__p1_{c}")).alias(f"{fn}_{c}")
+            for c, fn in aggs.items()
+        ]
+    )

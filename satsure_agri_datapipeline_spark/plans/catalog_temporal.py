@@ -394,3 +394,49 @@ def events_filtered_aggregates(spark, sf_dir):
         FROM events GROUP BY event_type ORDER BY event_type
         """
     )
+
+
+@query(
+    "events_salted_agg",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+           CAST(COUNT(event_id) AS BIGINT) AS count_event_id,
+           CAST(MIN(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS min_value_c
+    FROM (SELECT event_type, event_id, value FROM events)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_salted_agg(spark, sf_dir):
+    """Salted two-phase aggregation (joins.salted_two_phase_agg) checked
+    against its UNSALTED oracle: hot keys split across 8 salt reducers in
+    phase 1, re-merged in phase 2 — same answer by re-mergeability, salt
+    derived from a stable hash (replay-safe, unlike rand())."""
+    from satsure_agri_datapipeline_spark.operators.joins import salted_two_phase_agg
+    from satsure_agri_datapipeline_spark.plans.catalog import cents
+    from satsure_agri_datapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", cents(F.col("value")).alias("value_c")
+    )
+    out = salted_two_phase_agg(
+        ev,
+        keys=["event_type"],
+        aggs={"value_c": "sum", "event_id": "count"},
+        n_salts=8,
+        salt_src="event_id",
+    )
+    mins = salted_two_phase_agg(
+        ev, keys=["event_type"], aggs={"value_c": "min"}, n_salts=8,
+        salt_src="event_id",
+    )
+    return (
+        out.join(mins, "event_type")
+        .select(
+            "event_type",
+            F.col("sum_value_c").alias("sum_value_c"),
+            F.col("count_event_id").cast("long").alias("count_event_id"),
+            F.col("min_value_c").alias("min_value_c"),
+        )
+        .orderBy("event_type")
+    )
