@@ -834,3 +834,34 @@ def rare_term_pairs(
         .where(F.col("rank") <= top_n)
         .select("id_a", "id_b", "shared_terms", "score", "rank")
     )
+
+
+def triangle_count(
+    pairs: DataFrame, src_col: str = "id_a", dst_col: str = "id_b"
+) -> DataFrame:
+    """Count triangles in an undirected edge set — the clique-density signal
+    for a near-dup graph (LSH/Jaccard edge sets over true duplicate groups
+    are near-cliques; sparse triangle counts suggest chained false
+    positives instead). Standard distributed algorithm: orient every edge
+    low→high id, then two hash-joins find wedges (a→b, b→c) and close them
+    against a→c — join fan-out is bounded by per-node degree, never
+    all-pairs, and only the (distinct, oriented) edge relation shuffles.
+    Returns one row: (n_edges, n_wedges, n_triangles)."""
+    e = (
+        pairs.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    wedges = ab.join(bc, "b").where(F.col("a") < F.col("c"))
+    ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = wedges.join(ac, ["a", "c"])
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )

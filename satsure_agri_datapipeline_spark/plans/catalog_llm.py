@@ -1918,3 +1918,35 @@ def corpus_diversity(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "doc_dup_triangles",
+    f"""
+    WITH {JACCARD_PAIRS_SQL},
+    e AS (
+        SELECT DISTINCT LEAST(id_a, id_b) AS u, GREATEST(id_a, id_b) AS v
+        FROM pairs WHERE id_a <> id_b
+    ),
+    wedges AS (
+        SELECT ab.u AS a, ab.v AS b, bc.v AS c
+        FROM e ab JOIN e bc ON ab.v = bc.u
+        WHERE ab.u < bc.v
+    ),
+    tri AS (
+        SELECT w.a, w.b, w.c
+        FROM wedges w JOIN e ac ON w.a = ac.u AND w.c = ac.v
+    )
+    SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT COUNT(*) FROM wedges) AS n_wedges,
+           (SELECT COUNT(*) FROM tri) AS n_triangles
+    """,
+)
+def doc_dup_triangles(spark, sf_dir):
+    """Triangle count over the 3-gram-Jaccard near-dup graph
+    (dedup.triangle_count): oriented-edge wedge closure via two hash-joins —
+    clique-density diagnostic for duplicate clusters (true dup groups are
+    near-cliques; low triangle density flags chained false positives)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return dd.triangle_count(pairs)

@@ -689,3 +689,17 @@ def test_weighted_sample_favors_heavy_rows_and_is_deterministic(spark):
     assert picked1 == picked2 and len(picked1) == 5  # pure function of (ids, w, seed)
     # priority = hash/w: the million-weight row's priority is ~1e6 smaller
     assert 999 in picked1
+
+
+def test_triangle_count_on_known_graph(spark):
+    from satsure_agri_datapipeline_spark.operators.dedup import triangle_count
+
+    # K3 (1,2,3) + pendant edge (3,4): 3 edges in the triangle + 1 extra
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (2, 3)],  # duplicate + unordered edges
+        "id_a int, id_b int",
+    )
+    [r] = triangle_count(pairs).collect()
+    assert (r.n_edges, r.n_triangles) == (4, 1)
+    # wedges: (1,2,3),(1,3,4)... a<c ordering: exactly 2 closed/unclosed paths
+    assert r.n_wedges >= r.n_triangles
