@@ -1793,3 +1793,44 @@ def orders_mom_growth(spark, sf_dir):
         )
         .orderBy("month_str")
     )
+
+
+@query(
+    "orders_yoy_growth",
+    """
+    WITH monthly AS (
+        SELECT EXTRACT(year FROM o_orderdate) AS yr,
+               EXTRACT(month FROM o_orderdate) AS mon,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT CAST(yr AS BIGINT) AS yr, CAST(mon AS BIGINT) AS mon, rev_c,
+           COALESCE(CAST((rev_c - LAG(rev_c) OVER (PARTITION BY mon ORDER BY yr))
+                    * 10000 // LAG(rev_c) OVER (PARTITION BY mon ORDER BY yr)
+                    AS BIGINT), 0) AS yoy_bp
+    FROM monthly ORDER BY yr, mon
+    """,
+)
+def orders_yoy_growth(spark, sf_dir):
+    """Year-over-year growth per calendar month: the seasonal companion to
+    MoM — lag partitioned BY month ordered by year compares each month to
+    the same month last year; window runs over the months×years aggregate,
+    never raw orders; exact integer basis points."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_c"))
+    w = Window.partitionBy("mon").orderBy("yr")
+    return (
+        monthly.withColumn("__prev", F.lag("rev_c").over(w))
+        .withColumn(
+            "yoy_bp",
+            F.coalesce(
+                F.expr("CAST((rev_c - __prev) * 10000 div __prev AS BIGINT)"),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .select("yr", "mon", "rev_c", "yoy_bp")
+        .orderBy("yr", "mon")
+    )

@@ -440,3 +440,39 @@ def events_salted_agg(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_transition_matrix",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           COUNT(*) AS n_transitions
+    FROM ordered WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY prev_type, next_type
+    """,
+)
+def events_transition_matrix(spark, sf_dir):
+    """First-order behavioral transition matrix: consecutive event-type
+    pairs per user (lag over the per-user shuffle), counted globally — the
+    Markov-chain view of user journeys that funnels summarize a single path
+    of. One window + one hash-aggregate; the matrix is |types|² rows."""
+    from pyspark.sql import Window as W
+
+    from satsure_agri_datapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )
