@@ -384,3 +384,44 @@ def retention_cohorts(
         )
         .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
     )
+
+
+def run_length_streaks(
+    df: DataFrame,
+    flag_col: str,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """Run-length encoding of a boolean flag per key: one row per maximal
+    run of consecutive TRUE flags, with its length and ordinal position —
+    the building block of "alert only after N consecutive violations"
+    monitoring rules (a single spike is noise; a streak is a condition).
+
+    Same single-shuffle shape as SCD2 compression: a lag marks change
+    points, a running sum numbers runs, and only TRUE runs aggregate.
+    Returns (key..., streak_no, streak_len).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    runs = (
+        df.withColumn("__f", F.col(flag_col).cast("int"))
+        .withColumn("__prev", F.lag("__f").over(w))
+        .withColumn(
+            "__chg",
+            (F.col("__prev").isNull() | (F.col("__prev") != F.col("__f"))).cast("long"),
+        )
+        .withColumn(
+            "__run", F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    return (
+        runs.where(F.col("__f") == 1)
+        .groupBy(*key_cols, "__run")
+        .agg(F.count(F.lit(1)).alias("streak_len"))
+        .withColumn(
+            "streak_no",
+            F.row_number().over(
+                Window.partitionBy(*key_cols).orderBy("__run")
+            ),
+        )
+        .select(*key_cols, "streak_no", "streak_len")
+    )

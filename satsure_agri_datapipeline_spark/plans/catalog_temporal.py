@@ -476,3 +476,60 @@ def events_transition_matrix(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_transitions"))
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "events_violation_streaks",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN value > 50 THEN 1 ELSE 0 END AS f
+        FROM events
+    ),
+    marked AS (
+        SELECT *, CASE WHEN LAG(f) OVER w IS NULL OR LAG(f) OVER w <> f
+                       THEN 1 ELSE 0 END AS chg
+        FROM flagged
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT *, SUM(chg) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS run
+        FROM marked
+    ),
+    streaks AS (
+        SELECT user_id, event_type, run, COUNT(*) AS streak_len
+        FROM runs WHERE f = 1 GROUP BY user_id, event_type, run
+    )
+    SELECT event_type,
+           COUNT(*) AS n_streaks,
+           CAST(SUM(CASE WHEN streak_len >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_streaks_ge2,
+           CAST(MAX(streak_len) AS BIGINT) AS max_streak
+    FROM streaks GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_violation_streaks(spark, sf_dir):
+    """Consecutive-violation streaks (temporal.run_length_streaks): runs of
+    value > 50 per (user, type), summarized per type — the "alert after N
+    consecutive" monitoring rule the reference's single-row anomaly flag
+    (A3) cannot express."""
+    from satsure_agri_datapipeline_spark.operators.temporal import run_length_streaks
+    from satsure_agri_datapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "is_violation", F.col("value") > 50
+    )
+    streaks = run_length_streaks(
+        ev, "is_violation", ["user_id", "event_type"], ["ts", "event_id"]
+    )
+    return (
+        streaks.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.sum((F.col("streak_len") >= 2).cast("long")).alias("n_streaks_ge2"),
+            F.max("streak_len").alias("max_streak"),
+        )
+        .orderBy("event_type")
+    )

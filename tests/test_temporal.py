@@ -157,3 +157,20 @@ def test_interpolate_gaps_linear_values(spark):
     assert k1[2] == (55.0, True)
     assert k1[3] == (60.0, False)
     assert by_key["k2"] == {5: (10.0, False)}
+
+
+def test_run_length_streaks_exact_runs(spark):
+    from satsure_agri_datapipeline_spark.operators.temporal import run_length_streaks
+
+    # key A: T T F T T T  -> streaks of 2 and 3; key B: F F -> none
+    rows = [
+        ("A", 1, True), ("A", 2, True), ("A", 3, False),
+        ("A", 4, True), ("A", 5, True), ("A", 6, True),
+        ("B", 1, False), ("B", 2, False),
+    ]
+    df = spark.createDataFrame(rows, "k string, seq int, flag boolean")
+    out = {
+        (r.k, r.streak_no): r.streak_len
+        for r in run_length_streaks(df, "flag", ["k"], ["seq"]).collect()
+    }
+    assert out == {("A", 1): 2, ("A", 2): 3}
