@@ -427,3 +427,41 @@ def semantic_dedup(
             F.round(F.col("__k.__dist"), 6).alias("keeper_dist"),
         )
     )
+
+
+def centroid_pairwise_distances(
+    df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Inter-centroid separation report: euclidean distance between every
+    pair of label centroids — the cluster-quality diagnostic that tells you
+    whether labels are geometrically separable before training a classifier
+    on them (centroids nearly coincide → the labels won't linearly
+    separate).
+
+    The heavy pass is one posexplode + hash-aggregate over the vectors
+    (labels × dim component rows out); the pairwise join runs on that tiny
+    component relation — labels² × dim rows — never on the vectors.
+    Distances rounded to 6 dp (summation-order tolerance, same contract as
+    the centroid-norm report)."""
+    comp = (
+        df.select(F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy(label_col, "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+    )
+    a = comp.select(
+        F.col(label_col).alias("label_a"), "pos", F.col("c").alias("ca")
+    )
+    b = comp.select(
+        F.col(label_col).alias("label_b"), "pos", F.col("c").alias("cb")
+    )
+    return (
+        a.join(b, "pos")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))),
+                6,
+            ).alias("dist")
+        )
+    )

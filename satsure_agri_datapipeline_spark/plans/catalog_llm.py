@@ -1950,3 +1950,40 @@ def doc_dup_triangles(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
     return dd.triangle_count(pairs)
+
+
+@query(
+    "emb_centroid_separation",
+    """
+    WITH pos AS (
+        SELECT vec_id, label, UNNEST(generate_series(1, len(embedding))) AS pos
+        FROM embeddings
+    ),
+    comp AS (
+        SELECT e.label, p.pos, AVG(CAST(e.embedding[p.pos] AS DOUBLE)) AS c
+        FROM pos p JOIN embeddings e ON p.vec_id = e.vec_id
+        GROUP BY e.label, p.pos
+    )
+    SELECT CAST(a.label AS BIGINT) AS label_a,
+           CAST(b.label AS BIGINT) AS label_b,
+           ROUND(sqrt(SUM((a.c - b.c) * (a.c - b.c))), 6) AS dist
+    FROM comp a JOIN comp b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY a.label, b.label
+    ORDER BY label_a, label_b
+    """,
+)
+def emb_centroid_separation(spark, sf_dir):
+    """Inter-centroid euclidean distances between all label pairs
+    (similarity.centroid_pairwise_distances): geometric separability
+    diagnostic; pairwise math runs on the labels×dim component relation,
+    never on raw vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        sim.centroid_pairwise_distances(emb)
+        .select(
+            F.col("label_a").cast("long").alias("label_a"),
+            F.col("label_b").cast("long").alias("label_b"),
+            "dist",
+        )
+        .orderBy("label_a", "label_b")
+    )
