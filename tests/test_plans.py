@@ -141,3 +141,58 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_mad_outliers_never_shuffles_fact_table(spark):
+    """The MAD operator's per-group stats broadcast back onto the facts:
+    the physical plan must contain broadcast joins and NO hash-partition
+    exchange of the fact relation (operators/validation.py mad_outliers)."""
+    from pyspark.sql import functions as F
+
+    from satsure_agri_datapipeline_spark.operators.validation import mad_outliers
+    from satsure_agri_datapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    plan = (
+        mad_outliers(ev, value_col="value", group_cols=["event_type"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the only hashpartitioning exchanges allowed are on the tiny group key
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "event_type" in line, line
+
+
+def test_merge_upsert_broadcasts_small_change_side(spark):
+    """CDC merge with a small change batch: the anti-join must broadcast the
+    change keys, leaving the base table a single un-shuffled pass
+    (operators/maintenance.py merge_upsert)."""
+    from pyspark.sql import functions as F
+
+    from satsure_agri_datapipeline_spark.operators.maintenance import merge_upsert
+    from satsure_agri_datapipeline_spark.sources.tables import load_table
+
+    base = load_table(spark, "/root/testdata/sf0.001", "orders")
+    changes = base.where(F.col("o_orderkey") % 997 == 0)
+    plan = (
+        merge_upsert(base, changes, ["o_orderkey"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_dedup_spans_shuffles_hashes_not_text(spark):
+    """Span-dedup's corpus count aggregate shuffles md5 keys, never the span
+    text beyond each doc's own rebuild rows (operators/dedup.py
+    dedup_spans): the count-side exchange must be keyed on the hash."""
+    from satsure_agri_datapipeline_spark.operators.dedup import dedup_spans
+    from satsure_agri_datapipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = dedup_spans(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "span_h" in plan  # hash key exists in the exchanges
