@@ -330,3 +330,24 @@ def winsorize(
         )
         .drop("__lo", "__hi")
     )
+
+
+def backward_fill(
+    df: DataFrame,
+    columns: list[str],
+    key_cols: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """NOCB imputation (next observation carried backward) — the mirrored
+    twin of :func:`forward_fill` for leading gaps: nulls take the EARLIEST
+    later observation per key. Same single per-key shuffle, mirrored frame
+    (``first(ignorenulls)`` over unbounded following)."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    out = df
+    for c in columns:
+        out = out.withColumn(c, F.first(c, ignorenulls=True).over(w))
+    return out

@@ -809,3 +809,34 @@ def sensor_forward_fill(spark, sf_dir):
             "battery_e2"
         ),
     ).orderBy("event_id")
+
+
+@query(
+    "sensor_backward_fill",
+    f"""
+    WITH readings AS ({READINGS_SQL})
+    SELECT event_id, sensor_id,
+           COALESCE(
+               CAST(FLOOR(first_value(battery_level IGNORE NULLS) OVER (
+                   PARTITION BY sensor_id ORDER BY timestamp, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) * 100 + 0.5) AS BIGINT),
+               -1) AS battery_e2
+    FROM readings ORDER BY event_id
+    """,
+)
+def sensor_backward_fill(spark, sf_dir):
+    """NOCB imputation (transformation.backward_fill): leading nulls take
+    the earliest later observation per sensor — the mirror of LOCF for
+    series that start inside a gap; -1 marks trailing unmatched rows."""
+    r = events_as_readings(spark, sf_dir)
+    filled = tr.backward_fill(
+        r, ["battery_level"], ["sensor_id"], ["timestamp", "event_id"]
+    )
+    return filled.select(
+        "event_id",
+        "sensor_id",
+        F.coalesce(half_up(F.col("battery_level") * 100), F.lit(-1).cast("long")).alias(
+            "battery_e2"
+        ),
+    ).orderBy("event_id")
