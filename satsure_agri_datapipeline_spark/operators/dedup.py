@@ -565,15 +565,25 @@ def connected_components(
     several distributed rounds of joins by seconds of pure scheduling; the
     distributed loop remains the path for genuinely large graphs. Both
     paths produce the identical (node, min-id component) labeling.
+
+    The driver path collects via Arrow (``toPandas`` → two int64 numpy
+    arrays, 16 bytes/edge) rather than ``collect()``'s per-edge ``Row``
+    objects (~200+ bytes each incl. Python ints) — at the 1M-edge default
+    threshold that is ~16 MB of driver memory instead of hundreds of MB,
+    which is what makes the threshold safe to size by edge count alone.
     """
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     n_edges = edges.count()
     if n_edges <= driver_threshold:
         try:
-            rows = [
-                (r[0], r[1]) for r in edges.select(src_col, dst_col).collect()
-            ]
-            return _driver_union_find(rows, edges.sparkSession)
+            pdf = (
+                edges.select(
+                    F.col(src_col).cast("long").alias("src"),
+                    F.col(dst_col).cast("long").alias("dst"),
+                ).toPandas()
+            )
+            pairs = zip(pdf["src"].to_numpy().tolist(), pdf["dst"].to_numpy().tolist())
+            return _driver_union_find(pairs, edges.sparkSession)
         finally:
             edges.unpersist()
     sym = edges.select(

@@ -24,6 +24,8 @@ def merge_upsert(
     changes: DataFrame,
     keys: list[str],
     deleted_col: str | None = None,
+    version_col: str | None = None,
+    validate_unique_keys: bool = False,
 ) -> DataFrame:
     """Apply a CDC batch onto a base table: the result is the latest state.
 
@@ -36,9 +38,33 @@ def merge_upsert(
     Physical shape: one anti-join of base against the change keys plus a
     union — the only shuffle is keyed by ``keys``, and when the change batch
     is small (the normal CDC case) Catalyst broadcasts it, so the base table
-    is a single pass. ``changes`` must contain at most one row per key
-    (pre-compact a multi-version batch with e.g. a ROW_NUMBER window first).
+    is a single pass.
+
+    ``changes`` must contain at most one row per key — otherwise the merged
+    output silently carries duplicate keys (the anti-join removes all base
+    rows for the key, then the union inserts every change version). Two
+    guards enforce that contract: pass ``version_col`` to auto-compact a
+    multi-version batch to its newest row per key (``compact_changes`` — same
+    shuffle key as the merge, exchange reused), or ``validate_unique_keys``
+    to fail fast on duplicates (costs one extra count job over the — small —
+    change batch; keep it on in debug/backfill paths, off in the hot path).
     """
+    if version_col is not None:
+        changes = compact_changes(changes, keys, version_col)
+    if validate_unique_keys:
+        n_dup = (
+            changes.groupBy(*keys)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if n_dup:
+            raise ValueError(
+                "merge_upsert: change batch has multiple rows for at least one "
+                f"key {keys}; pass version_col= to auto-compact or pre-apply "
+                "compact_changes()"
+            )
     change_keys = changes.select(*keys)
     if deleted_col is not None:
         surviving = changes.where(~F.col(deleted_col)).drop(deleted_col)

@@ -151,18 +151,26 @@ def weighted_sample(
     function of (ids, weights, seed): reproducible across engines, retries,
     and repartitioning, unlike ``F.rand``-based weighted sampling.
 
+    Contract: weights must be positive integers (>= 1). Rows whose weight is
+    NULL or < 1 are excluded from the draw — a weight below one cannot bias
+    selection upward, and integer ``div`` would otherwise truncate fractional
+    weights to 0 (NULL priority → NULLS FIRST → the inverse of the intended
+    bias). The filter makes that contract explicit instead of silent.
+
     (Exact Efraimidis–Spirakis A-ES uses ``u^(1/w)`` keys — floating pow,
     which drifts across libm implementations; integer ``hash div w`` keeps
-    the monotone weight bias with none of the drift.) One
-    TakeOrderedAndProject — no shuffle beyond the top-k."""
-    w = Window.orderBy(F.col("__pri"), F.col(id_col))
+    the monotone weight bias with none of the drift.) ``orderBy(...).limit(k)``
+    lowers to one TakeOrderedAndProject — a per-partition local top-k merged
+    on the driver, never a single-partition global sort."""
+    wc = F.col(weight_col).cast("bigint")
     return (
-        df.withColumn("__pri", F.expr(
+        df.where(wc.isNotNull() & (wc >= 1))
+        .withColumn("__pri", F.expr(
             f"CAST({_sample_hash_sql(id_col, seed)} div CAST({weight_col} AS BIGINT) AS BIGINT)"
         ))
-        .withColumn("__rank", F.row_number().over(w))
-        .where(F.col("__rank") <= k)
-        .drop("__pri", "__rank")
+        .orderBy(F.col("__pri").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__pri")
     )
 
 

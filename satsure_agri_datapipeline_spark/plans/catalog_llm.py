@@ -1827,6 +1827,7 @@ def doc_blocking_pairs(spark, sf_dir):
                ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                    // n_chars AS p
         FROM documents
+        WHERE n_chars IS NOT NULL AND CAST(n_chars AS BIGINT) >= 1
     )
     SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
     FROM (

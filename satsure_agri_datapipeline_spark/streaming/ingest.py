@@ -315,6 +315,15 @@ def run_streaming_upsert(
     per-batch rewrite is a deliberate sandbox substitute for a transactional
     MERGE sink (Delta/Iceberg ``MERGE INTO``) — the operator composition is
     what carries over.
+
+    Crash safety: each batch writes the NEW state to a temp sibling
+    directory and then swaps it into place with two renames (current →
+    ``__old``, temp → current) — the standing state is never deleted before
+    its replacement is fully durable, so a crash at any point leaves either
+    the old state at the path or a complete copy at ``__old`` (which
+    ``_load_state`` falls back to on recovery). Renames are atomic on
+    local/HDFS filesystems; an object-store deployment swaps this sink for a
+    transactional MERGE.
     """
     from satsure_agri_datapipeline_spark.operators.maintenance import compact_changes
 
@@ -326,14 +335,14 @@ def run_streaming_upsert(
         if batch_df.isEmpty():
             return
         latest = compact_changes(batch_df, keys, version_col)
-        if _state_exists(spark, state_path):
-            base = spark.read.parquet(state_path)
+        base = _load_state(spark, state_path)
+        if base is not None:
             latest = compact_changes(base.unionByName(latest), keys, version_col)
-        # materialize before overwriting the path we just read from
-        latest = latest.persist()
-        latest.count()
-        latest.write.mode("overwrite").parquet(state_path)
-        latest.unpersist()
+        # write the new version BESIDE the live state (the lazy read of the
+        # current state drains while it is still untouched), then swap
+        tmp_path = f"{state_path}__new"
+        latest.write.mode("overwrite").parquet(tmp_path)
+        _swap_state(state_path, tmp_path)
 
     writer = readings.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", str(checkpoint_dir)
@@ -343,12 +352,39 @@ def run_streaming_upsert(
     return writer.start()
 
 
-def _state_exists(spark: SparkSession, path: str) -> bool:
+def _load_state(spark: SparkSession, state_path: str):
+    """Read the standing upsert state, falling back to the ``__old`` copy a
+    crashed swap may have left behind (see ``run_streaming_upsert``). Returns
+    None when no state exists yet."""
+    import os
+
+    path = state_path if os.path.exists(state_path) else f"{state_path}__old"
+    if not os.path.exists(path):
+        return None
     try:
-        spark.read.parquet(path).schema
-        return True
+        df = spark.read.parquet(path)
+        df.schema
+        return df
     except Exception:
-        return False
+        return None
+
+
+def _swap_state(state_path: str, tmp_path: str) -> None:
+    """Atomically-enough promote ``tmp_path`` to ``state_path``: rename the
+    live state aside, rename the new version in, then drop the old copy. A
+    crash between the renames leaves the full old state at ``__old`` where
+    ``_load_state`` recovers it — at no point is the only copy deleted."""
+    import os
+    import shutil
+
+    old_path = f"{state_path}__old"
+    if os.path.exists(old_path):
+        shutil.rmtree(old_path)
+    if os.path.exists(state_path):
+        os.rename(state_path, old_path)
+    os.rename(tmp_path, state_path)
+    if os.path.exists(old_path):
+        shutil.rmtree(old_path)
 
 
 def correlate_streams(

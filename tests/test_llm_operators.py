@@ -590,6 +590,19 @@ def test_connected_components_paths_agree(spark):
     assert {(n, c) for n, c in via_driver if c == 10} == {(10, 10), (11, 10), (12, 10)}
     assert {(n, c) for n, c in via_driver if c == 20} == {(20, 20), (21, 20)}
 
+    # threshold boundary: n_edges == threshold takes the Arrow-collect driver
+    # path, n_edges == threshold+1 takes the distributed loop; identical labels
+    n = 8
+    at_boundary = {
+        (r.node_id, r.component_id)
+        for r in dd2.connected_components(edges, driver_threshold=n).collect()
+    }
+    below_boundary = {
+        (r.node_id, r.component_id)
+        for r in dd2.connected_components(edges, driver_threshold=n - 1).collect()
+    }
+    assert at_boundary == below_boundary == via_driver
+
 
 def test_span_udtf_lateral_join(spark):
     from satsure_agri_datapipeline_spark.operators.text import span_udtf
@@ -689,6 +702,23 @@ def test_weighted_sample_favors_heavy_rows_and_is_deterministic(spark):
     assert picked1 == picked2 and len(picked1) == 5  # pure function of (ids, w, seed)
     # priority = hash/w: the million-weight row's priority is ~1e6 smaller
     assert 999 in picked1
+
+
+def test_weighted_sample_enforces_positive_integer_weight_contract(spark):
+    """Weights < 1, zero, NULL, or fractional-truncating-to-zero must be
+    EXCLUDED, not inverted into always-win priorities (round-3 advice:
+    BIGINT div by 0 yields NULL → NULLS FIRST selected such rows first)."""
+    from satsure_agri_datapipeline_spark.operators.sampling import weighted_sample
+
+    rows = [(1, 5.0), (2, 0.0), (3, None), (4, 0.7), (5, 3.0), (6, 2.0)]
+    df = spark.createDataFrame(rows, "doc_id int, w double")
+    picked = {r.doc_id for r in weighted_sample(df, "w", k=10, seed=3).collect()}
+    assert picked == {1, 5, 6}  # zero / null / fractional<1 never selected
+
+    # top-k plan: orderBy().limit(k) lowers to TakeOrderedAndProject — no
+    # single-partition global-sort window (round-3 advice)
+    plan = weighted_sample(df, "w", k=2, seed=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_triangle_count_on_known_graph(spark):

@@ -41,6 +41,33 @@ def test_merge_upsert_without_deletes_is_pure_upsert(spark):
     assert out == {1: "A", 2: "b"}
 
 
+def test_merge_upsert_version_col_auto_compacts_multi_version_batch(spark):
+    base = spark.createDataFrame([(1, "a", 0)], "k int, v string, ver int")
+    changes = spark.createDataFrame(
+        [(1, "mid", 5), (1, "new", 9), (2, "b", 1)], "k int, v string, ver int"
+    )
+    out = {
+        r.k: r.v
+        for r in mt.merge_upsert(base, changes, ["k"], version_col="ver").collect()
+    }
+    assert out == {1: "new", 2: "b"}  # no duplicate key 1, newest version wins
+
+
+def test_merge_upsert_validate_rejects_duplicate_change_keys(spark):
+    import pytest
+
+    base = spark.createDataFrame([(1, "a")], "k int, v string")
+    dup = spark.createDataFrame([(1, "x"), (1, "y")], "k int, v string")
+    with pytest.raises(ValueError, match="multiple rows"):
+        mt.merge_upsert(base, dup, ["k"], validate_unique_keys=True)
+    ok = spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string")
+    out = {
+        r.k: r.v
+        for r in mt.merge_upsert(base, ok, ["k"], validate_unique_keys=True).collect()
+    }
+    assert out == {1: "x", 2: "y"}
+
+
 def test_compact_changes_keeps_latest_version(spark):
     changes = spark.createDataFrame(
         [(1, "old", 1), (1, "new", 2), (2, "only", 5)], "k int, v string, ver int"

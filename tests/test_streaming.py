@@ -322,6 +322,36 @@ def test_streaming_upsert_latest_state(spark, tmp_path):
     assert r2.timestamp == r.timestamp and r2.value == r.value
 
 
+def test_streaming_upsert_state_swap_survives_crash_window(spark, tmp_path):
+    """The upsert sink's two-rename swap never deletes the only copy of the
+    state: a crash between the renames (live state moved aside to ``__old``,
+    new version not yet promoted) must still recover the full old state, and
+    a completed swap must drop the ``__old`` leftover."""
+    from satsure_agri_datapipeline_spark.streaming.ingest import (
+        _load_state,
+        _swap_state,
+    )
+
+    state = str(tmp_path / "state")
+    spark.createDataFrame([(1, "v1")], "k int, v string").write.parquet(state)
+
+    # simulate the crash window: live state renamed aside, promotion not done
+    import os
+
+    os.rename(state, f"{state}__old")
+    recovered = _load_state(spark, state)
+    assert recovered is not None
+    assert [(r.k, r.v) for r in recovered.collect()] == [(1, "v1")]
+
+    # complete a real swap: new version promoted, __old cleaned up
+    tmp_new = f"{state}__new"
+    spark.createDataFrame([(1, "v2")], "k int, v string").write.parquet(tmp_new)
+    os.rename(f"{state}__old", state)  # restore the live state first
+    _swap_state(state, tmp_new)
+    assert [(r.k, r.v) for r in spark.read.parquet(state).collect()] == [(1, "v2")]
+    assert not os.path.exists(f"{state}__old") and not os.path.exists(tmp_new)
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     """Two streams over the same source (temperature vs humidity readings)
     correlate within a 30-minute window per sensor: batch-computed oracle
