@@ -143,6 +143,45 @@ def test_multimodal_metadata_and_features(spark):
     assert len(by_doc[2]) == 2
 
 
+def test_multimodal_auto_decoder_falls_back_without_pil(spark):
+    """real_decoder='auto' must degrade to the deterministic fake when
+    Pillow is absent — identical results to the default path."""
+    if mm.HAS_PIL:
+        pytest.skip("Pillow present; fallback path not reachable")
+    df = spark.createDataFrame([(1, b"hello" * 30)], "doc_id long, payload binary")
+    auto = mm.decode_image_features(df, real_decoder="auto").collect()
+    fake = mm.decode_image_features(df).collect()
+    assert auto[0].feature == fake[0].feature
+    auto_r = mm.resize_images(df, width=4, height=2, real_resizer="auto").collect()
+    fake_r = mm.resize_images(df, width=4, height=2).collect()
+    assert bytes(auto_r[0].resized) == bytes(fake_r[0].resized)
+    # the explicit real path stays an honest failure
+    with pytest.raises(NotImplementedError):
+        mm.pil_image_features(b"x")
+    with pytest.raises(NotImplementedError):
+        mm.pil_resize(b"x", 2, 2)
+
+
+@pytest.mark.skipif(not mm.HAS_PIL, reason="Pillow not installed")
+def test_multimodal_real_pil_decode(spark):
+    """With Pillow installed, 'auto' decodes a real PNG: dim features in
+    [0,1] from actual pixels, and resize re-encodes a PNG of the target
+    size. (Skip-marked in environments without Pillow.)"""
+    from PIL import Image  # noqa: PLC0415
+    import io  # noqa: PLC0415
+
+    buf = io.BytesIO()
+    Image.new("RGB", (16, 16), (128, 64, 32)).save(buf, format="PNG")
+    payload = buf.getvalue()
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    feats = mm.decode_image_features(df, real_decoder="auto").collect()
+    assert len(feats[0].feature) == 8
+    assert all(0.0 <= v <= 1.0 for v in feats[0].feature)
+    resized = mm.resize_images(df, width=4, height=2, real_resizer="auto").collect()
+    out = Image.open(io.BytesIO(bytes(resized[0].resized)))
+    assert out.size == (4, 2)
+
+
 def test_sample_frames_slices_exact_windows(spark):
     payload = bytes(range(256))
     df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")

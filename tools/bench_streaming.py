@@ -1,0 +1,97 @@
+"""Streaming throughput micro-bench (VERDICT r3 item 6): measures rows/s
+through the two end-to-end streaming entry points at sf0.1 scale —
+
+1. ``run_streaming_ingest`` — file source → watermarked hourly counts →
+   parquet sink (append, exactly-once checkpoint);
+2. ``run_streaming_upsert`` — file source → per-batch newest-wins compaction
+   → atomic state-swap sink (foreachBatch).
+
+Input: the sf events table mapped to the sensor-reading shape and split
+across N parquet files (so the file source actually micro-batches:
+``maxFilesPerTrigger=10`` → N/10 triggers). Prints ONE JSON line with wall
+seconds and rows/s per scenario. Usage:
+
+    python tools/bench_streaming.py            # sf0.1, 20 files
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/bench_streaming.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_files = int(os.environ.get("SPARK_GRAFT_STREAM_FILES", "20"))
+
+    from satsure_agri_datapipeline_spark.config import PipelineConfig
+    from satsure_agri_datapipeline_spark.session import get_spark
+    from satsure_agri_datapipeline_spark.streaming.ingest import (
+        run_streaming_ingest,
+        run_streaming_upsert,
+    )
+
+    spark = get_spark(app_name="bench_streaming", timezone="UTC")
+    work = Path(tempfile.mkdtemp(prefix="stream_bench_"))
+    try:
+        cfg = PipelineConfig().resolve_paths(work)
+        raw = work / "data" / "raw"
+        raw.mkdir(parents=True, exist_ok=True)
+
+        # events → sensor-reading shape, split into n_files parquet files
+        ev = spark.read.parquet(str(Path(sf_dir) / "events.parquet"))
+        from pyspark.sql import functions as F
+
+        readings = ev.select(
+            F.concat(F.lit("sensor_"), F.col("user_id").cast("string")).alias(
+                "sensor_id"
+            ),
+            F.col("ts").alias("timestamp"),
+            F.col("event_type").alias("reading_type"),
+            "value",
+            (F.lit(50.0) + F.col("value")).alias("battery_level"),
+        )
+        n_rows = readings.count()
+        staged = work / "staged"
+        readings.repartition(n_files).write.parquet(str(staged))
+        i = 0
+        for f in sorted(staged.glob("part-*.parquet")):
+            shutil.copy(f, raw / f"batch_{i:04d}.parquet")
+            i += 1
+
+        out: dict = {"sf_dir": sf_dir, "n_rows": n_rows, "n_files": i}
+
+        t0 = time.time()
+        q = run_streaming_ingest(
+            spark, cfg, work / "ingest_out", work / "ingest_ckpt", once=True
+        )
+        q.awaitTermination(600)
+        dt = time.time() - t0
+        out["ingest_sec"] = round(dt, 2)
+        out["ingest_rows_per_sec"] = int(n_rows / dt)
+
+        t0 = time.time()
+        q = run_streaming_upsert(
+            spark, cfg, work / "state", work / "upsert_ckpt", once=True
+        )
+        q.awaitTermination(600)
+        dt = time.time() - t0
+        out["upsert_sec"] = round(dt, 2)
+        out["upsert_rows_per_sec"] = int(n_rows / dt)
+        out["upsert_state_rows"] = spark.read.parquet(str(work / "state")).count()
+
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
