@@ -53,24 +53,28 @@ def key_histogram(
     skew splitting.
 
     One hash-aggregate over the raw table (map-side partials compress to one
-    row per distinct key); the share window and top-N ranking run on the
-    per-key aggregate relation, which is orders of magnitude smaller than the
-    input — never on raw rows.
+    row per distinct key). Top-N selection is ``orderBy().limit()`` —
+    TakeOrderedAndProject, a per-partition heap + driver merge — and the
+    corpus total is a broadcast 1-row aggregate, so NOTHING funnels the full
+    per-key relation through a single partition (the distinct-key count can
+    itself be billions at 100 TB; an empty-partition window or global
+    row_number over it would be a serial bottleneck). The final rank
+    window runs over ≤ top_n rows.
     """
     from pyspark.sql import Window
 
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
-    w_all = Window.partitionBy()
-    w_rank = Window.orderBy(F.col("n_rows").desc(), *[F.col(k) for k in keys])
+    total = counts.agg(F.sum("n_rows").alias("__total"))
+    order = [F.col("n_rows").desc(), *[F.col(k) for k in keys]]
+    top = counts.orderBy(*order).limit(top_n)
+    w_rank = Window.orderBy(*order)  # ≤ top_n rows by construction
     return (
-        counts.withColumn(
+        top.crossJoin(F.broadcast(total))
+        .withColumn(
             "share_bp",
-            F.floor(F.col("n_rows") * 10000.0 / F.sum("n_rows").over(w_all) + 0.5).cast(
-                "long"
-            ),
+            F.floor(F.col("n_rows") * 10000.0 / F.col("__total") + 0.5).cast("long"),
         )
         .withColumn("rank", F.row_number().over(w_rank))
-        .where(F.col("rank") <= top_n)
         .select(*keys, "n_rows", "share_bp", "rank")
     )
 

@@ -78,26 +78,39 @@ def impute_battery_median(
     """A2 — per-sensor median fill with global-median fallback
     (``transformation.py:126-140``).
 
-    Pure column expressions, no UDF: window median per sensor, window median
-    over the whole frame as fallback for all-null sensors. ``approx=True``
-    switches to ``percentile_approx`` for 100 TB-scale exactness relaxation.
+    Pure column expressions, no UDF. Shape: per-sensor medians as a groupBy
+    AGGREGATE broadcast-joined back, not a ``Window.partitionBy(sensor_id)``
+    median — the window form shuffles and sorts every fact row by sensor;
+    the aggregate form shuffles only (sensor, value) into partial buffers
+    and the fact table itself never moves (map-side broadcast join). The
+    medians relation is O(#sensors) — broadcastable far beyond any real
+    fleet size (100M sensors ≈ 1.6 GB; shrink with ``approx=True`` +
+    pre-aggregation before that point). Null sensor_ids are one group on
+    both sides (groupBy null group + null-safe join), matching the window
+    semantics exactly. ``approx=True`` switches to ``percentile_approx``
+    for 100 TB-scale exactness relaxation.
     """
     med = (lambda c: F.expr(f"percentile_approx({c}, 0.5)")) if approx else F.median
-    sensor_w = Window.partitionBy("sensor_id")
+    per_sensor = df.groupBy("sensor_id").agg(med(column).alias("__sensor_median"))
     # Global fallback as a broadcast 1-row aggregate, NOT an empty-partition
     # window (which would funnel all rows through a single partition).
     global_med = df.select(med(column).alias("__global_median"))
+    joined = df.join(
+        F.broadcast(per_sensor).withColumnRenamed("sensor_id", "__med_sensor_id"),
+        F.col("sensor_id").eqNullSafe(F.col("__med_sensor_id")),
+        "left",
+    )
     return (
-        df.crossJoin(F.broadcast(global_med))
+        joined.crossJoin(F.broadcast(global_med))
         .withColumn(
             column,
             F.coalesce(
                 F.col(column),
-                med(column).over(sensor_w),
+                F.col("__sensor_median"),
                 F.col("__global_median"),
             ),
         )
-        .drop("__global_median")
+        .drop("__med_sensor_id", "__sensor_median", "__global_median")
     )
 
 
@@ -202,16 +215,31 @@ def flag_anomalies(df: DataFrame, config: PipelineConfig) -> DataFrame:
     - battery_level violations are tracked separately and NOT flagged on the
       row (``transformation.py:317-326``) — callers needing the count can
       aggregate ``battery_range_violation``.
+
+    Scale shape: per-type stats are a groupBy AGGREGATE broadcast-joined
+    back, not a ``Window.partitionBy(reading_type)`` — with a handful of
+    reading types, the window would funnel ALL rows through a handful of
+    partitions (a serial bottleneck plus maximal skew), whereas avg/std/
+    count are algebraic aggregates whose partial (map-side) form shuffles a
+    few bytes per scan partition and the fact table itself never moves.
+    Null reading_types are one group on both sides (null-safe join),
+    matching the window's null-partition semantics.
     """
     t = config.transformation.z_score_threshold
-    w = Window.partitionBy("reading_type")
-    mean_c = F.avg("value").over(w)
-    std_c = F.stddev_pop("value").over(w)
-    cnt_c = F.count("value").over(w)
+    stats = df.groupBy("reading_type").agg(
+        F.avg("value").alias("__mean"),
+        F.stddev_pop("value").alias("__std"),
+        F.count("value").alias("__cnt"),
+    )
+    df = df.join(
+        F.broadcast(stats).withColumnRenamed("reading_type", "__stat_type"),
+        F.col("reading_type").eqNullSafe(F.col("__stat_type")),
+        "left",
+    )
     zflag = (
-        (cnt_c > 1)
-        & (std_c > 0)
-        & (F.abs((F.col("value") - mean_c) / std_c) > F.lit(t))
+        (F.col("__cnt") > 1)
+        & (F.col("__std") > 0)
+        & (F.abs((F.col("value") - F.col("__mean")) / F.col("__std")) > F.lit(t))
     )
 
     range_flag = F.lit(False)
@@ -226,7 +254,7 @@ def flag_anomalies(df: DataFrame, config: PipelineConfig) -> DataFrame:
 
     out = df.withColumn(
         "anomalous_reading", F.coalesce(zflag, F.lit(False)) | range_flag
-    )
+    ).drop("__stat_type", "__mean", "__std", "__cnt")
     if "battery_level" in config.ranges:
         b = config.ranges["battery_level"]
         out = out.withColumn(

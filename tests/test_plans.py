@@ -196,3 +196,21 @@ def test_dedup_spans_shuffles_hashes_not_text(spark):
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     plan = dedup_spans(docs)._jdf.queryExecution().executedPlan().toString()
     assert "span_h" in plan  # hash key exists in the exchanges
+
+
+def test_impute_median_broadcasts_not_windows(spark, queries):
+    # per-sensor medians must be an aggregate broadcast-joined back — the
+    # fact table never shuffles; a Window.partitionBy(sensor_id) median
+    # (sort + full-row exchange of the fact) is the regression this guards
+    plan = plan_of(queries["sensor_impute_median"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row global median
+    assert "Window" not in plan
+
+
+def test_zscore_broadcasts_per_type_stats(spark, queries):
+    # per-type stats: algebraic groupBy aggregate broadcast back, never a
+    # Window over a handful of reading_type partitions (serial bottleneck)
+    plan = plan_of(queries["sensor_zscore_anomalies"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
