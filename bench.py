@@ -174,7 +174,12 @@ def duckdb_baseline(entry_mod, sf_dir: str, n_runs: int) -> dict[str, float]:
     ]
     for t in tables:
         p = Path(sf_dir) / f"{t}.parquet"
-        if p.exists():
+        if p.is_dir():  # directory dataset (e.g. Spark-written part files)
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{p}/*.parquet')"
+            )
+        elif p.exists():
             con.execute(
                 f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
             )

@@ -118,3 +118,81 @@ def salted_two_phase_agg(
             for c, fn in aggs.items()
         ]
     )
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_col: str,
+    group_cols: list[str] | None = None,
+    tiebreak_cols: list[str] | None = None,
+    n_buckets: int = 64,
+    rank_col: str = "rank",
+    rel_error: float = 0.001,
+) -> DataFrame:
+    """Exact per-group ROW_NUMBER without a per-group window partition —
+    the scalable replacement for ``Window.partitionBy(few_keys).orderBy(...)``
+    ranking, whose shuffle funnels each group through ONE task (with 5
+    groups over 100 TB, five tasks sort 20 TB each).
+
+    Classic two-phase value-bucketed ranking:
+
+    1. bucket boundaries from ``approxQuantile`` over ``order_col``
+       (driver-side, O(n_buckets) values, deterministic for a fixed input);
+    2. per-(group, bucket) counts — one algebraic aggregate with map-side
+       partials (tiny shuffle);
+    3. running offsets per group across buckets — a window over the
+       O(groups × n_buckets) counts relation only, broadcast-joined back;
+    4. local ROW_NUMBER within (group, bucket) — the window partition is
+       now bounded by ~1/n_buckets of the data regardless of group skew;
+    5. rank = offset + local rank.
+
+    Equal ``order_col`` values always share a bucket (bucketing is by
+    value), so ``tiebreak_cols`` ordering resolves entirely inside one
+    window partition and the result equals
+    ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY order, tiebreaks)``
+    exactly. ``order_col`` must be numeric (approxQuantile's domain).
+    """
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    tiebreak_cols = tiebreak_cols or []
+    probes = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.approxQuantile(order_col, probes, rel_error)
+    # strictly increasing boundaries (duplicates collapse buckets harmlessly)
+    uniq: list[float] = []
+    for b in bounds:
+        if not uniq or b > uniq[-1]:
+            uniq.append(b)
+    bucket = F.lit(0)
+    for b in uniq:
+        bucket = bucket + (F.col(order_col) > F.lit(b)).cast("int")
+    d = df.withColumn("__bucket", bucket)
+
+    counts = d.groupBy(*group_cols, "__bucket").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *group_cols,
+        "__bucket",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__offset"),
+    )
+    join_cond = [d["__bucket"] == offsets["__bucket"]] + [
+        d[c].eqNullSafe(offsets[c]) for c in group_cols
+    ]
+    joined = d.join(F.broadcast(offsets), join_cond, "inner").drop(
+        *[offsets[c] for c in group_cols], offsets["__bucket"]
+    )
+    w_local = Window.partitionBy(*group_cols, "__bucket").orderBy(
+        order_col, *tiebreak_cols
+    )
+    return (
+        joined.withColumn(
+            rank_col, (F.col("__offset") + F.row_number().over(w_local)).cast("long")
+        )
+        .drop("__bucket", "__offset")
+    )

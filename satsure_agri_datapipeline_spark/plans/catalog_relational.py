@@ -1934,3 +1934,38 @@ def sketch_kll_exact_quantiles(spark, sf_dir):
     )
     sk = vl.kll_group_sketches(ev, "value", ["event_type"], k=200)
     return vl.kll_merged_quantiles(sk, probes=[0.5, 0.95, 0.99])
+
+
+@query(
+    "orders_distributed_rank",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice, o_orderkey)
+                AS BIGINT) AS rank
+    FROM orders
+    """,
+)
+def orders_distributed_rank(spark, sf_dir):
+    """Exact per-priority price ranking via the two-phase value-bucketed
+    distributed_rank (operators/joins.py) — checked against the plain
+    ROW_NUMBER window it replaces. With ~5 priorities, the window form
+    funnels 1/5 of the table through single tasks; the bucketed form's
+    largest window partition is ~1/64 of the data regardless of group
+    count or skew."""
+    from satsure_agri_datapipeline_spark.operators.joins import distributed_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    ranked = distributed_rank(
+        o,
+        "o_totalprice",
+        group_cols=["o_orderpriority"],
+        tiebreak_cols=["o_orderkey"],
+    )
+    return ranked.select(
+        "o_orderkey",
+        "o_orderpriority",
+        cents(F.col("o_totalprice")).alias("price_c"),
+        "rank",
+    )

@@ -32,7 +32,19 @@ TABLE_NAMES = [
 
 
 def _nanos_timestamp_columns(path: str | Path) -> list[str]:
-    schema = pq.read_schema(str(path))
+    """Footer probe (driver-side, metadata only). ``path`` may be a single
+    parquet file OR a directory dataset (e.g. a Spark-written table of
+    part files) — for a directory the first part file is probed, which is
+    sound because one writer produced a homogeneous schema; mixed-unit
+    directories go through ``sources/parquet.py``'s per-file grouping
+    instead."""
+    p = Path(path)
+    if p.is_dir():
+        parts = sorted(p.glob("*.parquet")) or sorted(p.glob("part-*"))
+        if not parts:
+            return []
+        p = parts[0]
+    schema = pq.read_schema(str(p))
     return [
         f.name
         for f in schema

@@ -416,3 +416,33 @@ def correlate_streams(
         & (rw[right_time] <= lw[left_time] + F.expr(f"interval {within_seconds} seconds"))
     )
     return lw.join(rw, cond, how).drop(rw[key])
+
+
+def use_rocksdb_state(spark: SparkSession, enabled: bool = True) -> None:
+    """Switch Structured Streaming's state store to RocksDB (native,
+    bundled with Spark 4) for queries started AFTER this call.
+
+    The default HDFSBackedStateStoreProvider keeps every key's state in
+    executor JVM heap — fine for the sandbox scenarios here, a
+    memory-pressure killer when keyed state reaches 100 TB-pipeline sizes
+    (hundreds of millions of sensors/sessions). RocksDB spills state to
+    local SSD with bounded block-cache memory, and changelog checkpointing
+    uploads only per-batch deltas instead of full snapshots — the
+    production configuration for large stateful topologies.
+
+    Per-query state formats are incompatible: never flip this on an
+    EXISTING checkpoint; start a fresh checkpoint directory when switching.
+    """
+    if enabled:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
+            ".enabled",
+            "true",
+        )
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -772,3 +772,43 @@ def test_triangle_count_on_known_graph(spark):
     assert (r.n_edges, r.n_triangles) == (4, 1)
     # wedges: (1,2,3),(1,3,4)... a<c ordering: exactly 2 closed/unclosed paths
     assert r.n_wedges >= r.n_triangles
+
+
+def test_distributed_rank_matches_window_row_number(spark):
+    """Two-phase bucketed ranking must equal ROW_NUMBER() OVER (PARTITION BY
+    grp ORDER BY v, id) — including ties, skewed groups, and null group
+    keys (their own group, like a window null partition)."""
+    import random
+
+    from pyspark.sql import Window
+    from satsure_agri_datapipeline_spark.operators.joins import distributed_rank
+
+    random.seed(7)
+    rows = [(i, "hot" if i % 10 else None, float(random.randint(0, 50))) for i in range(500)]
+    rows += [(1000 + i, "cold", float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+
+    got = {
+        (r.id): r.rank
+        for r in distributed_rank(
+            df, "v", group_cols=["grp"], tiebreak_cols=["id"], n_buckets=8
+        ).collect()
+    }
+    w = Window.partitionBy("grp").orderBy("v", "id")
+    want = {r.id: r.rn for r in df.withColumn("rn", F.row_number().over(w)).collect()}
+    assert got == want
+
+
+def test_distributed_rank_global_no_groups(spark):
+    from satsure_agri_datapipeline_spark.operators.joins import distributed_rank
+
+    df = spark.createDataFrame(
+        [(i, float(i % 5)) for i in range(100)], "id long, v double"
+    )
+    out = distributed_rank(df, "v", tiebreak_cols=["id"], n_buckets=4).collect()
+    ranks = sorted(r.rank for r in out)
+    assert ranks == list(range(1, 101))
+    by_rank = sorted(out, key=lambda r: r.rank)
+    assert all(
+        (a.v, a.id) <= (b.v, b.id) for a, b in zip(by_rank, by_rank[1:])
+    )

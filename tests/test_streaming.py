@@ -490,3 +490,30 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
     assert (20.0, 60.0) in out
     assert (21.0, None) in out
     assert (30.0, 90.0) in out  # far-future same-instant pair also joins
+
+
+def test_streaming_with_rocksdb_state_store(spark, tmp_path):
+    """The watermarked hourly-count query must produce identical results on
+    the RocksDB state store (the bounded-memory 100 TB configuration) as on
+    the default heap-backed provider."""
+    from satsure_agri_datapipeline_spark.streaming.ingest import (
+        run_streaming_ingest,
+        use_rocksdb_state,
+    )
+
+    cfg = PipelineConfig().resolve_paths(tmp_path)
+    raw = tmp_path / "data" / "raw"
+    _write_raw(raw, day=1)
+
+    use_rocksdb_state(spark)
+    try:
+        q = run_streaming_ingest(
+            spark, cfg, tmp_path / "rocks_out", tmp_path / "rocks_ckpt", once=True
+        )
+        q.awaitTermination(120)
+    finally:
+        use_rocksdb_state(spark, enabled=False)
+    rocks = spark.read.parquet(str(tmp_path / "rocks_out"))
+    # same watermark-closed windows as the heap-provider test: 21 of 24
+    assert rocks.count() == 21
+    assert {r.n_readings for r in rocks.collect()} == {1}
