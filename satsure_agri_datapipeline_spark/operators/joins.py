@@ -196,3 +196,62 @@ def distributed_rank(
         )
         .drop("__bucket", "__offset")
     )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n: int,
+    order_col: str,
+    group_cols: list[str] | None = None,
+    tiebreak_cols: list[str] | None = None,
+    n_buckets: int = 64,
+    tile_col: str = "tile",
+) -> DataFrame:
+    """Exact NTILE(n) per group at scale, derived from
+    :func:`distributed_rank` plus per-group counts — no per-group window
+    partition anywhere.
+
+    NTILE semantics (ANSI): with c rows and n tiles, the first ``c mod n``
+    tiles get ``c div n + 1`` rows, the rest ``c div n``. Given the exact
+    rank r and group size c, the tile index is closed-form:
+
+        base = c div n;  rem = c mod n;  cut = rem * (base + 1)
+        tile = ceil(r / (base+1))              if r <= cut
+             = rem + ceil((r - cut) / base)    otherwise
+
+    Group counts are one algebraic aggregate broadcast back (O(groups)
+    rows). Equals ``NTILE(n) OVER (PARTITION BY group ORDER BY order,
+    tiebreaks)`` exactly.
+    """
+    group_cols = group_cols or []
+    ranked = distributed_rank(
+        df,
+        order_col,
+        group_cols=group_cols,
+        tiebreak_cols=tiebreak_cols,
+        n_buckets=n_buckets,
+        rank_col="__r",
+    )
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__c"))
+    if group_cols:
+        # rename the count-side keys: both frames descend from ``df``, so
+        # joining on same-named attributes would be a self-join ambiguity
+        counts = counts.select(
+            *[F.col(c).alias(f"__cnt_{c}") for c in group_cols], "__c"
+        )
+        cond = [
+            F.col(c).eqNullSafe(F.col(f"__cnt_{c}")) for c in group_cols
+        ]
+        withc = ranked.join(F.broadcast(counts), cond, "inner").drop(
+            *[f"__cnt_{c}" for c in group_cols]
+        )
+    else:
+        withc = ranked.crossJoin(F.broadcast(counts))
+    base_i = F.expr(f"__c div {n}")
+    rem = F.col("__c") % n
+    cut = rem * (base_i + 1)
+    r = F.col("__r")
+    tile = F.when(
+        r <= cut, F.ceil(r / (base_i + 1))
+    ).otherwise(rem + F.ceil((r - cut) / F.greatest(base_i, F.lit(1))))
+    return withc.withColumn(tile_col, tile.cast("long")).drop("__r", "__c")

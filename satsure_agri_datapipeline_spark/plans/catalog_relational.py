@@ -1969,3 +1969,32 @@ def orders_distributed_rank(spark, sf_dir):
         cents(F.col("o_totalprice")).alias("price_c"),
         "rank",
     )
+
+
+@query(
+    "orders_scalable_ntile",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey)
+                AS BIGINT) AS tile
+    FROM orders
+    """,
+)
+def orders_scalable_ntile(spark, sf_dir):
+    """Exact NTILE(4) quartiles per priority without a per-group window:
+    distributed_ntile = distributed_rank + closed-form tile from broadcast
+    group counts (operators/joins.py). Checked against the plain NTILE
+    window — same caveat as orders_distributed_rank: the window form
+    serializes each of the ~5 priority groups through one task."""
+    from satsure_agri_datapipeline_spark.operators.joins import distributed_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    out = distributed_ntile(
+        o,
+        4,
+        "o_totalprice",
+        group_cols=["o_orderpriority"],
+        tiebreak_cols=["o_orderkey"],
+    )
+    return out.select("o_orderkey", "o_orderpriority", "tile")

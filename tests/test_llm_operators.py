@@ -812,3 +812,24 @@ def test_distributed_rank_global_no_groups(spark):
     assert all(
         (a.v, a.id) <= (b.v, b.id) for a, b in zip(by_rank, by_rank[1:])
     )
+
+
+def test_distributed_ntile_matches_window_ntile(spark):
+    """Closed-form tile from (rank, group count) must equal NTILE() OVER —
+    including the uneven-division case (first c%n tiles one row larger) and
+    groups smaller than n."""
+    from pyspark.sql import Window
+    from satsure_agri_datapipeline_spark.operators.joins import distributed_ntile
+
+    rows = [(i, "a", float(i * 7 % 13)) for i in range(47)]  # 47 % 4 = 3
+    rows += [(100 + i, "tiny", float(i)) for i in range(2)]  # group < n
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    got = {
+        r.id: r.tile
+        for r in distributed_ntile(
+            df, 4, "v", group_cols=["grp"], tiebreak_cols=["id"], n_buckets=8
+        ).collect()
+    }
+    w = Window.partitionBy("grp").orderBy("v", "id")
+    want = {r.id: r.nt for r in df.withColumn("nt", F.ntile(4).over(w)).collect()}
+    assert got == want
