@@ -465,3 +465,70 @@ def centroid_pairwise_distances(
             ).alias("dist")
         )
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    eval_id_col: str = "vec_id",
+    eval_vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic eval-set decontamination: for every corpus vector, the max
+    (round-6) cosine against ANY eval-set vector, plus the matching eval id
+    — corpus rows at or above ``threshold`` are benchmark leakage the
+    n-gram decontaminator (text.py) cannot see (paraphrases, translations,
+    reformatted answers).
+
+    100 TB shape: the eval set is benchmark-sized (thousands of vectors),
+    so it collapses to ONE broadcast row holding an id-sorted struct array,
+    and the max-cosine scan is a MAP-ONLY higher-order ``aggregate`` over
+    that array — the corpus never shuffles, never fans out k× rows, and no
+    join exchange exists. This is the argmin-per-vector SemDeDup pattern
+    (similarity.py:367) pointed at an external reference set instead of
+    cluster centroids.
+
+    Ties on the rounded cosine resolve to the LOWEST eval id (the array is
+    id-sorted and the fold keeps the incumbent on equality), making the
+    result engine-exact. Returns (id, matched_eval_id, max_cosine,
+    contaminated).
+    """
+    evals = eval_set.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(eval_id_col).cast("long").alias("eid"),
+                    F.col(eval_vec_col).alias("vec"),
+                )
+            )
+        ).alias("__evals")
+    )
+    emb = F.col(vec_col)
+
+    def fold(acc, e):
+        cos = F.round(cosine_similarity_col(e["vec"], emb), 6)
+        return F.when(
+            cos > acc["cos"],
+            F.struct(e["eid"].alias("eid"), cos.alias("cos")),
+        ).otherwise(acc)
+
+    best = F.aggregate(
+        F.col("__evals"),
+        F.struct(
+            F.lit(None).cast("long").alias("eid"),
+            F.lit(-2.0).alias("cos"),
+        ),
+        fold,
+    )
+    return (
+        corpus.crossJoin(F.broadcast(evals))
+        .withColumn("__best", best)
+        .select(
+            F.col(id_col),
+            F.col("__best.eid").alias("matched_eval_id"),
+            F.col("__best.cos").alias("max_cosine"),
+            (F.col("__best.cos") >= F.lit(threshold)).alias("contaminated"),
+        )
+    )

@@ -1988,3 +1988,54 @@ def emb_centroid_separation(spark, sf_dir):
         )
         .orderBy("label_a", "label_b")
     )
+
+
+@query(
+    "emb_semantic_decontaminate",
+    """
+    WITH ev AS (
+        SELECT vec_id AS eid, embedding AS vec FROM embeddings
+        WHERE vec_id % 50 = 0
+    ),
+    corpus AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0
+    ),
+    pairs AS (
+        SELECT c.vec_id, e.eid,
+               ROUND(
+                 list_sum(list_transform(list_zip(c.embedding, e.vec),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(c.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(e.vec,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                 6) AS cos
+        FROM corpus c CROSS JOIN ev e
+    ),
+    best AS (
+        SELECT vec_id, MAX(cos) AS max_cosine FROM pairs GROUP BY vec_id
+    )
+    SELECT b.vec_id,
+           CAST(MIN(p.eid) AS BIGINT) AS matched_eval_id,
+           b.max_cosine,
+           b.max_cosine >= 0.99 AS contaminated
+    FROM best b JOIN pairs p
+      ON p.vec_id = b.vec_id AND p.cos = b.max_cosine
+    GROUP BY b.vec_id, b.max_cosine
+    ORDER BY b.vec_id
+    """,
+)
+def emb_semantic_decontaminate(spark, sf_dir):
+    """Semantic eval-set decontamination (similarity.py
+    semantic_decontaminate): max round-6 cosine of each corpus vector
+    against a broadcast id-sorted eval array, computed map-only via a
+    higher-order fold — no corpus shuffle, no k-times row fan-out. The
+    oracle restates it relationally (cross join + per-row max + lowest
+    tying eval id). Eval subset: vec_id % 50 = 0; threshold 0.99 sits
+    inside the synthetic data's cosine mass so both flag values appear."""
+    from satsure_agri_datapipeline_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.where(F.col("vec_id") % 50 == 0)
+    corpus = emb.where(F.col("vec_id") % 50 != 0)
+    return sim.semantic_decontaminate(corpus, ev, threshold=0.99).orderBy("vec_id")

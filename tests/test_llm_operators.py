@@ -833,3 +833,29 @@ def test_distributed_ntile_matches_window_ntile(spark):
     w = Window.partitionBy("grp").orderBy("v", "id")
     want = {r.id: r.nt for r in df.withColumn("nt", F.ntile(4).over(w)).collect()}
     assert got == want
+
+
+def test_semantic_decontaminate_flags_paraphrase_leak(spark):
+    """A corpus vector identical (or near-identical) to an eval vector must
+    flag as contaminated with that eval id; orthogonal vectors must not."""
+    from satsure_agri_datapipeline_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.999, 0.01, 0.0]),  # ~eval 100
+            (2, [0.0, 0.0, 1.0]),     # orthogonal to both
+            (3, [0.0, 2.0, 0.0]),     # scaled copy of eval 101
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in semantic_decontaminate(corpus, ev, threshold=0.95).collect()}
+    assert out[1].contaminated and out[1].matched_eval_id == 100
+    assert not out[2].contaminated
+    assert out[3].contaminated and out[3].matched_eval_id == 101
+    assert out[3].max_cosine == 1.0  # cosine is scale-invariant
