@@ -533,3 +533,64 @@ def events_violation_streaks(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+_PR_ITER = """
+    SELECT n.node,
+           CAST(150000000 + COALESCE(SUM(
+               (85 * CAST(r.r AS BIGINT) * CAST(e.w AS BIGINT))
+               // (100 * CAST(e.tot_w AS BIGINT))), 0) AS BIGINT) AS r
+    FROM nodes n
+    LEFT JOIN e ON e.dst = n.node
+    LEFT JOIN {prev} r ON r.node = e.src
+    GROUP BY n.node
+"""
+
+
+@query(
+    "events_pagerank",
+    f"""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    ),
+    e0 AS (
+        SELECT prev_type AS src, event_type AS dst, COUNT(*) AS w
+        FROM ordered WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    ow AS (SELECT src, SUM(w) AS tot_w FROM e0 GROUP BY src),
+    e AS (SELECT e0.src, e0.dst, e0.w, ow.tot_w FROM e0 JOIN ow USING (src)),
+    nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+    r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+    r1 AS ({_PR_ITER.format(prev="r0")}),
+    r2 AS ({_PR_ITER.format(prev="r1")}),
+    r3 AS ({_PR_ITER.format(prev="r2")})
+    SELECT node AS node_id, r AS rank_e9 FROM r3 ORDER BY node_id
+    """,
+)
+def events_pagerank(spark, sf_dir):
+    """Fixed-point weighted PageRank over the event-type transition graph
+    (operators/graph.py pagerank_fixed_point, 3 iterations, e9-scaled
+    integer ranks — engine-exact, see the module header). The oracle
+    unrolls the identical integer recurrence as chained CTEs. The graph
+    here is |types|² edges; the operator's shape (edge join + dst
+    aggregate per round, out-weights riding the edges) is what runs on a
+    billion-edge near-dup or citation graph."""
+    from pyspark.sql import Window as W
+
+    from satsure_agri_datapipeline_spark.operators.graph import pagerank_fixed_point
+    from satsure_agri_datapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank_fixed_point(
+        trans, "src", "dst", weight_col="w", iterations=3
+    ).orderBy("node_id")

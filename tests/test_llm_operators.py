@@ -859,3 +859,33 @@ def test_semantic_decontaminate_flags_paraphrase_leak(spark):
     assert not out[2].contaminated
     assert out[3].contaminated and out[3].matched_eval_id == 101
     assert out[3].max_cosine == 1.0  # cosine is scale-invariant
+
+
+def test_pagerank_fixed_point_matches_reference(spark):
+    """Integer fixed-point PageRank must reproduce the same recurrence
+    computed in plain Python, and rank hubs above leaves."""
+    from satsure_agri_datapipeline_spark.operators.graph import (
+        SCALE,
+        pagerank_fixed_point,
+    )
+
+    edges = [(1, 0, 3), (2, 0, 1), (3, 0, 2), (0, 1, 1), (2, 3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {
+        r.node_id: r.rank_e9
+        for r in pagerank_fixed_point(df, weight_col="w", iterations=3).collect()
+    }
+
+    out_w = {}
+    for s, d, w in edges:
+        out_w[s] = out_w.get(s, 0) + w
+    nodes = {n for e in edges for n in e[:2]}
+    r = {n: SCALE for n in nodes}
+    teleport = 15 * SCALE // 100
+    for _ in range(3):
+        nxt = {n: teleport for n in nodes}
+        for s, d, w in edges:
+            nxt[d] += (85 * r[s] * w) // (100 * out_w[s])
+        r = nxt
+    assert got == r
+    assert got[0] == max(got.values())  # the hub
