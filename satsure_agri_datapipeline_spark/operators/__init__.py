@@ -3,6 +3,7 @@ families (dedup, text analysis, similarity search, multimodal plumbing)."""
 
 from satsure_agri_datapipeline_spark.operators import (  # noqa: F401
     dedup,
+    graph,
     joins,
     maintenance,
     multimodal,

@@ -522,13 +522,19 @@ def semantic_decontaminate(
         ),
         fold,
     )
+    # empty eval set → NULL cosine / not contaminated (don't leak the
+    # fold's -2.0 sentinel)
+    has_evals = F.size("__evals") > 0
     return (
         corpus.crossJoin(F.broadcast(evals))
         .withColumn("__best", best)
         .select(
             F.col(id_col),
             F.col("__best.eid").alias("matched_eval_id"),
-            F.col("__best.cos").alias("max_cosine"),
-            (F.col("__best.cos") >= F.lit(threshold)).alias("contaminated"),
+            F.when(has_evals, F.col("__best.cos")).alias("max_cosine"),
+            F.coalesce(
+                F.when(has_evals, F.col("__best.cos") >= F.lit(threshold)),
+                F.lit(False),
+            ).alias("contaminated"),
         )
     )

@@ -889,3 +889,26 @@ def test_pagerank_fixed_point_matches_reference(spark):
         r = nxt
     assert got == r
     assert got[0] == max(got.values())  # the hub
+
+
+def test_new_operators_handle_empty_inputs(spark):
+    """Empty relations must flow through, not crash or leak sentinels."""
+    from satsure_agri_datapipeline_spark.operators.graph import pagerank_fixed_point
+    from satsure_agri_datapipeline_spark.operators.joins import (
+        distributed_ntile,
+        distributed_rank,
+    )
+    from satsure_agri_datapipeline_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    empty = spark.createDataFrame([], "id long, grp string, v double")
+    assert distributed_rank(empty, "v", ["grp"], ["id"]).count() == 0
+    assert distributed_ntile(empty, 4, "v", ["grp"], ["id"]).count() == 0
+    e = spark.createDataFrame([], "src long, dst long, w long")
+    assert pagerank_fixed_point(e, weight_col="w").count() == 0
+    no_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    one = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    assert semantic_decontaminate(no_emb, one).count() == 0
+    row = semantic_decontaminate(one, no_emb).collect()[0]
+    assert row.max_cosine is None and not row.contaminated
