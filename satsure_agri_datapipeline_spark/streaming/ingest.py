@@ -446,3 +446,117 @@ def use_rocksdb_state(spark: SparkSession, enabled: bool = True) -> None:
         )
     else:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def has_protobuf() -> bool:
+    """True when ``google.protobuf`` is importable (find_spec raises rather
+    than returning None when the whole ``google`` namespace is absent)."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+class _RunningStatsProcessor:
+    """StatefulProcessor for ``run_streaming_running_stats`` — kept at module
+    scope so it pickles cleanly to executors."""
+
+    def init(self, handle) -> None:
+        self._stats = handle.getValueState(
+            "stats", "n LONG, s DOUBLE, mn DOUBLE, mx DOUBLE"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd  # executor-side
+
+        if self._stats.exists():
+            n, s, mn, mx = self._stats.get()
+        else:
+            n, s, mn, mx = 0, 0.0, None, None
+        for pdf in rows:
+            vals = pdf["value"].dropna()
+            if len(vals):
+                n += int(len(vals))
+                s += float(vals.sum())
+                lo, hi = float(vals.min()), float(vals.max())
+                mn = lo if mn is None else min(mn, lo)
+                mx = hi if mx is None else max(mx, hi)
+        self._stats.update((n, s, mn, mx))
+        yield pd.DataFrame(
+            {
+                "sensor_id": [key[0]],
+                "reading_type": [key[1]],
+                "n_readings": [n],
+                "mean_value": [s / n if n else None],
+                "min_value": [mn],
+                "max_value": [mx],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+RUNNING_STATS_SCHEMA = (
+    "sensor_id STRING, reading_type STRING, n_readings LONG, "
+    "mean_value DOUBLE, min_value DOUBLE, max_value DOUBLE"
+)
+
+
+def run_streaming_running_stats(
+    spark: SparkSession,
+    config: PipelineConfig,
+    output_dir: str | Path,
+    checkpoint_dir: str | Path,
+    once: bool = True,
+):
+    """Lifetime running statistics per (sensor, reading_type) via Spark 4's
+    ``transformWithStateInPandas`` — the modern arbitrary-state API that
+    supersedes ``applyInPandasWithState`` (used by ``gap_alerts_stateful``):
+    typed state handles (value/list/map), timers, TTL, and a state
+    lifecycle the engine can evolve independently of the function.
+
+    ENVIRONMENT GATE: TWS's control channel between the JVM and the Python
+    driver worker speaks protobuf; when ``google.protobuf`` is not
+    importable (this sandbox) the query would crash inside Spark's driver
+    worker, so this helper raises ``NotImplementedError`` up front with the
+    real reason. The processor, schema, and test are real — the test
+    skip-marks itself exactly like the Pillow-gated multimodal decode.
+
+    State is ONE fixed-width tuple per key (count, sum, min, max) — O(keys)
+    regardless of stream length, the mergeable-aggregate shape. Each
+    micro-batch emits the updated stats row per key touched in that batch
+    (Update mode). Requires the RocksDB state store (TWS is implemented
+    against it); this helper switches the session over via
+    :func:`use_rocksdb_state` before starting.
+    """
+    if not has_protobuf():
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(pyspark's TWS driver-worker protocol); install protobuf"
+        )
+    use_rocksdb_state(spark)
+    readings = stream_sensor_readings(spark, config)
+    stats = readings.groupBy("sensor_id", "reading_type").transformWithStateInPandas(
+        _RunningStatsProcessor(),
+        outputStructType=RUNNING_STATS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    out = str(output_dir)
+
+    def _append(batch_df, epoch_id: int) -> None:
+        # file sinks are append-only; each batch appends its snapshot rows
+        # (epoch-stamped so readers can select the latest per key)
+        batch_df.withColumn("epoch_id", F.lit(epoch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    writer = stats.writeStream.outputMode("update").foreachBatch(_append).option(
+        "checkpointLocation", str(checkpoint_dir)
+    )
+    if once:
+        return writer.trigger(availableNow=True).start()
+    return writer.start()
