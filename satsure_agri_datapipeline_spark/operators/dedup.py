@@ -86,12 +86,19 @@ def minhash_params(num_hashes: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
-def _shingle_set(text: str, n: int) -> list[str]:
-    """Distinct word n-grams. Mirrors the expression form exactly:
-    ``split(text, ' ')`` keeps empty tokens (consecutive spaces), docs with
-    fewer than n words yield no shingles."""
+def _shingle_set(text: str, n: int, unit: str = "word") -> list[str]:
+    """Distinct n-gram shingles. ``unit="word"`` mirrors the expression
+    form exactly: ``split(text, ' ')`` keeps empty tokens (consecutive
+    spaces), docs with fewer than n words yield no shingles.
+    ``unit="char"`` shingles raw character n-grams (n≈5 typical) — the
+    standard choice for code and CJK text, where word tokenization is
+    meaningless; same too-short contract (len < n → no shingles)."""
     if text is None:
         return []
+    if unit == "char":
+        if len(text) < n:
+            return []
+        return list({text[i : i + n] for i in range(len(text) - n + 1)})
     w = text.split(" ")
     if len(w) < n:
         return []
@@ -173,6 +180,7 @@ def shingle_hash_arrays(
     seed: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    unit: str = "word",
 ) -> DataFrame:
     """(id, shs array<long>) — distinct 60-bit shingle hashes per document,
     computed in one Arrow batch per partition. Map-only; the array row is a
@@ -181,7 +189,7 @@ def shingle_hash_arrays(
     @pandas_udf("array<long>")
     def _hashes(texts: pd.Series) -> pd.Series:
         return texts.map(
-            lambda t: [_h60(s, seed) for s in _shingle_set(t, n)]
+            lambda t: [_h60(s, seed) for s in _shingle_set(t, n, unit)]
         )
 
     return _repartitioned(df, id_col).select(
@@ -201,6 +209,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_shingle_df: int | None = None,
+    unit: str = "word",
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard: explode shingle hashes,
     self-join on the hash (bucket join — only docs sharing a shingle meet),
@@ -228,7 +237,9 @@ def ngram_jaccard_pairs(
       corpus contributes quadratic join output while carrying ~no near-dup
       signal). Changes results by definition; off by default.
     """
-    arr = shingle_hash_arrays(df, n=n, seed=0, text_col=text_col, id_col=id_col)
+    arr = shingle_hash_arrays(
+        df, n=n, seed=0, text_col=text_col, id_col=id_col, unit=unit
+    )
     arr = arr.persist(StorageLevel.MEMORY_AND_DISK)
     sh = arr.select(
         F.col(id_col),
@@ -770,7 +781,9 @@ def containment_pairs(
     so thresholds and outputs are engine-exact. Returns
     (id_a, id_b, inter, n_a, n_b, containment_e4), id_a < id_b.
     """
-    arr = shingle_hash_arrays(df, n=n, seed=0, text_col=text_col, id_col=id_col)
+    arr = shingle_hash_arrays(
+        df, n=n, seed=0, text_col=text_col, id_col=id_col, unit=unit
+    )
     arr = arr.persist(StorageLevel.MEMORY_AND_DISK)
     sh = arr.select(
         F.col(id_col),
@@ -875,3 +888,48 @@ def triangle_count(
         .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
         .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a standing digest store
+# ---------------------------------------------------------------------------
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    history_digests: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    digest_col: str = "digest",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedupe a NEW ingest batch against everything ever accepted — the
+    standing-store pattern of a continuously-crawling pipeline, where
+    "have we seen this document?" must not rescan the corpus.
+
+    ``history_digests`` is the store: one ``digest`` (sha256 hex) per
+    previously-accepted document — 64 bytes/doc regardless of document
+    size, the ONLY state the pipeline keeps. Returns ``(accepted,
+    new_digests)``:
+
+    - ``accepted``: new-batch rows surviving (a) within-batch exact dedup
+      (lowest id per digest wins) and (b) the anti-join against history;
+    - ``new_digests``: the accepted batch's digests — append/merge into the
+      store; next batch's cost is again ∝ batch size, not corpus size
+      (the same contract as ``maintenance.merge_upsert``).
+
+    Scale shape: one digest groupBy over the batch, one anti-join of batch
+    digests against the store (shuffle on the 32-byte digest; AQE
+    broadcasts the batch side when it is small — the common case of a
+    small batch vs a huge store). The documents' text never joins
+    anything.
+    """
+    d = new_docs.withColumn(digest_col, F.sha2(F.col(text_col), 256))
+    keep = d.groupBy(digest_col).agg(F.min(id_col).alias(id_col))
+    survivors = d.join(keep, [digest_col, id_col], "left_semi")
+    if history_digests is not None:
+        survivors = survivors.join(
+            history_digests.select(digest_col), digest_col, "left_anti"
+        )
+    accepted = survivors.drop(digest_col)
+    new_digests = survivors.select(digest_col)
+    return accepted, new_digests

@@ -2039,3 +2039,80 @@ def emb_semantic_decontaminate(spark, sf_dir):
     ev = emb.where(F.col("vec_id") % 50 == 0)
     corpus = emb.where(F.col("vec_id") % 50 != 0)
     return sim.semantic_decontaminate(corpus, ev, threshold=0.99).orderBy("vec_id")
+
+
+@query(
+    "doc_incremental_dedup",
+    """
+    WITH hist AS (
+        SELECT DISTINCT sha256(text) AS digest FROM documents
+        WHERE doc_id % 5 < 2
+    ),
+    new_batch AS (SELECT * FROM documents WHERE doc_id % 5 >= 2),
+    keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM new_batch GROUP BY sha256(text)
+    )
+    SELECT n.doc_id, n.lang, n.source, n.n_chars
+    FROM new_batch n JOIN keep USING (doc_id)
+    WHERE sha256(n.text) NOT IN (SELECT digest FROM hist)
+    ORDER BY n.doc_id
+    """,
+)
+def doc_incremental_dedup(spark, sf_dir):
+    """Incremental exact dedup of a new ingest batch against the standing
+    digest store (operators/dedup.py incremental_exact_dedup): history =
+    docs with doc_id % 5 < 2 reduced to 64-byte sha256 digests, new batch
+    = the rest. Within-batch lowest-id-wins plus an anti-join on the
+    digest; text never joins. Oracle restates both steps relationally."""
+    from satsure_agri_datapipeline_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.where(F.col("doc_id") % 5 < 2)
+        .select(F.sha2(F.col("text"), 256).alias("digest"))
+        .distinct()
+    )
+    new_batch = docs.where(F.col("doc_id") % 5 >= 2)
+    accepted, _ = dd.incremental_exact_dedup(new_batch, hist)
+    return accepted.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+
+
+@query(
+    "doc_char_jaccard",
+    """
+    WITH idx AS (
+        SELECT doc_id, text,
+               UNNEST(generate_series(1, GREATEST(len(text) - 4, 0))) AS i
+        FROM documents
+    ),
+    cshingles AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle FROM idx),
+    chashed AS (
+        SELECT doc_id, ('0x' || substr(md5('0:' || shingle), 1, 15))::BIGINT AS sh
+        FROM cshingles
+    ),
+    csizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM chashed GROUP BY doc_id),
+    cinter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM chashed a JOIN chashed b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+    FROM cinter
+    JOIN csizes sa ON cinter.id_a = sa.doc_id
+    JOIN csizes sb ON cinter.id_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.6
+    ORDER BY id_a, id_b
+    """,
+)
+def doc_char_jaccard(spark, sf_dir):
+    """Near-dup pairs by exact character 5-gram Jaccard ≥ 0.6
+    (dd.ngram_jaccard_pairs with unit="char") — the shingling unit for
+    code and CJK corpora where word splitting carries no signal. Same
+    bucket-join execution as the word form; only the Arrow-side shingle
+    generator changes."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, n=5, threshold=0.6, unit="char")
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")

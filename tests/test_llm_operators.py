@@ -912,3 +912,42 @@ def test_new_operators_handle_empty_inputs(spark):
     assert semantic_decontaminate(no_emb, one).count() == 0
     row = semantic_decontaminate(one, no_emb).collect()[0]
     assert row.max_cosine is None and not row.contaminated
+
+
+def test_incremental_dedup_two_batches(spark):
+    """The store contract: batch 2 must reject docs whose text was accepted
+    in batch 1, dedupe within itself, and return only NEW digests."""
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    )
+    acc1, dig1 = dd.incremental_exact_dedup(b1, None)
+    assert {r.doc_id for r in acc1.collect()} == {1, 2}  # 3 is a dup of 1
+
+    b2 = spark.createDataFrame(
+        [(10, "beta"), (11, "gamma"), (12, "gamma"), (13, "delta")],
+        "doc_id long, text string",
+    )
+    acc2, dig2 = dd.incremental_exact_dedup(b2, dig1)
+    assert {r.doc_id for r in acc2.collect()} == {11, 13}  # beta seen, 12 dup
+    # merged store accepts nothing from a replay of either batch
+    store = dig1.union(dig2)
+    acc3, _ = dd.incremental_exact_dedup(b1.union(b2), store)
+    assert acc3.count() == 0
+
+
+def test_char_shingle_jaccard_catches_word_boundary_edits(docs, spark):
+    """Char shingles must see near-dups that word shingles miss: texts
+    differing only by intra-word edits share most char 5-grams but few
+    word 3-grams."""
+    pair = spark.createDataFrame(
+        [(0, "internationalization brings localization headaches"),
+         (1, "internationalisation brings localisation headaches")],
+        "doc_id long, text string",
+    )
+    char_pairs = dd.ngram_jaccard_pairs(pair, n=5, threshold=0.3, unit="char").collect()
+    word_pairs = dd.ngram_jaccard_pairs(pair, n=3, threshold=0.3).collect()
+    assert len(char_pairs) == 1 and char_pairs[0].jaccard > 0.3
+    assert len(word_pairs) == 0  # every word 3-gram differs
+    # too-short contract mirrors the word form
+    short = spark.createDataFrame([(0, "abcd")], "doc_id long, text string")
+    assert dd.shingle_hash_arrays(short, n=5, unit="char").collect()[0].shs == []
