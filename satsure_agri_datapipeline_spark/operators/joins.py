@@ -157,7 +157,9 @@ def distributed_rank(
     group_cols = group_cols or []
     tiebreak_cols = tiebreak_cols or []
     probes = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = df.approxQuantile(order_col, probes, rel_error)
+    # n_buckets=1 → no boundaries → one global bucket (degenerates to the
+    # plain per-group window; still correct, no approxQuantile call)
+    bounds = df.approxQuantile(order_col, probes, rel_error) if probes else []
     # strictly increasing boundaries (duplicates collapse buckets harmlessly)
     uniq: list[float] = []
     for b in bounds:

@@ -321,3 +321,70 @@ def test_results_invariant_under_shuffle_partitioning(spark):
             assert results["5"][name] == results["37"][name], name
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),           # group
+            st.integers(0, 20),          # value (many ties)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    n_buckets=st.sampled_from([1, 2, 5, 16]),
+)
+@settings(**SETTINGS)
+def test_distributed_rank_property(spark, rows, n_buckets):
+    """Bucketed two-phase ranking == per-group sort position, for any
+    group/value distribution (heavy ties, single bucket, more buckets than
+    values)."""
+    from satsure_agri_datapipeline_spark.operators.joins import distributed_rank
+
+    data = [(i, f"g{g}", float(v)) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, grp string, v double")
+    got = {
+        r.id: r.rank
+        for r in distributed_rank(
+            df, "v", ["grp"], ["id"], n_buckets=n_buckets
+        ).collect()
+    }
+    want = {}
+    by_grp: dict = {}
+    for i, g, v in data:
+        by_grp.setdefault(g, []).append((v, i))
+    for g, vals in by_grp.items():
+        for pos, (_, i) in enumerate(sorted(vals), start=1):
+            want[i] = pos
+    assert got == want
+
+
+@given(
+    texts=st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=30),
+    split=st.integers(0, 29),
+)
+@settings(**SETTINGS)
+def test_incremental_dedup_equals_global_dedup(spark, texts, split):
+    """Splitting a corpus into (history, batch) and deduping incrementally
+    must accept exactly the batch docs whose text is globally first-seen
+    in the batch (lowest batch id), for ANY split point."""
+    data = list(enumerate(texts))
+    hist, batch = data[:split], data[split:]
+    if not batch:
+        return
+    hist_df = spark.createDataFrame(hist, "doc_id long, text string") if hist else None
+    batch_df = spark.createDataFrame(batch, "doc_id long, text string")
+    hist_digests = (
+        hist_df.select(F.sha2("text", 256).alias("digest")).distinct()
+        if hist_df is not None
+        else None
+    )
+    acc, _ = dd.incremental_exact_dedup(batch_df, hist_digests)
+    got = {r.doc_id for r in acc.collect()}
+    hist_texts = {t for _, t in hist}
+    seen, want = set(), set()
+    for i, t in batch:
+        if t not in hist_texts and t not in seen:
+            want.add(i)
+            seen.add(t)
+    assert got == want
