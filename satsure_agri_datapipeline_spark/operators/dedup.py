@@ -933,3 +933,77 @@ def incremental_exact_dedup(
     accepted = survivors.drop(digest_col)
     new_digests = survivors.select(digest_col)
     return accepted, new_digests
+
+
+def minhash_bands(
+    df: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, band_sig) — the LSH band relation, num_bands fixed-width
+    rows per document (docs with no shingles produce none). This is both a
+    join key for candidate generation and the STORE format for incremental
+    near-dup (:func:`incremental_minhash_dedup`)."""
+    sig = minhash_signature_arrays(df, num_hashes, n, text_col, id_col)
+    n_bands = num_hashes // band_size
+    return sig.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        "sig",
+    ).select(
+        id_col,
+        "band",
+        F.array_join(
+            F.transform(
+                F.slice(F.col("sig"), F.col("band") * band_size + 1, band_size),
+                lambda h: h.cast("string"),
+            ),
+            ",",
+        ).alias("band_sig"),
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    band_store: DataFrame | None,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """NEAR-dup companion of :func:`incremental_exact_dedup`: dedupe a new
+    ingest batch against the standing LSH band store of everything already
+    accepted. The store holds (band, band_sig) — num_bands fixed-width rows
+    per accepted doc, no text, no signatures of rejected docs.
+
+    A batch doc is dropped when any of its bands collides with the store
+    (≈ near-dup of an accepted historical doc at the LSH operating point)
+    or with a LOWER-id batch doc. The within-batch rule is the greedy
+    one-pass approximation — doc b is dropped even if the lower-id doc a
+    it collides with was itself dropped against history; this keeps the
+    batch pass ONE band self-join (transitive-closure semantics would need
+    the connected-components round loop) and errs toward dropping, never
+    toward accepting a near-dup. Returns (accepted, new_bands); append
+    ``new_bands`` to the store — update cost ∝ batch, like the exact form.
+    """
+    bands = minhash_bands(new_docs, num_hashes, band_size, n, text_col, id_col)
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    dropped = bands.join(
+        bands.select(F.col(id_col).alias("__lower"), "band", "band_sig"),
+        ["band", "band_sig"],
+    ).where(F.col("__lower") < F.col(id_col)).select(id_col)
+    if band_store is not None:
+        dropped = dropped.union(
+            bands.join(
+                band_store.select("band", "band_sig"), ["band", "band_sig"], "left_semi"
+            ).select(id_col)
+        )
+    accepted = new_docs.join(dropped.distinct(), id_col, "left_anti")
+    new_bands = bands.join(
+        accepted.select(id_col), id_col, "left_semi"
+    ).select("band", "band_sig")
+    return _register_cache(accepted, bands), new_bands

@@ -2116,3 +2116,61 @@ def doc_char_jaccard(spark, sf_dir):
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "doc_incremental_near_dup",
+    f"""
+    WITH {SHINGLES_SQL},
+    seeds(k, a, b) AS (VALUES {_minhash_seed_values()}),
+    nhashed AS (
+        SELECT doc_id,
+               (('0x' || substr(md5(shingle), 1, 15))::BIGINT)::HUGEINT AS h
+        FROM shingles
+    ),
+    nmixed AS (
+        SELECT doc_id, k,
+               CAST(((a * h + b) % 18446744073709551616::HUGEINT)
+                    % 9223372036854775808::HUGEINT AS BIGINT) AS hk
+        FROM nhashed CROSS JOIN seeds
+    ),
+    nsig AS (SELECT doc_id, k, MIN(hk) AS min_hash FROM nmixed GROUP BY doc_id, k),
+    nbands AS (
+        SELECT doc_id, k // 4 AS band,
+               STRING_AGG(CAST(min_hash AS VARCHAR), ',' ORDER BY k) AS band_sig
+        FROM nsig GROUP BY doc_id, k // 4
+    ),
+    hist_bands AS (
+        SELECT DISTINCT band, band_sig FROM nbands WHERE doc_id % 5 < 2
+    ),
+    batch_bands AS (SELECT * FROM nbands WHERE doc_id % 5 >= 2),
+    hit AS (
+        SELECT DISTINCT b.doc_id
+        FROM batch_bands b JOIN hist_bands h USING (band, band_sig)
+        UNION
+        SELECT DISTINCT b.doc_id
+        FROM batch_bands b JOIN batch_bands a
+          ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id % 5 >= 2 AND d.doc_id NOT IN (SELECT doc_id FROM hit)
+    ORDER BY d.doc_id
+    """,
+)
+def doc_incremental_near_dup(spark, sf_dir):
+    """Incremental NEAR-dup dedup of a new batch vs the standing LSH band
+    store (dedup.incremental_minhash_dedup): history = doc_id % 5 < 2
+    reduced to its (band, band_sig) rows, batch = the rest. Band collision
+    with history or a lower-id batch doc drops the doc (greedy one-pass
+    within-batch rule — see the operator docstring). The oracle restates
+    the whole chain: portable minhash family, banding, both collision
+    joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist_bands = dd.minhash_bands(docs.where(F.col("doc_id") % 5 < 2)).select(
+        "band", "band_sig"
+    ).distinct()
+    batch = docs.where(F.col("doc_id") % 5 >= 2)
+    accepted, _ = dd.incremental_minhash_dedup(batch, hist_bands)
+    return accepted.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")

@@ -951,3 +951,28 @@ def test_char_shingle_jaccard_catches_word_boundary_edits(docs, spark):
     # too-short contract mirrors the word form
     short = spark.createDataFrame([(0, "abcd")], "doc_id long, text string")
     assert dd.shingle_hash_arrays(short, n=5, unit="char").collect()[0].shs == []
+
+
+def test_incremental_minhash_dedup_two_batches(docs, spark):
+    """Near-dup store contract: batch 2's near-dup of an accepted batch-1
+    doc is rejected via the band store; novel docs pass; replay rejects."""
+    b1 = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog and then naps")],
+        "doc_id long, text string",
+    )
+    acc1, bands1 = dd.incremental_minhash_dedup(b1, None)
+    assert {r.doc_id for r in acc1.collect()} == {0}
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog and then naps"),
+            (11, "completely unrelated sentence about databases and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    acc2, bands2 = dd.incremental_minhash_dedup(b2, bands1)
+    assert {r.doc_id for r in acc2.collect()} == {11}
+    # replay of batch 2 against the merged store accepts nothing
+    store = bands1.union(bands2)
+    acc3, _ = dd.incremental_minhash_dedup(b2, store)
+    assert acc3.count() == 0
