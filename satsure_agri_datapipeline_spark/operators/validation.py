@@ -662,3 +662,106 @@ def observed_counters(df: DataFrame, name: str, critical_cols: list[str]):
         for c in critical_cols
     ]
     return df.observe(obs, *metrics), obs
+
+
+# ---------------------------------------------------------------------------
+# Declarative expectations (dbt-tests / Great-Expectations style)
+# ---------------------------------------------------------------------------
+
+
+def check_expectations(
+    df: DataFrame,
+    not_null: list[str] | None = None,
+    unique: list[list[str]] | None = None,
+    accepted_values: dict[str, list] | None = None,
+    in_range: dict[str, tuple[float, float]] | None = None,
+    referential: list[tuple[str, DataFrame, str]] | None = None,
+) -> DataFrame:
+    """Declarative data-quality expectations, evaluated with the minimum
+    number of passes: every row-local check (not-null, accepted-values,
+    range) folds into ONE aggregate scan as a conditional count; each
+    ``unique`` spec is one groupBy over its key; each ``referential`` spec
+    (child col ⊆ parent col) is one anti-join against the broadcast
+    distinct parent keys. Returns (check_name, violations, passed) — one row
+    per expectation, mergeable across partitions/batches since every
+    violation count is a plain SUM.
+
+    At 100 TB this is the difference between a constraint SUITE costing
+    one scan + a few tiny joins versus one scan per constraint: N
+    row-local checks share a single pass because each is just another
+    aggregate expression.
+    """
+    aggs = []
+    names = []
+    for c in not_null or []:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")))
+        names.append(f"not_null:{c}")
+    for c, vals in (accepted_values or {}).items():
+        aggs.append(
+            F.sum((~F.col(c).isin(vals) | F.col(c).isNull()).cast("long"))
+        )
+        names.append(f"accepted_values:{c}")
+    for c, (lo, hi) in (in_range or {}).items():
+        aggs.append(
+            F.sum(
+                (F.col(c).isNotNull() & ((F.col(c) < lo) | (F.col(c) > hi))).cast(
+                    "long"
+                )
+            )
+        )
+        names.append(f"in_range:{c}")
+
+    spark = df.sparkSession
+    parts = []
+    if aggs:
+        row_local = df.agg(*[a.alias(f"v{i}") for i, a in enumerate(aggs)])
+        stacked = row_local.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(names[i]).alias("check_name"),
+                            F.col(f"v{i}").alias("violations"),
+                        )
+                        for i in range(len(names))
+                    ]
+                )
+            ).alias("s")
+        ).select("s.check_name", "s.violations")
+        parts.append(stacked)
+    for cols in unique or []:
+        dup = (
+            df.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .agg(F.coalesce(F.sum(F.col("__n") - 1), F.lit(0)).alias("violations"))
+            .select(
+                F.lit("unique:" + ",".join(cols)).alias("check_name"), "violations"
+            )
+        )
+        parts.append(dup)
+    for child_col, parent, parent_col in referential or []:
+        orphans = (
+            df.where(F.col(child_col).isNotNull())
+            .join(
+                F.broadcast(parent.select(F.col(parent_col).alias(child_col)).distinct()),
+                child_col,
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("violations"))
+            .select(
+                F.lit(f"referential:{child_col}->{parent_col}").alias("check_name"),
+                "violations",
+            )
+        )
+        parts.append(orphans)
+    if not parts:
+        return spark.createDataFrame([], "check_name string, violations long, passed boolean")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "check_name",
+        F.col("violations").cast("long").alias("violations"),
+        (F.col("violations") == 0).alias("passed"),
+    )

@@ -1998,3 +1998,69 @@ def orders_scalable_ntile(spark, sf_dir):
         tiebreak_cols=["o_orderkey"],
     )
     return out.select("o_orderkey", "o_orderpriority", "tile")
+
+
+@query(
+    "orders_expectations",
+    """
+    SELECT 'not_null:o_custkey' AS check_name,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+               AS violations,
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) = 0 AS passed
+    UNION ALL
+    SELECT 'accepted_values:o_orderstatus',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderstatus NOT IN ('O','F','P')
+                    OR o_orderstatus IS NULL) AS BIGINT),
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderstatus NOT IN ('O','F','P')
+               OR o_orderstatus IS NULL) = 0
+    UNION ALL
+    SELECT 'in_range:o_totalprice',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_totalprice IS NOT NULL
+                   AND (o_totalprice < 0 OR o_totalprice > 1000000)) AS BIGINT),
+           (SELECT COUNT(*) FROM orders
+            WHERE o_totalprice IS NOT NULL
+              AND (o_totalprice < 0 OR o_totalprice > 1000000)) = 0
+    UNION ALL
+    SELECT 'unique:o_orderkey',
+           CAST(COALESCE((SELECT SUM(n - 1) FROM
+                 (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
+                  HAVING COUNT(*) > 1)), 0) AS BIGINT),
+           COALESCE((SELECT SUM(n - 1) FROM
+                 (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
+                  HAVING COUNT(*) > 1)), 0) = 0
+    UNION ALL
+    SELECT 'referential:o_custkey->c_custkey',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) = 0
+    ORDER BY check_name
+    """,
+)
+def orders_expectations(spark, sf_dir):
+    """Declarative constraint suite over orders (operators/validation.py
+    check_expectations): three row-local checks share ONE aggregate scan;
+    uniqueness is one groupBy; referential integrity one broadcast
+    anti-join vs customer. The oracle restates each expectation as an
+    independent subquery."""
+    from satsure_agri_datapipeline_spark.operators.validation import (
+        check_expectations,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return check_expectations(
+        o,
+        not_null=["o_custkey"],
+        unique=[["o_orderkey"]],
+        accepted_values={"o_orderstatus": ["O", "F", "P"]},
+        in_range={"o_totalprice": (0.0, 1_000_000.0)},
+        referential=[("o_custkey", c, "c_custkey")],
+    ).orderBy("check_name")

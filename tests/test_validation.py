@@ -234,3 +234,42 @@ def test_observed_counters_ride_the_action(spark):
     observed, obs = observed_counters(df, "stage0", ["v"])
     observed.write.format("noop").mode("overwrite").save()
     assert obs.get == {"n_rows": 3, "null_v": 2}
+
+
+def test_check_expectations_detects_each_violation_kind(spark):
+    from satsure_agri_datapipeline_spark.operators.validation import (
+        check_expectations,
+    )
+
+    child = spark.createDataFrame(
+        [(1, "A", 5.0), (1, "A", 50.0), (2, "X", -3.0), (None, "B", 7.0)],
+        "k long, status string, v double",
+    )
+    parent = spark.createDataFrame([(1,), (3,)], "pk long")
+    rep = {
+        r.check_name: r
+        for r in check_expectations(
+            child,
+            not_null=["k"],
+            unique=[["k"]],
+            accepted_values={"status": ["A", "B"]},
+            in_range={"v": (0.0, 10.0)},
+            referential=[("k", parent, "pk")],
+        ).collect()
+    }
+    assert rep["not_null:k"].violations == 1
+    assert rep["unique:k"].violations == 1  # two k=1 rows -> 1 extra
+    assert rep["accepted_values:status"].violations == 1  # 'X'
+    assert rep["in_range:v"].violations == 2  # -3 and 50
+    assert rep["referential:k->pk"].violations == 1  # k=2 orphan (nulls skip)
+    assert not any(r.passed for r in rep.values())
+    # a clean frame passes everything
+    clean = check_expectations(
+        spark.createDataFrame([(1, "A", 5.0)], "k long, status string, v double"),
+        not_null=["k"], unique=[["k"]],
+        accepted_values={"status": ["A"]}, in_range={"v": (0.0, 10.0)},
+    )
+    assert all(r.passed for r in clean.collect())
+    # one scan for all row-local checks: a single aggregate over the source
+    plan = check_expectations(child, not_null=["k"], in_range={"v": (0, 1)})
+    assert plan._jdf.queryExecution().executedPlan().toString().count("Scan") == 1
