@@ -768,6 +768,7 @@ def containment_pairs(
     threshold_e4: int = 8000,
     text_col: str = "text",
     id_col: str = "doc_id",
+    unit: str = "word",
 ) -> DataFrame:
     """Near-duplicate pairs by max-containment: ``inter / min(|A|, |B|)`` —
     the asymmetric-duplication detector symmetric Jaccard misses: a short
