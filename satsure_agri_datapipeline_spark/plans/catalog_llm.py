@@ -2174,3 +2174,92 @@ def doc_incremental_near_dup(spark, sf_dir):
     batch = docs.where(F.col("doc_id") % 5 >= 2)
     accepted, _ = dd.incremental_minhash_dedup(batch, hist_bands)
     return accepted.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+
+
+@query(
+    "doc_incremental_curation",
+    f"""
+    WITH feats AS (
+        SELECT doc_id,
+               LENGTH(text) AS n_chars,
+               GREATEST(len(regexp_split_to_array(trim(text), '\\s+')), 1) AS n_toks,
+               LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                   t -> t IN ('the', 'and', 'of', 'to', 'in'))) AS stop_hits
+        FROM documents
+    ),
+    qual AS (
+        SELECT doc_id,
+               CAST(FLOOR((0.5 * LEAST(n_chars / 500.0, 1.0)
+                     + 0.3 * LEAST(CAST(FLOOR(stop_hits * 10000.0 / n_toks + 0.5) AS BIGINT) / 2000.0, 1.0)
+                     + 0.2 * (1.0 - LEAST(CAST(FLOOR(n_punct * 10000.0 / GREATEST(n_chars, 1) + 0.5) AS BIGINT) / 1000.0, 1.0)))
+                    * 10000 + 0.5) AS BIGINT) AS qs
+        FROM feats
+    ),
+    gated AS (
+        SELECT d.* FROM documents d JOIN qual q USING (doc_id)
+        WHERE d.doc_id % 5 >= 2 AND q.qs >= 5000
+    ),
+    ex_keep AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY sha256(text)),
+    hist_digests AS (
+        SELECT DISTINCT sha256(text) AS digest FROM documents WHERE doc_id % 5 < 2
+    ),
+    ex_ok AS (
+        SELECT g.* FROM gated g JOIN ex_keep USING (doc_id)
+        WHERE sha256(g.text) NOT IN (SELECT digest FROM hist_digests)
+    ),
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    widx AS (SELECT doc_id, w, UNNEST(generate_series(1, GREATEST(len(w) - 2, 0))) AS i FROM words),
+    wshingles AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle FROM widx),
+    seeds(k, a, b) AS (VALUES {_minhash_seed_values()}),
+    chashed AS (
+        SELECT doc_id, (('0x' || substr(md5(shingle), 1, 15))::BIGINT)::HUGEINT AS h
+        FROM wshingles
+    ),
+    cmixed AS (
+        SELECT doc_id, k,
+               CAST(((a * h + b) % 18446744073709551616::HUGEINT)
+                    % 9223372036854775808::HUGEINT AS BIGINT) AS hk
+        FROM chashed CROSS JOIN seeds
+    ),
+    csig AS (SELECT doc_id, k, MIN(hk) AS min_hash FROM cmixed GROUP BY doc_id, k),
+    cbands AS (
+        SELECT doc_id, k // 4 AS band,
+               STRING_AGG(CAST(min_hash AS VARCHAR), ',' ORDER BY k) AS band_sig
+        FROM csig GROUP BY doc_id, k // 4
+    ),
+    hist_bands AS (
+        SELECT DISTINCT band, band_sig FROM cbands WHERE doc_id % 5 < 2
+    ),
+    batch_bands AS (
+        SELECT c.* FROM cbands c JOIN ex_ok e USING (doc_id)
+    ),
+    hit AS (
+        SELECT DISTINCT b.doc_id
+        FROM batch_bands b JOIN hist_bands h USING (band, band_sig)
+        UNION
+        SELECT DISTINCT b.doc_id
+        FROM batch_bands b JOIN batch_bands a
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    )
+    SELECT e.doc_id, e.lang, e.source, e.n_chars
+    FROM ex_ok e WHERE e.doc_id NOT IN (SELECT doc_id FROM hit)
+    ORDER BY e.doc_id
+    """,
+)
+def doc_incremental_curation(spark, sf_dir):
+    """The COMPOSED incremental curation pipeline (plans/curation.py
+    curate_incremental): quality gate → exact dedup vs the history digest
+    store → near-dup dedup vs the history band store, history = doc_id % 5
+    < 2 ingested wholesale as stores, batch = the rest, default quality
+    threshold 5000 (the sf median is ~5500, so the gate really cuts). The
+    oracle chains every stage's already-validated SQL form."""
+    from satsure_agri_datapipeline_spark.plans.curation import curate_incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.where(F.col("doc_id") % 5 < 2)
+    digest_store = hist.select(F.sha2("text", 256).alias("digest")).distinct()
+    band_store = dd.minhash_bands(hist).select("band", "band_sig").distinct()
+    batch = docs.where(F.col("doc_id") % 5 >= 2)
+    accepted, _, _ = curate_incremental(batch, digest_store, band_store)
+    return accepted.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")

@@ -89,3 +89,61 @@ def curation_stats(
     if benchmark is not None:
         out["after_decontaminate"] = curate_corpus(docs, benchmark, **kwargs).count()
     return out
+
+
+def curate_incremental(
+    new_docs: DataFrame,
+    digest_store: DataFrame | None,
+    band_store: DataFrame | None,
+    min_quality_e4: int = 5000,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Continuous-crawl form of :func:`curate_corpus`: curate ONE new batch
+    against the standing stores instead of re-curating the corpus.
+
+    Stages (same discipline as the batch pipeline, all store-bounded):
+
+    1. quality gate — row-local, no state;
+    2. exact dedup vs the 64-byte-per-doc digest store
+       (``dd.incremental_exact_dedup``);
+    3. near-dup dedup vs the LSH band store
+       (``dd.incremental_minhash_dedup``), applied to exact-survivors only
+       so an exact duplicate never pays signature cost.
+
+    Returns ``(accepted, new_digests, new_bands)`` — the caller appends the
+    two store deltas and writes the accepted docs; per-batch cost is
+    ∝ batch size + store-join cost, never corpus rescan. The stores are
+    plain DataFrames (parquet tables in practice), so the whole loop fits
+    ``foreachBatch`` unchanged.
+    """
+    quality = tx.quality_score(new_docs, text_col=text_col, id_col=id_col).select(
+        id_col, "quality_score_e4"
+    )
+    gated = (
+        new_docs.join(quality, id_col)
+        .where(F.col("quality_score_e4") >= min_quality_e4)
+        .drop("quality_score_e4")
+    )
+    exact_ok, new_digests = dd.incremental_exact_dedup(
+        gated, digest_store, text_col=text_col, id_col=id_col
+    )
+    accepted, new_bands = dd.incremental_minhash_dedup(
+        exact_ok,
+        band_store,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        n=shingle_n,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    # digests must reflect only finally-accepted docs, or a rejected
+    # near-dup would poison the exact store for future batches
+    final_digests = (
+        accepted.withColumn("digest", F.sha2(F.col(text_col), 256))
+        .select("digest")
+    )
+    return accepted, final_digests, new_bands

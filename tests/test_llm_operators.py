@@ -976,3 +976,32 @@ def test_incremental_minhash_dedup_two_batches(docs, spark):
     store = bands1.union(bands2)
     acc3, _ = dd.incremental_minhash_dedup(b2, store)
     assert acc3.count() == 0
+
+
+def test_curate_incremental_three_batches(spark):
+    """Stores accumulate across batches: exact dups, near-dups, and
+    low-quality docs are rejected batch-over-batch; replays accept nothing."""
+    from satsure_agri_datapipeline_spark.plans.curation import curate_incremental
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b1 = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    acc1, dig, bands = curate_incremental(b1, None, None, min_quality_e4=0)
+    assert acc1.count() == 1
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base),                                   # exact dup of accepted
+            (11, base.replace("today", "tonight")),       # near dup of accepted
+            (12, "completely different corpus text about spark shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    acc2, dig2, bands2 = curate_incremental(
+        b2, dig, bands, min_quality_e4=0
+    )
+    assert {r.doc_id for r in acc2.collect()} == {12}
+    # replay: merged stores reject everything seen so far
+    acc3, _, _ = curate_incremental(
+        b1.union(b2), dig.union(dig2), bands.union(bands2), min_quality_e4=0
+    )
+    assert acc3.count() == 0
