@@ -10,8 +10,8 @@ Prints ONE JSON line:
 Each query is executed to completion with a noop sink (full plan runs, no
 driver collect cost skews the number). Methodology: standard steady-state
 benchmarking (as in JMH / TPC) — each query's DataFrame is built ONCE and
-executed SPARK_GRAFT_BENCH_RUNS times (default 5; both engines get the
-same count, so the ±40% co-tenant noise on this box has five chances to
+executed SPARK_GRAFT_BENCH_RUNS times (default 7; both engines get the
+same count, so the ±40% co-tenant noise on this box has several chances to
 give each side a quiet slot); the headline number is
 the best run, so it measures the engine's execution speed rather than the
 one-time Catalyst analysis + whole-stage-codegen (Janino) compile + JVM
@@ -123,7 +123,7 @@ def main():
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
     for name in HEADLINE:
         df = queries[name](spark, sf_dir)
         per_run = []
