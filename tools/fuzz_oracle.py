@@ -53,6 +53,34 @@ AGG_EXPRS = [
      "CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)"),
 ]
 
+JOIN_GROUP_EXPRS = [
+    ("mktsegment", lambda F: F.col("c_mktsegment"), "c_mktsegment"),
+    ("priority", lambda F: F.col("o_orderpriority"), "o_orderpriority"),
+    ("nation_key", lambda F: F.col("c_nationkey").cast("long"), "CAST(c_nationkey AS BIGINT)"),
+    ("order_year", lambda F: F.year("o_orderdate").cast("long"), "CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)"),
+]
+
+JOIN_AGG_EXPRS = [
+    ("n_rows", lambda F: F.count(F.lit(1)), "CAST(COUNT(*) AS BIGINT)"),
+    ("sum_price_c", lambda F: F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")),
+     "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)"),
+    ("n_custs", lambda F: F.countDistinct("c_custkey").cast("long"),
+     "CAST(COUNT(DISTINCT c_custkey) AS BIGINT)"),
+    ("min_order", lambda F: F.min("o_orderkey"), "MIN(o_orderkey)"),
+    ("sum_bal_c", lambda F: F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")),
+     "CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)"),
+]
+
+JOIN_PRED_EXPRS = [
+    ("price_gt", lambda F, c: F.col("o_totalprice") > c * 1000,
+     lambda c: f"o_totalprice > {c * 1000}"),
+    ("seg_in", lambda F, c: F.col("c_mktsegment").isin("BUILDING", "MACHINERY"),
+     lambda c: "c_mktsegment IN ('BUILDING', 'MACHINERY')"),
+    ("status_eq", lambda F, c: F.col("o_orderstatus") == "O",
+     lambda c: "o_orderstatus = 'O'"),
+    ("bal_pos", lambda F, c: F.col("c_acctbal") >= 0, lambda c: "c_acctbal >= 0"),
+]
+
 PRED_EXPRS = [
     ("val_gt", lambda F, c: F.col("value") > c, lambda c: f"value > {c}"),
     ("val_le", lambda F, c: F.col("value") <= c, lambda c: f"value <= {c}"),
@@ -66,27 +94,45 @@ PRED_EXPRS = [
 
 
 def gen_spec(rng: random.Random) -> dict:
+    # half the specs exercise the broadcast-join relation orders ⋈ customer
+    joined = rng.random() < 0.5
+    gp = JOIN_GROUP_EXPRS if joined else GROUP_EXPRS
+    ag = JOIN_AGG_EXPRS if joined else AGG_EXPRS
+    pr = JOIN_PRED_EXPRS if joined else PRED_EXPRS
     n_groups = rng.randint(0, 2)
     n_aggs = rng.randint(1, 3)
     n_preds = rng.randint(0, 2)
     return {
-        "groups": rng.sample(range(len(GROUP_EXPRS)), n_groups),
-        "aggs": rng.sample(range(len(AGG_EXPRS)), n_aggs),
+        "joined": joined,
+        "groups": rng.sample(range(len(gp)), n_groups),
+        "aggs": rng.sample(range(len(ag)), n_aggs),
         "preds": [
             (i, round(rng.uniform(0, 100), 2))
-            for i in rng.sample(range(len(PRED_EXPRS)), n_preds)
+            for i in rng.sample(range(len(pr)), n_preds)
         ],
     }
 
 
+def _pools(spec: dict):
+    if spec.get("joined"):
+        return JOIN_GROUP_EXPRS, JOIN_AGG_EXPRS, JOIN_PRED_EXPRS
+    return GROUP_EXPRS, AGG_EXPRS, PRED_EXPRS
+
+
 def spec_sql(spec: dict) -> str:
-    groups = [GROUP_EXPRS[i] for i in spec["groups"]]
-    aggs = [AGG_EXPRS[i] for i in spec["aggs"]]
+    gp, ag, pr = _pools(spec)
+    groups = [gp[i] for i in spec["groups"]]
+    aggs = [ag[i] for i in spec["aggs"]]
     sel = [f"{sql} AS {name}" for name, _, sql in groups]
     sel += [f"{sql} AS {name}" for name, _, sql in aggs]
-    q = f"SELECT {', '.join(sel)} FROM events"
+    rel = (
+        "orders JOIN customer ON o_custkey = c_custkey"
+        if spec.get("joined")
+        else "events"
+    )
+    q = f"SELECT {', '.join(sel)} FROM {rel}"
     if spec["preds"]:
-        conds = [PRED_EXPRS[i][2](c) for i, c in spec["preds"]]
+        conds = [pr[i][2](c) for i, c in spec["preds"]]
         q += " WHERE " + " AND ".join(conds)
     if groups:
         q += " GROUP BY " + ", ".join(sql for _, _, sql in groups)
@@ -94,14 +140,21 @@ def spec_sql(spec: dict) -> str:
     return q
 
 
-def spec_spark(spec: dict, events):
+def spec_spark(spec: dict, tables):
     from pyspark.sql import functions as F
 
-    df = events
+    gp, ag, pr = _pools(spec)
+    if spec.get("joined"):
+        df = tables["orders"].join(
+            F.broadcast(tables["customer"]),
+            tables["orders"].o_custkey == tables["customer"].c_custkey,
+        )
+    else:
+        df = tables["events"]
     for i, c in spec["preds"]:
-        df = df.where(PRED_EXPRS[i][1](F, c))
-    groups = [GROUP_EXPRS[i] for i in spec["groups"]]
-    aggs = [AGG_EXPRS[i] for i in spec["aggs"]]
+        df = df.where(pr[i][1](F, c))
+    groups = [gp[i] for i in spec["groups"]]
+    aggs = [ag[i] for i in spec["aggs"]]
     agg_cols = [fn(F).alias(name) for name, fn, _ in aggs]
     if groups:
         gcols = [fn(F).alias(name) for name, fn, _ in groups]
@@ -120,14 +173,16 @@ def run_fuzz(spark, con, sf_dir: str, n: int, seed: int, verbose: bool = True):
     sys.path.insert(0, str(Path(__file__).resolve().parent))
     from check_correctness import canonical  # the driver's hash contract
 
-    events = load_table(spark, sf_dir, "events")
+    tables = {
+        t: load_table(spark, sf_dir, t) for t in ("events", "orders", "customer")
+    }
     rng = random.Random(seed)
     results = []
     for i in range(n):
         spec = gen_spec(rng)
         sql = spec_sql(spec)
         try:
-            got = spec_spark(spec, events).toPandas()
+            got = spec_spark(spec, tables).toPandas()
             want = con.execute(sql).df()
             a, b = canonical(got), canonical(want)
             ok = a.equals(b)
@@ -155,10 +210,11 @@ def main():
 
     spark = get_spark(app_name="fuzz_oracle", timezone="UTC")
     con = duckdb.connect()
-    con.execute(
-        "CREATE OR REPLACE VIEW events AS SELECT * FROM "
-        f"read_parquet('{Path(args.sf) / 'events.parquet'}')"
-    )
+    for t in ("events", "orders", "customer"):
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{Path(args.sf) / t}.parquet')"
+        )
     results = run_fuzz(spark, con, args.sf, args.n, args.seed)
     n_fail = sum(1 for _, ok, _ in results if not ok)
     print(f"{len(results) - n_fail} ok, {n_fail} fail of {len(results)} specs")
