@@ -19,7 +19,8 @@ C2-JIT cost a distinct plan pays on early runs (~0.4-0.5 s/query on this
 box, irrelevant at 100 TB where a plan compiles once and runs for minutes;
 DuckDB similarly caches prepared plans across a warm session).
 Between runs, operator-internal caches are RE-ARMED (unpersist + persist via
-the operators' ``_cached_deps`` registry), so every timed run re-pays its
+a snapshot of ``operators.dedup.CACHE_REGISTRY`` taken at query
+construction), so every timed run re-pays its
 own cache population from the raw scan — no run reads a warm cache it did
 not itself populate.
 First-run timings are reported alongside under "queries_cold" /
@@ -111,12 +112,21 @@ def main():
     _prime = pandas_udf(_prime_fn, "long")
     run(spark.range(0, 10000, 1, 32).select(_prime(F.col("id")).alias("x")))
 
-    def rearm_caches(df):
-        """Drop and re-mark the operator-internal persists backing ``df``
-        (``operators.dedup._register_cache`` registry) so the next run
-        repopulates them from the raw scan — steady-state without
-        cross-run cache reuse."""
-        for dep in getattr(df, "_cached_deps", []):
+    from satsure_agri_datapipeline_spark.operators import dedup as _dedup
+
+    # Queries whose operators persist intermediate relations (shingle /
+    # signature arrays). Their deps MUST surface in the registry snapshot —
+    # a silent empty snapshot would mean runs 2..N reuse run 1's warm cache
+    # while DuckDB re-executes fully, biasing the ratio.
+    PERSIST_BEARING = {"doc_ngram_jaccard", "doc_minhash_lsh"}
+
+    def rearm_caches(deps):
+        """Drop and re-mark the operator-internal persists captured at query
+        construction (``operators.dedup.CACHE_REGISTRY`` snapshot — the
+        DataFrame attribute does not survive catalog .select()/.orderBy()
+        wrappers) so the next run repopulates them from the raw scan —
+        steady-state without cross-run cache reuse."""
+        for dep in deps:
             level = dep.storageLevel
             dep.unpersist(blocking=True)
             dep.persist(level)
@@ -125,13 +135,22 @@ def main():
     cold: dict[str, float] = {}
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
     for name in HEADLINE:
+        _dedup.CACHE_REGISTRY.clear()
         df = queries[name](spark, sf_dir)
+        deps = list(_dedup.CACHE_REGISTRY)
+        if name in PERSIST_BEARING and not deps:
+            raise AssertionError(
+                f"{name} is persist-bearing but registered no cache deps; "
+                "rearm would silently benchmark a warm cache"
+            )
         per_run = []
         for _ in range(n_runs):
             t0 = time.time()
             run(df)
             per_run.append(round(time.time() - t0, 3))
-            rearm_caches(df)
+            rearm_caches(deps)
+        for dep in deps:
+            dep.unpersist(blocking=True)
         cold[name] = per_run[0]
         timings[name] = min(per_run)
         print(f"# {name}: {timings[name]:.2f}s (cold {cold[name]:.2f}s)", file=sys.stderr)

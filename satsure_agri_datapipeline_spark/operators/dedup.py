@@ -117,8 +117,19 @@ def release(df: DataFrame) -> None:
         dep.unpersist()
 
 
+# Module-global mirror of every persist the operators mark. Python-side
+# DataFrame attributes (``_cached_deps``) do NOT survive .select()/.orderBy()
+# wrappers (each returns a fresh Python object), so a caller holding a
+# *derived* frame — e.g. the query catalog's aliased/ordered projections —
+# cannot reach the persisted deps through the attribute. Harnesses that must
+# drop-and-rearm caches between timed runs (bench.py) snapshot this registry
+# around query construction instead; it is the authoritative record.
+CACHE_REGISTRY: list[DataFrame] = []
+
+
 def _register_cache(result: DataFrame, *deps: DataFrame) -> DataFrame:
     result._cached_deps = list(deps)  # type: ignore[attr-defined]
+    CACHE_REGISTRY.extend(deps)
     return result
 
 

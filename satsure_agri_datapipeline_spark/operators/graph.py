@@ -69,9 +69,17 @@ def pagerank_fixed_point(
             e.join(ranks, e.src == ranks.node)
             .select(
                 F.col("dst").alias("node"),
-                F.expr(f"({damping_pct} * rank_e9 * w) div (100 * __ow)").alias(
-                    "contrib"
-                ),
+                # The numerator is computed in DECIMAL(38,0): in BIGINT,
+                # damping_pct * rank_e9 * w wraps silently (non-ANSI) once
+                # ranks concentrate on hubs — rank_e9 is bounded by
+                # N*SCALE ≈ N*1e9, so 85 * N*1e9 * w overflows 2^63 at
+                # N*w ≳ 1e8. DECIMAL(38,0) holds up to ~1e38, i.e. safe to
+                # N*w ≈ 1e27; `div` on decimals returns BIGINT and the
+                # quotient is ≤ rank_e9, so the result fits long again.
+                F.expr(
+                    f"({damping_pct} * cast(rank_e9 as decimal(38,0)) * w)"
+                    " div (100 * __ow)"
+                ).alias("contrib"),
             )
             .groupBy("node")
             .agg(F.sum("contrib").alias("in_rank"))

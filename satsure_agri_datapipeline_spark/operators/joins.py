@@ -168,6 +168,13 @@ def distributed_rank(
     bucket = F.lit(0)
     for b in uniq:
         bucket = bucket + (F.col(order_col) > F.lit(b)).cast("int")
+    # NULL order values: (NULL > b) is NULL, which would poison the bucket
+    # sum and silently drop the row at the inner bucket join below. Route
+    # NULLs to a dedicated lowest bucket (-1) — Spark's default window
+    # ordering is NULLS FIRST, so ranking them before every value bucket
+    # matches ROW_NUMBER() OVER (ORDER BY order_col, tiebreaks) exactly
+    # (ties among NULLs resolve via tiebreak_cols inside the -1 bucket).
+    bucket = F.when(F.col(order_col).isNull(), F.lit(-1)).otherwise(bucket)
     d = df.withColumn("__bucket", bucket)
 
     counts = d.groupBy(*group_cols, "__bucket").agg(

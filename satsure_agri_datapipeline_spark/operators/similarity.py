@@ -36,7 +36,11 @@ def _norm(a):
 
 
 def cosine_similarity_col(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide: a zero-norm vector has no defined cosine — surface NULL
+    # rather than raising DIVIDE_BY_ZERO under ANSI mode (Spark 4 default)
+    # or producing NaN under non-ANSI (which Spark orders above every
+    # double, poisoning max/top-k comparisons).
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def brute_force_topk(
@@ -509,8 +513,13 @@ def semantic_decontaminate(
 
     def fold(acc, e):
         cos = F.round(cosine_similarity_col(e["vec"], emb), 6)
+        # A NULL corpus/eval embedding yields a NULL cosine; a zero-norm
+        # vector yields 0/0 = NaN — and Spark orders NaN GREATER than any
+        # double, so an unguarded `cos > acc` would adopt NaN and flag
+        # spurious contamination. Only valid cosines may beat the incumbent.
+        valid = cos.isNotNull() & ~F.isnan(cos)
         return F.when(
-            cos > acc["cos"],
+            valid & (cos > acc["cos"]),
             F.struct(e["eid"].alias("eid"), cos.alias("cos")),
         ).otherwise(acc)
 
@@ -522,18 +531,19 @@ def semantic_decontaminate(
         ),
         fold,
     )
-    # empty eval set → NULL cosine / not contaminated (don't leak the
-    # fold's -2.0 sentinel)
-    has_evals = F.size("__evals") > 0
+    # eid stays NULL iff NO valid comparison happened (empty eval set, NULL
+    # or zero-norm corpus vector, or every eval vector invalid) — in that
+    # case surface NULL cosine / not contaminated, never the -2.0 sentinel.
+    has_best = F.col("__best.eid").isNotNull()
     return (
         corpus.crossJoin(F.broadcast(evals))
         .withColumn("__best", best)
         .select(
             F.col(id_col),
             F.col("__best.eid").alias("matched_eval_id"),
-            F.when(has_evals, F.col("__best.cos")).alias("max_cosine"),
+            F.when(has_best, F.col("__best.cos")).alias("max_cosine"),
             F.coalesce(
-                F.when(has_evals, F.col("__best.cos") >= F.lit(threshold)),
+                F.when(has_best, F.col("__best.cos") >= F.lit(threshold)),
                 F.lit(False),
             ).alias("contaminated"),
         )

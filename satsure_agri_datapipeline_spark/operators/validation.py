@@ -741,10 +741,15 @@ def check_expectations(
         )
         parts.append(dup)
     for child_col, parent, parent_col in referential or []:
+        # No forced broadcast: the parent key set is unbounded in general
+        # (a 100 TB parent's distinct keys can dwarf executor memory). AQE
+        # picks broadcast at runtime when the post-distinct side is actually
+        # small; otherwise the anti-join shuffles on the key — correct at
+        # any parent size.
         orphans = (
             df.where(F.col(child_col).isNotNull())
             .join(
-                F.broadcast(parent.select(F.col(parent_col).alias(child_col)).distinct()),
+                parent.select(F.col(parent_col).alias(child_col)).distinct(),
                 child_col,
                 "left_anti",
             )

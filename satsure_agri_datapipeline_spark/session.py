@@ -39,6 +39,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Respect the advisory partition size when coalescing rather than
+        # stopping at defaultParallelism (Spark's own docs recommend false
+        # in production): a kB-sized shuffle collapses to ONE post-shuffle
+        # partition instead of scheduling `defaultParallelism` near-empty
+        # tasks — at 100 TB the advisory size governs anyway, while at small
+        # SFs this removes a pure per-task scheduling floor (32 tasks × 2-4
+        # stages for intermediates that fit in one).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", timezone)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

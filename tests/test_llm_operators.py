@@ -891,6 +891,66 @@ def test_pagerank_fixed_point_matches_reference(spark):
     assert got[0] == max(got.values())  # the hub
 
 
+def test_semantic_decontaminate_null_and_zero_norm_vectors(spark):
+    """A NULL or zero-norm corpus embedding has no defined cosine: the row
+    must surface NULL max_cosine / not-contaminated — never the -2.0 fold
+    sentinel, and never NaN (which Spark orders ABOVE every double, so an
+    unguarded max would flag spurious contamination)."""
+    from satsure_agri_datapipeline_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),   # exact leak
+            (2, None),         # NULL embedding
+            (3, [0.0, 0.0]),   # zero norm → 0/0 = NaN cosine
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in semantic_decontaminate(corpus, ev).collect()}
+    assert out[1].contaminated and out[1].max_cosine == 1.0
+    for vid in (2, 3):
+        assert out[vid].max_cosine is None, vid
+        assert out[vid].matched_eval_id is None, vid
+        assert not out[vid].contaminated, vid
+
+    # zero-norm EVAL vector alongside a valid one: the NaN cosine against it
+    # must not displace the valid match
+    ev2 = spark.createDataFrame(
+        [(200, [0.0, 0.0]), (201, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    row = semantic_decontaminate(
+        spark.createDataFrame([(9, [0.0, 2.0])], "vec_id long, embedding array<float>"),
+        ev2,
+    ).collect()[0]
+    assert row.matched_eval_id == 201 and row.max_cosine == 1.0 and row.contaminated
+
+
+def test_pagerank_contribution_no_bigint_overflow(spark):
+    """damping * rank * w must not wrap BIGINT for large weights: with
+    w = 1e12 the naive numerator is 8.5e22 >> 2^63; the DECIMAL(38,0) path
+    still yields the exact integral quotient."""
+    from satsure_agri_datapipeline_spark.operators.graph import (
+        SCALE,
+        pagerank_fixed_point,
+    )
+
+    w = 10**12
+    df = spark.createDataFrame([(1, 2, w)], "src long, dst long, w long")
+    got = {
+        r.node_id: r.rank_e9
+        for r in pagerank_fixed_point(df, weight_col="w", iterations=1).collect()
+    }
+    teleport = 15 * SCALE // 100
+    assert got[2] == teleport + (85 * SCALE * w) // (100 * w)
+    assert got[1] == teleport
+
+
 def test_new_operators_handle_empty_inputs(spark):
     """Empty relations must flow through, not crash or leak sentinels."""
     from satsure_agri_datapipeline_spark.operators.graph import pagerank_fixed_point

@@ -327,7 +327,7 @@ def test_results_invariant_under_shuffle_partitioning(spark):
     rows=st.lists(
         st.tuples(
             st.integers(0, 3),           # group
-            st.integers(0, 20),          # value (many ties)
+            st.one_of(st.none(), st.integers(0, 20)),  # value (ties + NULLs)
         ),
         min_size=1,
         max_size=60,
@@ -338,10 +338,14 @@ def test_results_invariant_under_shuffle_partitioning(spark):
 def test_distributed_rank_property(spark, rows, n_buckets):
     """Bucketed two-phase ranking == per-group sort position, for any
     group/value distribution (heavy ties, single bucket, more buckets than
-    values)."""
+    values, NULL order values — which must rank FIRST, Spark's default
+    window NULL ordering, not be dropped)."""
     from satsure_agri_datapipeline_spark.operators.joins import distributed_rank
 
-    data = [(i, f"g{g}", float(v)) for i, (g, v) in enumerate(rows)]
+    data = [
+        (i, f"g{g}", float(v) if v is not None else None)
+        for i, (g, v) in enumerate(rows)
+    ]
     df = spark.createDataFrame(data, "id long, grp string, v double")
     got = {
         r.id: r.rank
@@ -354,7 +358,8 @@ def test_distributed_rank_property(spark, rows, n_buckets):
     for i, g, v in data:
         by_grp.setdefault(g, []).append((v, i))
     for g, vals in by_grp.items():
-        for pos, (_, i) in enumerate(sorted(vals), start=1):
+        ordered = sorted(vals, key=lambda t: (t[0] is not None, t[0] or 0.0, t[1]))
+        for pos, (_, i) in enumerate(ordered, start=1):
             want[i] = pos
     assert got == want
 
