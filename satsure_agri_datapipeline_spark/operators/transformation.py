@@ -91,17 +91,33 @@ def impute_battery_median(
     for 100 TB-scale exactness relaxation.
     """
     med = (lambda c: F.expr(f"percentile_approx({c}, 0.5)")) if approx else F.median
-    per_sensor = df.groupBy("sensor_id").agg(med(column).alias("__sensor_median"))
-    # Global fallback as a broadcast 1-row aggregate, NOT an empty-partition
-    # window (which would funnel all rows through a single partition).
-    global_med = df.select(med(column).alias("__global_median"))
-    joined = df.join(
-        F.broadcast(per_sensor).withColumnRenamed("sensor_id", "__med_sensor_id"),
-        F.col("sensor_id").eqNullSafe(F.col("__med_sensor_id")),
-        "left",
+    # Per-sensor medians AND the global fallback in ONE scan via
+    # GROUPING SETS ((sensor_id), ()) — the two-aggregate form paid two full
+    # fact scans (one per broadcast build job). The global row is folded onto
+    # every per-sensor row with a window over the STATS relation only
+    # (O(#sensors) rows — kilobytes; the fact table never enters a window).
+    # ``F.grouping`` distinguishes the global row from a NULL-sensor group.
+    stats = df.groupingSets([["sensor_id"], []], "sensor_id").agg(
+        med(column).alias("__m"), F.grouping("sensor_id").alias("__g")
+    )
+    wall = Window.partitionBy()
+    meds = (
+        stats.withColumn(
+            "__global_median", F.max(F.when(F.col("__g") == 1, F.col("__m"))).over(wall)
+        )
+        .where(F.col("__g") == 0)
+        .select(
+            F.col("sensor_id").alias("__med_sensor_id"),
+            F.col("__m").alias("__sensor_median"),
+            "__global_median",
+        )
     )
     return (
-        joined.crossJoin(F.broadcast(global_med))
+        df.join(
+            F.broadcast(meds),
+            F.col("sensor_id").eqNullSafe(F.col("__med_sensor_id")),
+            "left",
+        )
         .withColumn(
             column,
             F.coalesce(

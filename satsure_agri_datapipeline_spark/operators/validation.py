@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from satsure_agri_datapipeline_spark.config import PipelineConfig
+from satsure_agri_datapipeline_spark.operators.joins import report_sort
 
 
 def profile_missing_by_type(df: DataFrame) -> DataFrame:
@@ -257,7 +258,7 @@ def detect_time_gaps(
                 F.min("expected_timestamp").alias("first_gap"),
                 F.max("expected_timestamp").alias("last_gap"),
             )
-            .orderBy(F.desc("missing_hours"), "sensor_id", "reading_type")
+            .transform(report_sort, F.desc("missing_hours"), "sensor_id", "reading_type")
         )
         return gap_agg, time_range
 
@@ -338,7 +339,7 @@ def detect_time_gaps(
         F.timestamp_seconds(
             F.unix_timestamp("min_t") + last_idx * F.lit(secs)
         ).alias("last_gap"),
-    ).orderBy(F.desc("missing_hours"), "sensor_id", "reading_type")
+    ).transform(report_sort, F.desc("missing_hours"), "sensor_id", "reading_type")
     return gap_agg, time_range
 
 

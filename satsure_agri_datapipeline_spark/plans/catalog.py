@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from satsure_agri_datapipeline_spark.config import Calibration, PipelineConfig, RangeBound
+from satsure_agri_datapipeline_spark.operators.joins import report_sort
 from satsure_agri_datapipeline_spark.operators import transformation as tr
 from satsure_agri_datapipeline_spark.operators import validation as vl
 from satsure_agri_datapipeline_spark.sources.tables import load_table
@@ -163,7 +164,7 @@ def sensor_impute_median(spark, sf_dir):
     return (
         imp.groupBy("sensor_id")
         .agg(half_up(F.sum("hc") * 50.0 / F.count(F.lit(1))).alias("avg_imputed_battery_e4"))
-        .orderBy("sensor_id")
+        .transform(report_sort, "sensor_id")
     )
 
 
@@ -312,7 +313,9 @@ def sensor_zscore_anomalies(spark, sf_dir):
     cfg.transformation.z_score_threshold = 2.5
     cfg.ranges = {}  # isolate the z-score path
     r = tr.flag_anomalies(events_as_readings(spark, sf_dir), cfg)
-    return r.where(F.col("anomalous_reading")).select("event_id").orderBy("event_id")
+    return report_sort(
+        r.where(F.col("anomalous_reading")).select("event_id"), "event_id"
+    )
 
 
 @query(

@@ -19,7 +19,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from satsure_agri_datapipeline_spark.operators.joins import salted_join
-from satsure_agri_datapipeline_spark.plans.catalog import cents, half_up, query
+from satsure_agri_datapipeline_spark.plans.catalog import cents, half_up, query, report_sort
 from satsure_agri_datapipeline_spark.sources.tables import load_table
 
 
@@ -81,7 +81,7 @@ def tpch_pricing_summary(spark, sf_dir):
             half_up(F.sum("disc_c") * 100.0 / n).alias("avg_disc_e4"),
             n.alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(report_sort, "l_returnflag", "l_linestatus")
     )
 
 
@@ -110,7 +110,7 @@ def join_segment_revenue(spark, sf_dir):
             F.count(F.lit(1)).alias("n_orders"),
             F.countDistinct("o_custkey").cast("long").alias("n_customers"),
         )
-        .orderBy("c_mktsegment")
+        .transform(report_sort, "c_mktsegment")
     )
 
 
@@ -148,7 +148,7 @@ def join_multiway_revenue(spark, sf_dir):
         .where(F.col("r_name").isin("ASIA", "EUROPE"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.sum(rev).alias("revenue_e4"), F.count(F.lit(1)).alias("n_items"))
-        .orderBy(F.desc("revenue_e4"), "nation")
+        .transform(report_sort, F.desc("revenue_e4"), "nation")
     )
 
 

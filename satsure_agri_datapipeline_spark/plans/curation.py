@@ -42,32 +42,110 @@ def curate_corpus(
     4. it shares no ``decon_n``-gram with ``benchmark`` (when given) —
        benchmark docs present in ``docs`` are thereby dropped too.
     """
+    kept, _ = _curate_staged(
+        docs,
+        benchmark,
+        observe_stages=False,
+        min_quality_e4=min_quality_e4,
+        jaccard_threshold=jaccard_threshold,
+        shingle_n=shingle_n,
+        decon_n=decon_n,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    return kept
+
+
+def _curate_staged(
+    docs: DataFrame,
+    benchmark: DataFrame | None,
+    observe_stages: bool,
+    min_quality_e4: int,
+    jaccard_threshold: float,
+    shingle_n: int,
+    decon_n: int,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, dict]:
+    """Shared staged lineage. With ``observe_stages`` each stage boundary
+    carries a ``CollectMetrics`` row count (Spark dedupes the metric across
+    plan fan-out, so a stage relation consumed by both the predicate-derive
+    and predicate-apply subtrees still counts once)."""
+    from pyspark.sql import Observation
+
+    observations: dict[str, "Observation"] = {}
+
+    def mark(df: DataFrame, stage: str) -> DataFrame:
+        if not observe_stages:
+            return df
+        obs = Observation(f"curate:{stage}")
+        observations[stage] = obs
+        return df.observe(obs, F.count(F.lit(1)).alias("rows"))
+
+    docs = mark(docs, "input")
     quality = tx.quality_score(docs, text_col=text_col, id_col=id_col).select(
         id_col, "quality_score_e4"
     )
-    kept = (
+    kept = mark(
         docs.join(quality, id_col)
         .where(F.col("quality_score_e4") >= min_quality_e4)
-        .drop("quality_score_e4")
+        .drop("quality_score_e4"),
+        "after_quality",
     )
 
     keepers = dd.exact_duplicate_groups(kept, text_col=text_col, id_col=id_col).select(
         F.col("keeper_id").alias(id_col)
     )
-    kept = kept.join(keepers, id_col, "left_semi")
+    kept = mark(kept.join(keepers, id_col, "left_semi"), "after_exact")
 
     pairs = dd.ngram_jaccard_pairs(
         kept, n=shingle_n, threshold=jaccard_threshold,
         text_col=text_col, id_col=id_col,
     )
-    kept = dd.dedup_keep_canonical(kept, pairs, id_col=id_col)
+    kept = mark(dd.dedup_keep_canonical(kept, pairs, id_col=id_col), "after_near_dup")
 
     if benchmark is not None:
         contaminated = tx.decontaminate(
             kept, benchmark, n=decon_n, text_col=text_col, id_col=id_col
         ).select(id_col)
-        kept = kept.join(contaminated, id_col, "left_anti")
-    return kept
+        kept = mark(
+            kept.join(contaminated, id_col, "left_anti"), "after_decontaminate"
+        )
+    return kept, observations
+
+
+def curate_with_observed_counters(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    min_quality_e4: int = 5000,
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = 3,
+    decon_n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, dict]:
+    """:func:`curate_corpus` plus ZERO-extra-job stage counters.
+
+    Returns ``(curated, observations)``: run ONE action on ``curated``
+    (write, count, collect) and then read ``observations[stage].get["rows"]``
+    for input / after_quality / after_exact / after_near_dup /
+    after_decontaminate — the counts are collected as the data streams
+    through that single action (``CollectMetrics``), replacing the one
+    count-job-per-stage formulation. This is the same ``observe`` discipline
+    as :func:`operators.validation.observed_counters`, applied across the
+    whole composed pipeline.
+    """
+    return _curate_staged(
+        docs,
+        benchmark,
+        observe_stages=True,
+        min_quality_e4=min_quality_e4,
+        jaccard_threshold=jaccard_threshold,
+        shingle_n=shingle_n,
+        decon_n=decon_n,
+        text_col=text_col,
+        id_col=id_col,
+    )
 
 
 def curation_stats(
@@ -76,18 +154,21 @@ def curation_stats(
     **kwargs,
 ) -> dict[str, int]:
     """Per-stage survivor counts (A13-style counters for the curation
-    pipeline). Runs one count per stage — call on samples at extreme scale."""
-    out: dict[str, int] = {"input": docs.count()}
-    q = kwargs.get("min_quality_e4", 5000)
-    stage1 = curate_corpus(
-        docs, None, min_quality_e4=q, jaccard_threshold=1.1, decon_n=9999
+    pipeline), collected in ONE job: the observed-counter lineage runs a
+    single noop-sink action and every stage count streams out of it via
+    ``CollectMetrics`` (r4 verdict: the 4-count()-jobs formulation re-ran
+    the pipeline per counter)."""
+    curated, observations = curate_with_observed_counters(
+        docs, benchmark, **kwargs
     )
-    # jaccard_threshold > 1 disables near-dup; exact dedup still applies
-    out["after_quality_and_exact"] = stage1.count()
-    stage2 = curate_corpus(docs, None, **{**kwargs, "min_quality_e4": q})
-    out["after_near_dup"] = stage2.count()
+    curated.write.format("noop").mode("overwrite").save()
+    out = {
+        "input": observations["input"].get["rows"],
+        "after_quality_and_exact": observations["after_exact"].get["rows"],
+        "after_near_dup": observations["after_near_dup"].get["rows"],
+    }
     if benchmark is not None:
-        out["after_decontaminate"] = curate_corpus(docs, benchmark, **kwargs).count()
+        out["after_decontaminate"] = observations["after_decontaminate"].get["rows"]
     return out
 
 

@@ -580,6 +580,45 @@ def test_curation_pipeline_stages_monotonic(spark):
     assert not (set(ids) & bench_ids)
 
 
+def test_curation_stats_single_action(spark):
+    # curation_stats must collect every stage counter from ONE action via
+    # CollectMetrics — not one count() job per stage. Guard: its total Spark
+    # job count stays within a couple of the bare pipeline write (AQE spawns
+    # sub-jobs per exchange, identically for both), far below the ~4x of the
+    # count-per-stage formulation.
+    from pyspark.sql import functions as F
+
+    from satsure_agri_datapipeline_spark.plans.curation import (
+        curate_corpus,
+        curation_stats,
+    )
+    from satsure_agri_datapipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs_during(fn):
+        before = max(tracker.getJobIdsForGroup(None) or [-1])
+        fn()
+        return max(tracker.getJobIdsForGroup(None) or [-1]) - before
+
+    base = jobs_during(
+        lambda: curate_corpus(docs, bench, min_quality_e4=5000)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    stats_holder = {}
+    with_stats = jobs_during(
+        lambda: stats_holder.update(
+            curation_stats(docs, bench, min_quality_e4=5000)
+        )
+    )
+    assert with_stats <= base + 2
+    assert stats_holder["input"] >= stats_holder["after_quality_and_exact"]
+
+
 def test_pack_sequences_contiguous_stream(spark):
     from collections import defaultdict
 

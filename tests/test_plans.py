@@ -201,11 +201,18 @@ def test_dedup_spans_shuffles_hashes_not_text(spark):
 def test_impute_median_broadcasts_not_windows(spark, queries):
     # per-sensor medians must be an aggregate broadcast-joined back — the
     # fact table never shuffles; a Window.partitionBy(sensor_id) median
-    # (sort + full-row exchange of the fact) is the regression this guards
+    # (sort + full-row exchange of the fact) is the regression this guards.
+    # r5 shape: ONE grouping-sets scan serves both the per-sensor medians and
+    # the global fallback (Expand), folded together by a window over the
+    # O(#sensors) stats relation only — so the whole query reads the fact
+    # exactly twice (stats build + join-back), down from three.
     plan = plan_of(queries["sensor_impute_median"](spark, SF))
     assert plan.count("BroadcastHashJoin") >= 1
-    assert "BroadcastNestedLoopJoin" in plan  # 1-row global median
-    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # global row rides the stats
+    assert "Expand" in plan  # GROUPING SETS ((sensor_id), ())
+    assert plan.count("Scan parquet") == 2
+    # the only Window is over the stats subtree (bounded rows), never the fact
+    assert plan.count("Window") == 1
 
 
 def test_zscore_broadcasts_per_type_stats(spark, queries):
