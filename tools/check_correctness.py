@@ -79,6 +79,7 @@ def main():
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("-q", "--query", action="append", default=None)
     ap.add_argument("--list", action="store_true")
+    ap.add_argument("--json", default=None, help="write per-query results to this JSON file")
     args = ap.parse_args()
 
     import __spark_entry__ as entry
@@ -102,6 +103,7 @@ def main():
             con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     n_pass = n_fail = n_rows_only = 0
+    results: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
@@ -109,28 +111,49 @@ def main():
             spark.catalog.clearCache()
         except Exception as exc:
             print(f"FAIL  {name:40s} spark error: {str(exc)[:200]}")
+            results[name] = {"status": "fail", "why": f"spark error: {str(exc)[:200]}"}
             n_fail += 1
             continue
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"ROWS  {name:40s} rows={len(sdf)} cols={list(sdf.columns)} ({t_spark:.1f}s) [no oracle]")
+            results[name] = {"status": "rows_only", "rows": len(sdf)}
             n_rows_only += 1
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as exc:
             print(f"FAIL  {name:40s} oracle error: {str(exc)[:200]}")
+            results[name] = {"status": "fail", "why": f"oracle error: {str(exc)[:200]}"}
             n_fail += 1
             continue
         ok, why = compare(sdf, odf)
         if ok:
             print(f"MATCH {name:40s} rows={len(sdf)} ({t_spark:.1f}s)")
+            results[name] = {"status": "match", "rows": len(sdf), "spark_sec": round(t_spark, 2)}
             n_pass += 1
         else:
             print(f"FAIL  {name:40s} {why}")
+            results[name] = {"status": "fail", "why": why}
             n_fail += 1
 
     print(f"\n{n_pass} match, {n_fail} fail, {n_rows_only} rows-only of {len(names)}")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": args.sf,
+                    "match": n_pass,
+                    "fail": n_fail,
+                    "rows_only": n_rows_only,
+                    "total": len(names),
+                    "queries": results,
+                },
+                fh,
+                indent=1,
+            )
     sys.exit(1 if n_fail else 0)
 
 

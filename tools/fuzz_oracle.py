@@ -1,13 +1,28 @@
 """Cross-engine query fuzzer (SQLsmith-lite, seeded): generate N random
-filter → groupBy → aggregate specs over the events table, run each spec
-BOTH as a Spark DataFrame plan and as DuckDB SQL, and compare results
-exactly.
+query specs over the test tables, run each spec BOTH as a Spark DataFrame
+plan and as DuckDB SQL, and compare results exactly.
 
 The catalog queries pin 149 hand-written shapes; this fuzzer samples the
-combinatorial space AROUND them (predicate × grouping × aggregate
-combinations) so a mapping bug in a less-traveled corner (e.g. a null
-ordering, an integer-division edge, a grouping-on-expression rename)
-can't hide between hand-written cases.
+combinatorial space AROUND them (predicate × grouping × aggregate × join
+× window × grouping-sets combinations) so a mapping bug in a
+less-traveled corner (e.g. a null ordering, an integer-division edge, a
+grouping-on-expression rename) can't hide between hand-written cases.
+
+Spec families (r5 grammar, covers SURVEY §2.3-2.7 operator classes):
+- ``scan``:   events filter → groupBy → aggregate;
+- ``join``:   orders ⋈ customer (broadcast) filter → groupBy → aggregate;
+- ``outer``:  customer LEFT/FULL/INNER join a FILTERED orders side — the
+  filter manufactures NULL-extending rows, exercising null join keys,
+  null groups, and SUM/MIN over all-null groups (coalesced on both
+  engines so the comparison stays dtype-exact);
+- ``window``: running/sliding frames, row_number, rank, lag over orders
+  with a unique tiebreak (deterministic row-level output);
+- ``gsets``:  GROUP BY GROUPING SETS over pre-projected key columns with
+  GROUPING() markers disambiguating the null-group vs rollup rows.
+
+Predicates include type-boundary literals: the exact dataset min/max
+timestamps and values, epsilon-adjacent doubles, and empty-result
+constants.
 
 Specs are deterministic-by-construction so comparison is exact, not
 statistical:
@@ -15,12 +30,12 @@ statistical:
   BIGINT ids) — order-independent under parallel summation;
 - group keys are low-cardinality expressions (event_type, user_id % k,
   hour(ts));
-- predicates compare against sampled constants.
+- window orderings always carry a unique tiebreak column.
 
 Usage:
     python tools/fuzz_oracle.py [--n 50] [--seed 7] [--sf DIR]
 Exit code 0 iff every spec matches. Also used by
-tests/test_fuzz_oracle.py with a small N.
+tests/test_fuzz_oracle.py (full seeded run, >=500 specs).
 """
 
 from __future__ import annotations
@@ -81,6 +96,10 @@ JOIN_PRED_EXPRS = [
     ("bal_pos", lambda F, c: F.col("c_acctbal") >= 0, lambda c: "c_acctbal >= 0"),
 ]
 
+def _ts_lit(c: float) -> str:
+    return f"2024-01-{1 + int(c) % 30:02d} 12:00:00"
+
+
 PRED_EXPRS = [
     ("val_gt", lambda F, c: F.col("value") > c, lambda c: f"value > {c}"),
     ("val_le", lambda F, c: F.col("value") <= c, lambda c: f"value <= {c}"),
@@ -90,12 +109,158 @@ PRED_EXPRS = [
      lambda c: "event_type IN ('click', 'view')"),
     ("eid_band", lambda F, c: (F.col("event_id") % 100) < int(c) % 100 + 1,
      lambda c: f"event_id % 100 < {int(c) % 100 + 1}"),
+    # type-boundary literals
+    ("ts_ge", lambda F, c: F.col("ts") >= F.lit(_ts_lit(c)).cast("timestamp"),
+     lambda c: f"ts >= TIMESTAMP '{_ts_lit(c)}'"),
+    ("ts_lt", lambda F, c: F.col("ts") < F.lit(_ts_lit(c)).cast("timestamp"),
+     lambda c: f"ts < TIMESTAMP '{_ts_lit(c)}'"),
+    # exact dataset min: >= keeps the boundary row, > drops it — both engines
+    # must parse 0.01 to the identical double
+    ("val_min_edge", lambda F, c: F.col("value") >= 0.01, lambda c: "value >= 0.01"),
+    # empty-result predicate (negative-zero boundary)
+    ("val_none", lambda F, c: F.col("value") <= -0.0, lambda c: "value <= -0.0"),
+]
+
+
+# --- outer-join family ------------------------------------------------------
+# customer (left) joined to a FILTERED orders side: the filter manufactures
+# customers whose every order fails it → NULL-extended rows under left/full.
+OUTER_ORDER_FILTERS = [
+    lambda c: f"o_totalprice > {200000 + int(c) * 2500}",
+    lambda c: f"o_orderstatus = 'F'",
+    lambda c: f"o_orderdate >= TIMESTAMP '19{96 + int(c) % 4}-01-01 00:00:00'",
+    # exact dataset max: only the boundary row(s) survive
+    lambda c: "o_totalprice >= 499978.59",
+]
+
+OUTER_GROUP_EXPRS = [
+    ("mktsegment", lambda F: F.col("c_mktsegment"), "c_mktsegment"),
+    ("nation_key", lambda F: F.col("c_nationkey").cast("long"), "CAST(c_nationkey AS BIGINT)"),
+    ("has_order", lambda F: F.col("o_orderkey").isNotNull(), "o_orderkey IS NOT NULL"),
+    # NULL for null-extended rows → a null GROUP on both engines
+    ("priority", lambda F: F.col("o_orderpriority"), "o_orderpriority"),
+]
+
+# all-null groups exist under outer joins: coalesce every aggregate so the
+# dtype stays exact BIGINT on both engines (a bare SUM over an empty group is
+# NULL → pandas float64 on the DuckDB side, a hash mismatch by design)
+OUTER_AGG_EXPRS = [
+    ("n_rows", lambda F: F.count(F.lit(1)), "CAST(COUNT(*) AS BIGINT)"),
+    ("n_orders", lambda F: F.count("o_orderkey"), "CAST(COUNT(o_orderkey) AS BIGINT)"),
+    ("sum_price_c", lambda F: F.coalesce(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")), F.lit(0)),
+     "CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT)"),
+    ("min_order", lambda F: F.coalesce(F.min("o_orderkey"), F.lit(-1)),
+     "CAST(COALESCE(MIN(o_orderkey), -1) AS BIGINT)"),
+    ("n_custs", lambda F: F.countDistinct("c_custkey").cast("long"),
+     "CAST(COUNT(DISTINCT c_custkey) AS BIGINT)"),
+]
+
+# --- window family ----------------------------------------------------------
+# (name, spark_fn(F, Window) -> Column, sql) — all orderings carry the unique
+# o_orderkey tiebreak, so every frame is deterministic.
+WINDOW_EXPRS = [
+    ("running_c",
+     lambda F, W: F.sum("price_c").over(
+         W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, 0)),
+     "CAST(SUM(price_c) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"),
+    ("sliding3_c",
+     lambda F, W: F.sum("price_c").over(
+         W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(-2, 0)),
+     "CAST(SUM(price_c) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+     "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)"),
+    ("rn",
+     lambda F, W: F.row_number().over(
+         W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")).cast("long"),
+     "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT)"),
+    ("rnk",
+     lambda F, W: F.rank().over(
+         W.partitionBy("o_orderpriority").orderBy("price_c", "o_orderkey")).cast("long"),
+     "CAST(RANK() OVER (PARTITION BY o_orderpriority ORDER BY price_c, o_orderkey) AS BIGINT)"),
+    ("lag_delta_c",
+     lambda F, W: F.coalesce(
+         F.col("price_c") - F.lag("price_c").over(
+             W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")),
+         F.lit(0)),
+     "CAST(COALESCE(price_c - LAG(price_c) OVER (PARTITION BY o_custkey "
+     "ORDER BY o_orderdate, o_orderkey), 0) AS BIGINT)"),
+    ("lead_key",
+     lambda F, W: F.coalesce(F.lead("o_orderkey").over(
+         W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")), F.lit(-1)),
+     "CAST(COALESCE(LEAD(o_orderkey) OVER (PARTITION BY o_custkey "
+     "ORDER BY o_orderdate, o_orderkey), -1) AS BIGINT)"),
+]
+
+# orders-only predicates for the window family (no customer columns)
+ORDERS_PRED_EXPRS = [
+    ("price_gt", lambda F, c: F.col("o_totalprice") > c * 1000,
+     lambda c: f"o_totalprice > {c * 1000}"),
+    ("status_eq", lambda F, c: F.col("o_orderstatus") == "O",
+     lambda c: "o_orderstatus = 'O'"),
+    ("odate_ge", lambda F, c: F.col("o_orderdate")
+     >= F.lit(f"19{96 + int(c) % 4}-01-01 00:00:00").cast("timestamp"),
+     lambda c: f"o_orderdate >= TIMESTAMP '19{96 + int(c) % 4}-01-01 00:00:00'"),
+]
+
+# --- grouping-sets family ---------------------------------------------------
+# set shapes over two pre-projected key columns g0, g1 (indices into
+# GROUP_EXPRS); GROUPING() markers disambiguate rollup rows from null groups
+# Every key appears in >=1 set (DuckDB rejects GROUPING(x) for a column in
+# no grouping set). KNOWN CROSS-ENGINE DIVERGENCE found by this fuzzer: over
+# EMPTY input, a grouping-sets clause containing the grand-total set ``()``
+# yields 1 row (the ANSI global aggregate) in DuckDB but 0 rows in Spark
+# (SPARK grouping-sets Expand produces no input rows to aggregate). The
+# grammar therefore never pairs the () set with an empty-result predicate
+# (val_none is excluded from the gsets family below).
+GSET_SHAPES = [
+    [["g0"], ["g1"], []],
+    [["g0", "g1"], ["g0"], []],
+    [["g0", "g1"], []],
+    [["g0", "g1"], ["g1"], []],
+]
+
+GSET_PRED_IDXS = [
+    i for i, (name, _, _) in enumerate(PRED_EXPRS) if name != "val_none"
 ]
 
 
 def gen_spec(rng: random.Random) -> dict:
-    # half the specs exercise the broadcast-join relation orders ⋈ customer
-    joined = rng.random() < 0.5
+    family = rng.choice(["scan", "join", "outer", "window", "gsets"])
+    if family == "outer":
+        return {
+            "family": "outer",
+            "how": rng.choice(["left", "full", "inner"]),
+            "ofilter": rng.randrange(len(OUTER_ORDER_FILTERS)),
+            "const": round(rng.uniform(0, 100), 2),
+            "groups": rng.sample(
+                range(len(OUTER_GROUP_EXPRS)), rng.randint(0, 2)
+            ),
+            "aggs": rng.sample(range(len(OUTER_AGG_EXPRS)), rng.randint(1, 3)),
+        }
+    if family == "window":
+        return {
+            "family": "window",
+            "wins": rng.sample(range(len(WINDOW_EXPRS)), rng.randint(1, 3)),
+            "preds": [
+                (i, round(rng.uniform(0, 100), 2))
+                for i in rng.sample(range(len(ORDERS_PRED_EXPRS)), rng.randint(0, 1))
+            ],
+        }
+    if family == "gsets":
+        return {
+            "family": "gsets",
+            "keys": rng.sample(range(len(GROUP_EXPRS)), 2),
+            "shape": rng.randrange(len(GSET_SHAPES)),
+            "aggs": rng.sample(range(len(AGG_EXPRS)), rng.randint(1, 2)),
+            "preds": [
+                (i, round(rng.uniform(0, 100), 2))
+                for i in rng.sample(GSET_PRED_IDXS, rng.randint(0, 1))
+            ],
+        }
+    joined = family == "join"
     gp = JOIN_GROUP_EXPRS if joined else GROUP_EXPRS
     ag = JOIN_AGG_EXPRS if joined else AGG_EXPRS
     pr = JOIN_PRED_EXPRS if joined else PRED_EXPRS
@@ -120,6 +285,13 @@ def _pools(spec: dict):
 
 
 def spec_sql(spec: dict) -> str:
+    fam = spec.get("family")
+    if fam == "outer":
+        return _outer_sql(spec)
+    if fam == "window":
+        return _window_sql(spec)
+    if fam == "gsets":
+        return _gsets_sql(spec)
     gp, ag, pr = _pools(spec)
     groups = [gp[i] for i in spec["groups"]]
     aggs = [ag[i] for i in spec["aggs"]]
@@ -140,9 +312,117 @@ def spec_sql(spec: dict) -> str:
     return q
 
 
+def _outer_sql(spec: dict) -> str:
+    groups = [OUTER_GROUP_EXPRS[i] for i in spec["groups"]]
+    aggs = [OUTER_AGG_EXPRS[i] for i in spec["aggs"]]
+    sel = [f"{sql} AS {name}" for name, _, sql in groups]
+    sel += [f"{sql} AS {name}" for name, _, sql in aggs]
+    how = {"left": "LEFT JOIN", "full": "FULL JOIN", "inner": "JOIN"}[spec["how"]]
+    ofil = OUTER_ORDER_FILTERS[spec["ofilter"]](spec["const"])
+    q = (
+        f"SELECT {', '.join(sel)} FROM customer {how} "
+        f"(SELECT * FROM orders WHERE {ofil}) o ON c_custkey = o_custkey"
+    )
+    if groups:
+        q += " GROUP BY " + ", ".join(sql for _, _, sql in groups)
+    return q
+
+
+def _window_sql(spec: dict) -> str:
+    wins = [WINDOW_EXPRS[i] for i in spec["wins"]]
+    sel = ["o_orderkey"] + [f"{sql} AS {name}" for name, _, sql in wins]
+    q = (
+        f"SELECT {', '.join(sel)} FROM (SELECT *, "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c FROM orders"
+    )
+    if spec["preds"]:
+        conds = [ORDERS_PRED_EXPRS[i][2](c) for i, c in spec["preds"]]
+        q += " WHERE " + " AND ".join(conds)
+    return q + ") t"
+
+
+def _gsets_sql(spec: dict) -> str:
+    k0, k1 = (GROUP_EXPRS[i] for i in spec["keys"])
+    aggs = [AGG_EXPRS[i] for i in spec["aggs"]]
+    shape = GSET_SHAPES[spec["shape"]]
+    alias = {"g0": "g0", "g1": "g1"}
+    sets_sql = ", ".join("(" + ", ".join(alias[g] for g in s) + ")" for s in shape)
+    sel = [
+        "g0", "g1",
+        "CAST(GROUPING(g0) AS BIGINT) AS gf0",
+        "CAST(GROUPING(g1) AS BIGINT) AS gf1",
+    ]
+    sel += [f"{sql} AS {name}" for name, _, sql in aggs]
+    inner = f"SELECT *, {k0[2]} AS g0, {k1[2]} AS g1 FROM events"
+    if spec["preds"]:
+        conds = [PRED_EXPRS[i][2](c) for i, c in spec["preds"]]
+        inner += " WHERE " + " AND ".join(conds)
+    return (
+        f"SELECT {', '.join(sel)} FROM ({inner}) t "
+        f"GROUP BY GROUPING SETS ({sets_sql})"
+    )
+
+
+def _outer_spark(spec: dict, tables):
+    from pyspark.sql import functions as F
+
+    c = tables["customer"]
+    o = tables["orders"]
+    pred_sql = OUTER_ORDER_FILTERS[spec["ofilter"]](spec["const"])
+    o = o.where(F.expr(pred_sql))
+    df = c.join(o, c.c_custkey == o.o_custkey, spec["how"])
+    groups = [OUTER_GROUP_EXPRS[i] for i in spec["groups"]]
+    aggs = [OUTER_AGG_EXPRS[i] for i in spec["aggs"]]
+    agg_cols = [fn(F).alias(name) for name, fn, _ in aggs]
+    if groups:
+        gcols = [fn(F).alias(name) for name, fn, _ in groups]
+        return df.groupBy(*gcols).agg(*agg_cols)
+    return df.agg(*agg_cols)
+
+
+def _window_spark(spec: dict, tables):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = tables["orders"].withColumn(
+        "price_c", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    )
+    for i, c in spec["preds"]:
+        df = df.where(ORDERS_PRED_EXPRS[i][1](F, c))
+    wins = [WINDOW_EXPRS[i] for i in spec["wins"]]
+    return df.select(
+        "o_orderkey", *[fn(F, W).alias(name) for name, fn, _ in wins]
+    )
+
+
+def _gsets_spark(spec: dict, tables):
+    from pyspark.sql import functions as F
+
+    k0, k1 = (GROUP_EXPRS[i] for i in spec["keys"])
+    df = tables["events"]
+    for i, c in spec["preds"]:
+        df = df.where(PRED_EXPRS[i][1](F, c))
+    df = df.select("*", k0[1](F).alias("g0"), k1[1](F).alias("g1"))
+    shape = GSET_SHAPES[spec["shape"]]
+    sets = [[F.col(g) for g in s] for s in shape]
+    aggs = [AGG_EXPRS[i] for i in spec["aggs"]]
+    return df.groupingSets(sets, F.col("g0"), F.col("g1")).agg(
+        F.grouping("g0").cast("long").alias("gf0"),
+        F.grouping("g1").cast("long").alias("gf1"),
+        *[fn(F).alias(name) for name, fn, _ in aggs],
+    )
+
+
 def spec_spark(spec: dict, tables):
     from pyspark.sql import functions as F
 
+    fam = spec.get("family")
+    if fam == "outer":
+        return _outer_spark(spec, tables)
+    if fam == "window":
+        return _window_spark(spec, tables)
+    if fam == "gsets":
+        return _gsets_spark(spec, tables)
     gp, ag, pr = _pools(spec)
     if spec.get("joined"):
         df = tables["orders"].join(
