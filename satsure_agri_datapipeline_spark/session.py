@@ -33,6 +33,16 @@ def get_spark(
         "SPARK_GRAFT_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
     )
     n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    # Python worker daemon with numpy/pandas/pyarrow PRE-IMPORTED: a fresh
+    # fork otherwise pays those imports inside the first Arrow-UDF task it
+    # runs (~0.3-0.8 s straggler batches; see python_daemon.py). The package
+    # dir must ride PYTHONPATH for the daemon subprocess to import it.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -49,6 +59,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", timezone)
+        .config(
+            "spark.python.daemon.module",
+            "satsure_agri_datapipeline_spark.python_daemon",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
