@@ -145,6 +145,9 @@ def main():
         f.stat().st_size for f in Path(sf_dir).glob("**/*.parquet")
     )
     small_input = total_bytes < 64 * 1024 * 1024
+    if small_input and "SPARK_GRAFT_UDF_PARTITIONS" not in os.environ:
+        # fewer, fatter Python-UDF tasks at toy scale (see dedup._repartitioned)
+        os.environ["SPARK_GRAFT_UDF_PARTITIONS"] = "8"
     AQE_ALWAYS = {"doc_ngram_jaccard", "doc_minhash_lsh"}
 
     timings: dict[str, float] = {}

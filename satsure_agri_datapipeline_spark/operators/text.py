@@ -154,9 +154,10 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
         return texts.map(one)
 
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    from satsure_agri_datapipeline_spark.operators.dedup import _repartitioned
+
     return (
-        df.repartition(parallelism, F.col(id_col))
+        _repartitioned(df, id_col)
         .select(F.col(id_col), _fp(F.col(text_col)).alias("fingerprint"))
         # null-text docs produce no shingles — drop them like the relational
         # form (and the simhash/minhash siblings) so row counts agree
