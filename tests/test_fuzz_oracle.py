@@ -27,6 +27,29 @@ from fuzz_oracle import run_fuzz  # noqa: E402
 SF = "/root/testdata/sf0.001"
 
 
+def test_known_divergence_empty_input_grouping_sets(spark):
+    """Pin the cross-engine divergence the fuzzer found (and its grammar
+    now avoids): GROUP BY GROUPING SETS (..., ()) over EMPTY input yields
+    the 1-row ANSI grand total in DuckDB but 0 rows in Spark. Documented
+    so a future Spark version closing the gap is noticed (this test will
+    fail and the fuzzer grammar restriction can be lifted)."""
+    from pyspark.sql import functions as F
+
+    empty = spark.range(10).where("id < 0")
+    got = (
+        empty.groupingSets([[F.col("id")], []], F.col("id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got == []  # Spark: no rows
+
+    want = duckdb.sql(
+        "SELECT COUNT(*) FROM range(10) t(id) WHERE id < 0 "
+        "GROUP BY GROUPING SETS ((id), ())"
+    ).fetchall()
+    assert want == [(0,)]  # DuckDB: ANSI grand-total row
+
+
 def test_fuzzed_specs_match_duckdb(spark):
     con = duckdb.connect()
     for t in ("events", "orders", "customer"):

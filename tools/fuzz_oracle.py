@@ -18,7 +18,10 @@ Spec families (r5 grammar, covers SURVEY §2.3-2.7 operator classes):
 - ``window``: running/sliding frames, row_number, rank, lag over orders
   with a unique tiebreak (deterministic row-level output);
 - ``gsets``:  GROUP BY GROUPING SETS over pre-projected key columns with
-  GROUPING() markers disambiguating the null-group vs rollup rows.
+  GROUPING() markers disambiguating the null-group vs rollup rows;
+- ``semi``:   EXISTS / NOT EXISTS (left_semi / left_anti) against a
+  filtered orders subquery — the keeper-filter and inactive-detection
+  join types the catalog uses.
 
 Predicates include type-boundary literals: the exact dataset min/max
 timestamps and values, epsilon-adjacent doubles, and empty-result
@@ -194,6 +197,24 @@ WINDOW_EXPRS = [
      "ORDER BY o_orderdate, o_orderkey), -1) AS BIGINT)"),
 ]
 
+# --- semi/anti-join family --------------------------------------------------
+# customer EXISTS / NOT EXISTS against a filtered orders subquery — the
+# left_semi / left_anti join types the catalog uses for keeper filters and
+# inactive-customer detection.
+SEMI_GROUP_EXPRS = [
+    ("mktsegment", lambda F: F.col("c_mktsegment"), "c_mktsegment"),
+    ("nation_key", lambda F: F.col("c_nationkey").cast("long"), "CAST(c_nationkey AS BIGINT)"),
+]
+
+SEMI_AGG_EXPRS = [
+    ("n_rows", lambda F: F.count(F.lit(1)), "CAST(COUNT(*) AS BIGINT)"),
+    ("sum_bal_c", lambda F: F.coalesce(
+        F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")), F.lit(0)),
+     "CAST(COALESCE(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)), 0) AS BIGINT)"),
+    ("min_cust", lambda F: F.coalesce(F.min("c_custkey"), F.lit(-1)),
+     "CAST(COALESCE(MIN(c_custkey), -1) AS BIGINT)"),
+]
+
 # orders-only predicates for the window family (no customer columns)
 ORDERS_PRED_EXPRS = [
     ("price_gt", lambda F, c: F.col("o_totalprice") > c * 1000,
@@ -228,7 +249,16 @@ GSET_PRED_IDXS = [
 
 
 def gen_spec(rng: random.Random) -> dict:
-    family = rng.choice(["scan", "join", "outer", "window", "gsets"])
+    family = rng.choice(["scan", "join", "outer", "window", "gsets", "semi"])
+    if family == "semi":
+        return {
+            "family": "semi",
+            "anti": rng.random() < 0.5,
+            "ofilter": rng.randrange(len(OUTER_ORDER_FILTERS)),
+            "const": round(rng.uniform(0, 100), 2),
+            "groups": rng.sample(range(len(SEMI_GROUP_EXPRS)), rng.randint(0, 2)),
+            "aggs": rng.sample(range(len(SEMI_AGG_EXPRS)), rng.randint(1, 2)),
+        }
     if family == "outer":
         return {
             "family": "outer",
@@ -292,6 +322,8 @@ def spec_sql(spec: dict) -> str:
         return _window_sql(spec)
     if fam == "gsets":
         return _gsets_sql(spec)
+    if fam == "semi":
+        return _semi_sql(spec)
     gp, ag, pr = _pools(spec)
     groups = [gp[i] for i in spec["groups"]]
     aggs = [ag[i] for i in spec["aggs"]]
@@ -363,6 +395,40 @@ def _gsets_sql(spec: dict) -> str:
     )
 
 
+def _semi_sql(spec: dict) -> str:
+    groups = [SEMI_GROUP_EXPRS[i] for i in spec["groups"]]
+    aggs = [SEMI_AGG_EXPRS[i] for i in spec["aggs"]]
+    sel = [f"{sql} AS {name}" for name, _, sql in groups]
+    sel += [f"{sql} AS {name}" for name, _, sql in aggs]
+    neg = "NOT " if spec["anti"] else ""
+    ofil = OUTER_ORDER_FILTERS[spec["ofilter"]](spec["const"])
+    q = (
+        f"SELECT {', '.join(sel)} FROM customer c WHERE {neg}EXISTS "
+        f"(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND {ofil})"
+    )
+    if groups:
+        q += " GROUP BY " + ", ".join(sql for _, _, sql in groups)
+    return q
+
+
+def _semi_spark(spec: dict, tables):
+    from pyspark.sql import functions as F
+
+    c = tables["customer"]
+    o = tables["orders"].where(
+        F.expr(OUTER_ORDER_FILTERS[spec["ofilter"]](spec["const"]))
+    )
+    how = "left_anti" if spec["anti"] else "left_semi"
+    df = c.join(o, c.c_custkey == o.o_custkey, how)
+    groups = [SEMI_GROUP_EXPRS[i] for i in spec["groups"]]
+    aggs = [SEMI_AGG_EXPRS[i] for i in spec["aggs"]]
+    agg_cols = [fn(F).alias(name) for name, fn, _ in aggs]
+    if groups:
+        gcols = [fn(F).alias(name) for name, fn, _ in groups]
+        return df.groupBy(*gcols).agg(*agg_cols)
+    return df.agg(*agg_cols)
+
+
 def _outer_spark(spec: dict, tables):
     from pyspark.sql import functions as F
 
@@ -423,6 +489,8 @@ def spec_spark(spec: dict, tables):
         return _window_spark(spec, tables)
     if fam == "gsets":
         return _gsets_spark(spec, tables)
+    if fam == "semi":
+        return _semi_spark(spec, tables)
     gp, ag, pr = _pools(spec)
     if spec.get("joined"):
         df = tables["orders"].join(
