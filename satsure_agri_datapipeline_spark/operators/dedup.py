@@ -473,6 +473,76 @@ def minhash_lsh_pairs(
     return _register_cache(out, sig)
 
 
+def lsh_dedup_eval(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Measure-don't-guess harness for approximate dedup: precision/recall
+    of the MinHash-LSH pairs (``est_jaccard >= threshold``) against EXACT
+    n-gram Jaccard ground truth at the same threshold.
+
+    Returns ONE row: (n_exact, n_lsh, true_pos, precision_e4, recall_e4) —
+    the quality report a pipeline owner checks before trusting the
+    approximate path on a new corpus (the standard LSH tuning loop: pick
+    bands/rows, measure recall on a sample, then run approximate-only at
+    full scale).
+
+    Scale shape: both pair relations come from the operators' own bucket
+    joins (never all-pairs); the comparison is a full outer join on the
+    pair key — O(pairs), output-bounded. At 100 TB run this on a sampled
+    corpus (``sampling.bernoulli_sample``) — ground truth costs the exact
+    join; the measured recall transfers to the full corpus because LSH
+    collision probability depends only on pair similarity, not corpus
+    size. est_jaccard values are exact k/num_hashes binary fractions on
+    both engines, so the threshold compare is engine-portable.
+    """
+    exact = (
+        ngram_jaccard_pairs(
+            df, n=n, threshold=threshold, text_col=text_col, id_col=id_col
+        )
+        .select("id_a", "id_b")
+        .withColumn("__e", F.lit(1))
+    )
+    lsh = (
+        minhash_lsh_pairs(
+            df,
+            num_hashes=num_hashes,
+            band_size=band_size,
+            n=n,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b")
+        .withColumn("__l", F.lit(1))
+    )
+    joined = exact.join(lsh, ["id_a", "id_b"], "full")
+    return (
+        joined.agg(
+            F.count("__e").alias("n_exact"),
+            F.count("__l").alias("n_lsh"),
+            F.coalesce(
+                F.sum(
+                    (F.col("__e").isNotNull() & F.col("__l").isNotNull()).cast("long")
+                ),
+                F.lit(0),
+            ).alias("true_pos"),
+        )
+        .select(
+            "n_exact",
+            "n_lsh",
+            "true_pos",
+            F.expr("true_pos * 10000 div greatest(n_lsh, 1)").alias("precision_e4"),
+            F.expr("true_pos * 10000 div greatest(n_exact, 1)").alias("recall_e4"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

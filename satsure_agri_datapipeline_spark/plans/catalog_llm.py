@@ -154,6 +154,61 @@ def doc_minhash_lsh(spark, sf_dir):
 
 
 @query(
+    "doc_lsh_eval",
+    f"""
+    WITH {JACCARD_PAIRS_SQL},
+    seeds(k, a, b) AS (VALUES {_minhash_seed_values()}),
+    mh_hashed AS (
+        SELECT doc_id,
+               (('0x' || substr(md5(shingle), 1, 15))::BIGINT)::HUGEINT AS h
+        FROM shingles
+    ),
+    mh_mixed AS (
+        SELECT doc_id, k,
+               CAST(((a * h + b) % 18446744073709551616::HUGEINT)
+                    % 9223372036854775808::HUGEINT AS BIGINT) AS hk
+        FROM mh_hashed CROSS JOIN seeds
+    ),
+    mh_sig AS (SELECT doc_id, k, MIN(hk) AS min_hash FROM mh_mixed GROUP BY doc_id, k),
+    mh_bands AS (
+        SELECT doc_id, k // 4 AS band,
+               STRING_AGG(CAST(min_hash AS VARCHAR), ',' ORDER BY k) AS band_sig
+        FROM mh_sig GROUP BY doc_id, k // 4
+    ),
+    mh_cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM mh_bands a JOIN mh_bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    lsh_pairs AS (
+        SELECT c.id_a, c.id_b
+        FROM mh_cands c
+        JOIN mh_sig sa ON sa.doc_id = c.id_a
+        JOIN mh_sig sb ON sb.doc_id = c.id_b AND sb.k = sa.k
+        GROUP BY c.id_a, c.id_b
+        HAVING AVG(CASE WHEN sa.min_hash = sb.min_hash THEN 1.0 ELSE 0.0 END) >= 0.5
+    )
+    SELECT n_exact, n_lsh, true_pos,
+           true_pos * 10000 // GREATEST(n_lsh, 1) AS precision_e4,
+           true_pos * 10000 // GREATEST(n_exact, 1) AS recall_e4
+    FROM (
+        SELECT (SELECT COUNT(*) FROM pairs) AS n_exact,
+               (SELECT COUNT(*) FROM lsh_pairs) AS n_lsh,
+               (SELECT COUNT(*) FROM pairs p
+                JOIN lsh_pairs l ON p.id_a = l.id_a AND p.id_b = l.id_b) AS true_pos
+    ) t
+    """,
+)
+def doc_lsh_eval(spark, sf_dir):
+    """Approximate-dedup quality report (operators/dedup.py lsh_dedup_eval):
+    precision/recall of MinHash-LSH pairs vs exact 3-gram Jaccard ground
+    truth at threshold 0.5 — the measure-don't-guess gate before trusting
+    the approximate path on a corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.lsh_dedup_eval(docs, threshold=0.5, num_hashes=16, band_size=4, n=3)
+
+
+@query(
     "doc_simhash",
     """
     WITH toks AS (

@@ -580,6 +580,31 @@ def test_curation_pipeline_stages_monotonic(spark):
     assert not (set(ids) & bench_ids)
 
 
+def test_lsh_dedup_eval_counts(spark):
+    # near-identical docs (one word changed in 30) must be found by BOTH
+    # the exact jaccard pairs and the LSH candidates -> tp counted; the
+    # unrelated doc must appear in neither. precision/recall come out of
+    # one full-outer pair join, not separate count jobs.
+    from satsure_agri_datapipeline_spark.operators.dedup import lsh_dedup_eval
+
+    base = " ".join(f"w{i}" for i in range(30))
+    near = " ".join(f"w{i}" if i != 29 else "CHANGED" for i in range(30))
+    other = " ".join(f"z{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    r = lsh_dedup_eval(df, threshold=0.5).collect()[0]
+    assert r.n_exact == 1 and r.true_pos == 1
+    assert r.recall_e4 == 10000
+    assert r.n_lsh >= 1 and r.precision_e4 > 0
+    # empty corpus: all-zero counters, no NULLs, no division error
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    z = lsh_dedup_eval(empty).collect()[0]
+    assert (z.n_exact, z.n_lsh, z.true_pos, z.precision_e4, z.recall_e4) == (
+        0, 0, 0, 0, 0,
+    )
+
+
 def test_curation_stats_single_action(spark):
     # curation_stats must collect every stage counter from ONE action via
     # CollectMetrics — not one count() job per stage. Guard: its total Spark
