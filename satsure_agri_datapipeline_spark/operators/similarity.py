@@ -163,6 +163,46 @@ def quantize_int8(
     return df.select(F.col(id_col), q.alias("q"), scale.alias("scale"))
 
 
+def quantized_topk_to(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cosine top-k over the INT8-QUANTIZED embeddings (quantize →
+    dequantize → exact cosine): the serving-path ANN shape where vectors
+    live quantized at rest (4× smaller scans) and search runs on the
+    dequantized values. Pairs with :func:`quantize_int8`; the gap between
+    this ranking and :func:`brute_force_topk_to` IS the quantization error,
+    measurable per corpus the same way :func:`dedup.lsh_dedup_eval`
+    measures LSH quality.
+
+    Deterministic cross-engine: floor-half-up quantization, q·scale
+    dequantization, and a left-to-right fold dot product are identical
+    IEEE-754 op sequences in any engine; zero-norm vectors are excluded
+    (their quantized form carries no direction). Map-only except the final
+    TakeOrderedAndProject."""
+    q8 = quantize_int8(df, vec_col=vec_col, id_col=id_col).where(
+        F.col("q").isNotNull()
+    )
+    deq = q8.select(
+        F.col(id_col),
+        F.transform(
+            "q", lambda x: x.cast("double") * F.col("scale")
+        ).alias("__dv"),
+    )
+    qv = deq.where(F.col(id_col) == query_id).select(F.col("__dv").alias("__q"))
+    sim = cosine_similarity_col(F.col("__dv"), F.col("__q"))
+    return (
+        deq.crossJoin(F.broadcast(qv))
+        .where(F.col(id_col) != query_id)
+        .select(F.col(id_col), F.round(sim, 6).alias("cosine_sim_q"))
+        .orderBy(F.desc("cosine_sim_q"), id_col)
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

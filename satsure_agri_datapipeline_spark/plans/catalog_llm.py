@@ -495,6 +495,47 @@ def emb_cosine_topk(spark, sf_dir):
 
 
 @query(
+    "emb_quantized_topk",
+    """
+    WITH deq AS (
+        SELECT vec_id,
+               list_transform(
+                   list_transform(embedding,
+                       x -> FLOOR(CAST(x AS DOUBLE)
+                                  / (list_max(list_transform(embedding,
+                                         y -> abs(CAST(y AS DOUBLE)))) / 127.0)
+                              + 0.5)),
+                   v -> v * (list_max(list_transform(embedding,
+                                y -> abs(CAST(y AS DOUBLE)))) / 127.0)) AS dv
+        FROM embeddings
+        WHERE list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) > 0
+    ),
+    q AS (SELECT dv AS qv FROM deq WHERE vec_id = 0),
+    prods AS (
+        SELECT d.vec_id,
+               list_sum(list_transform(list_zip(d.dv, q.qv),
+                        p -> p[1] * p[2])) AS dot,
+               sqrt(list_sum(list_transform(d.dv, x -> x * x))) AS na,
+               sqrt(list_sum(list_transform(q.qv, x -> x * x))) AS nb
+        FROM deq d CROSS JOIN q
+        WHERE d.vec_id <> 0
+    )
+    SELECT vec_id, ROUND(dot / (na * nb), 6) AS cosine_sim_q
+    FROM prods
+    ORDER BY ROUND(dot / (na * nb), 6) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def emb_quantized_topk(spark, sf_dir):
+    """Cosine top-10 of vec_id=0 over INT8-quantized-then-dequantized
+    embeddings (operators/similarity.py quantized_topk_to) — the
+    vectors-at-rest-quantized serving path; divergence from emb_cosine_topk
+    is the measured quantization error."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.quantized_topk_to(emb, query_id=0, k=10)
+
+
+@query(
     "emb_centroid_norms",
     """
     WITH pos AS (

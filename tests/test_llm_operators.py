@@ -580,6 +580,29 @@ def test_curation_pipeline_stages_monotonic(spark):
     assert not (set(ids) & bench_ids)
 
 
+def test_quantized_topk_matches_exact_ranking(spark):
+    # int8 quantization error (~0.4% max) must not reorder well-separated
+    # neighbors: the quantized top-k of a clean synthetic corpus equals the
+    # exact top-k id ranking; zero vectors are excluded, not NaN-ranked.
+    from satsure_agri_datapipeline_spark.operators.similarity import (
+        brute_force_topk_to,
+        quantized_topk_to,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # closest
+        (2, [0.5, 0.5, 0.0, 0.0]),   # second
+        (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal
+        (4, [0.0, 0.0, 0.0, 0.0]),   # zero vector -> excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = [r.vec_id for r in brute_force_topk_to(df, 0, k=3).collect()]
+    quant = [r.vec_id for r in quantized_topk_to(df, 0, k=3).collect()]
+    assert exact == quant == [1, 2, 3]
+    assert 4 not in quant
+
+
 def test_lsh_dedup_eval_counts(spark):
     # near-identical docs (one word changed in 30) must be found by BOTH
     # the exact jaccard pairs and the LSH candidates -> tp counted; the
