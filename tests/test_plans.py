@@ -215,6 +215,24 @@ def test_impute_median_broadcasts_not_windows(spark, queries):
     assert plan.count("Window") == 1
 
 
+def test_report_finals_avoid_range_exchange(spark, queries):
+    # report-sized finals use report_sort (single-partition sort): the
+    # rangepartitioning exchange would SAMPLE its child, re-executing every
+    # scan/join below the sort when no shuffle intervenes (r5; the z-score
+    # plan ran its whole scan+broadcast-join twice just to order a handful
+    # of ids). Regression guard for every converted headline final.
+    for name in [
+        "sensor_zscore_anomalies",
+        "sensor_impute_median",
+        "sensor_gap_detection",
+        "tpch_pricing_summary",
+        "join_segment_revenue",
+        "join_multiway_revenue",
+    ]:
+        plan = plan_of(queries[name](spark, SF))
+        assert "rangepartitioning" not in plan.lower(), name
+
+
 def test_zscore_broadcasts_per_type_stats(spark, queries):
     # per-type stats: algebraic groupBy aggregate broadcast back, never a
     # Window over a handful of reading_type partitions (serial bottleneck)
