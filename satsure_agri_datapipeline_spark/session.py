@@ -58,6 +58,14 @@ def get_spark(
         # stages for intermediates that fit in one).
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Prefer shuffled-hash over sort-merge when the build side fits a
+        # per-partition hash map (the planner's own fitness check still
+        # gates it, and SMJ remains the fallback for giant builds): the
+        # shingle-bucket self-join measured 538 s SMJ vs 74 s SHJ at 100×
+        # bench scale (r5) — both sort passes are pure overhead on
+        # fixed-width hash keys. AQE skew splitting bounds the per-partition
+        # build; at bench scale AQE's runtime broadcast overrides either.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", timezone)
         .config(
             "spark.python.daemon.module",
