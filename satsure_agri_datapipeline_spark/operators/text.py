@@ -701,9 +701,10 @@ def collocations(
 
     Bigrams come from one pass of ``zip_with`` over the token array with its
     own tail (map-side, no explode of overlapping windows); unigram counts
-    broadcast back onto the bigram aggregate, which is orders of magnitude
-    smaller than the corpus. ``min_count`` prunes the long tail before
-    ranking, the standard Zipf guard.
+    join back onto the bigram aggregate (AQE broadcasts while the
+    vocabulary fits — it is unbounded at corpus scale, so no forced hint).
+    ``min_count`` prunes the long tail before ranking, the standard Zipf
+    guard.
     """
     toks = F.split(F.col(text_col), " ")
     bigrams = F.zip_with(
@@ -727,10 +728,13 @@ def collocations(
     scored = (
         bi.withColumn("__a", parts.getItem(0))
         .withColumn("__b", parts.getItem(1))
-        .join(F.broadcast(uni.withColumnRenamed("c", "c_a")), F.col("__a") == F.col("tok"))
+        # no broadcast hint: the unigram vocabulary is UNBOUNDED at corpus
+        # scale (100M+ distinct tokens on web text) — AQE broadcasts it at
+        # runtime while it actually fits, else both sides shuffle on tok
+        .join(uni.withColumnRenamed("c", "c_a"), F.col("__a") == F.col("tok"))
         .drop("tok")
         .join(
-            F.broadcast(uni.withColumnRenamed("c", "c_b")), F.col("__b") == F.col("tok")
+            uni.withColumnRenamed("c", "c_b"), F.col("__b") == F.col("tok")
         )
         .drop("tok")
         .withColumn(
