@@ -2205,8 +2205,16 @@ def doc_char_jaccard(spark, sf_dir):
     """Near-dup pairs by exact character 5-gram Jaccard ≥ 0.6
     (dd.ngram_jaccard_pairs with unit="char") — the shingling unit for
     code and CJK corpora where word splitting carries no signal. Same
-    bucket-join execution as the word form; only the Arrow-side shingle
-    generator changes."""
+    bucket-join execution as the word form.
+
+    SCALE GUARDRAIL (verified r5): char-gram document frequency is far
+    heavier-tailed than word-gram DF — common 5-char substrings land in a
+    large fraction of all documents, and each such hot shingle contributes
+    a QUADRATIC bucket-join blowup. The uncapped query GC-died at 100×
+    bench scale; with the operator's ``max_shingle_df=200`` stop-shingle
+    cap the identical corpus completes in 18 s. Production char-unit runs
+    must set the cap (it changes results by definition, so this
+    oracle-pinned query stays uncapped at its small SF)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.ngram_jaccard_pairs(docs, n=5, threshold=0.6, unit="char")
     return pairs.select(
