@@ -181,16 +181,30 @@ def distributed_rank(
     for b in bounds:
         if not uniq or b > uniq[-1]:
             uniq.append(b)
-    bucket = F.lit(0)
-    for b in uniq:
-        bucket = bucket + (F.col(order_col) > F.lit(b)).cast("int")
-    # NULL order values: (NULL > b) is NULL, which would poison the bucket
-    # sum and silently drop the row at the inner bucket join below. Route
-    # NULLs to a dedicated lowest bucket (-1) — Spark's default window
-    # ordering is NULLS FIRST, so ranking them before every value bucket
-    # matches ROW_NUMBER() OVER (ORDER BY order_col, tiebreaks) exactly
-    # (ties among NULLs resolve via tiebreak_cols inside the -1 bucket).
-    bucket = F.when(F.col(order_col).isNull(), F.lit(-1)).otherwise(bucket)
+    # Bucket index = #{boundaries < value} via a BALANCED binary-search CASE
+    # tree: ≤ log2(n_buckets) comparisons per row. The r4 form summed a
+    # CHAIN of n_buckets-1 comparisons per row; at 100× bench scale that
+    # 63-deep expression evaluated at ~16× the cost of the plain window
+    # this operator replaces (123 s vs 8 s, r5) — the tree form runs the
+    # same query in seconds.
+    def _search(lo: int, hi: int):
+        # returns the bucket index within [lo, hi] for a non-null value
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2  # compare against boundary uniq[mid]
+        return F.when(
+            F.col(order_col) > F.lit(uniq[mid]), _search(mid + 1, hi)
+        ).otherwise(_search(lo, mid))
+
+    # NULL order values: a NULL comparison would poison the search and
+    # silently drop the row at the inner bucket join below. Route NULLs to
+    # a dedicated lowest bucket (-1) — Spark's default window ordering is
+    # NULLS FIRST, so ranking them before every value bucket matches
+    # ROW_NUMBER() OVER (ORDER BY order_col, tiebreaks) exactly (ties among
+    # NULLs resolve via tiebreak_cols inside the -1 bucket).
+    bucket = F.when(F.col(order_col).isNull(), F.lit(-1)).otherwise(
+        _search(0, len(uniq))
+    )
     d = df.withColumn("__bucket", bucket)
 
     counts = d.groupBy(*group_cols, "__bucket").agg(
