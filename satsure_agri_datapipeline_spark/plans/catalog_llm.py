@@ -637,7 +637,7 @@ def emb_near_dup(spark, sf_dir):
     (0.3) is set where the data has stable mass; the operator's production
     default is 0.95."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.embedding_near_dup_pairs(emb, threshold=0.3, n_bits=8).orderBy(
+    return sim.embedding_near_dup_pairs(emb, threshold=0.3, n_bits=8, dim=64).orderBy(
         "id_a", "id_b"
     )
 
