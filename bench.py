@@ -145,9 +145,13 @@ def main():
         f.stat().st_size for f in Path(sf_dir).glob("**/*.parquet")
     )
     small_input = total_bytes < 64 * 1024 * 1024
+    udf_partitions_set_here = False
     if small_input and "SPARK_GRAFT_UDF_PARTITIONS" not in os.environ:
-        # fewer, fatter Python-UDF tasks at toy scale (see dedup._repartitioned)
+        # fewer, fatter Python-UDF tasks at toy scale (see dedup._repartitioned);
+        # scoped to the HEADLINE loop — popped after it so later additions to
+        # this script (and the DuckDB baseline's process env) see the default.
         os.environ["SPARK_GRAFT_UDF_PARTITIONS"] = "8"
+        udf_partitions_set_here = True
     AQE_ALWAYS = {"doc_ngram_jaccard", "doc_minhash_lsh"}
 
     timings: dict[str, float] = {}
@@ -182,6 +186,17 @@ def main():
         cold[name] = per_run[0]
         timings[name] = min(per_run)
         print(f"# {name}: {timings[name]:.2f}s (cold {cold[name]:.2f}s)", file=sys.stderr)
+
+    # Restore session defaults: the per-query toggling above otherwise leaves
+    # whatever the LAST query set (AQE off / 4 shuffle partitions for a
+    # small-input non-AQE query) in force for any Spark work added after the
+    # loop — a silent mis-measurement trap.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    if udf_partitions_set_here:
+        del os.environ["SPARK_GRAFT_UDF_PARTITIONS"]
 
     duck = duckdb_baseline(entry_mod, sf_dir, n_runs)
 

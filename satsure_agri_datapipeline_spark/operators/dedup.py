@@ -405,28 +405,19 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def _minhash_lsh_match_counts(
     df: DataFrame,
     num_hashes: int = 16,
     band_size: int = 4,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> DataFrame:
-    """MinHash + LSH banding: docs agreeing on ALL hashes of any band become
-    candidates; estimated Jaccard = fraction of equal minhashes.
-
-    Returns (id_a, id_b, est_jaccard). The band join is the scale path: a
-    self-equi-join on (band, band_signature) — no all-pairs comparison.
-
-    The full signature rides along through the band join, so the estimated
-    Jaccard is computed directly on the joined pair — no back-joins to a
-    signature lookup (two fewer shuffles than the lookup formulation). The
-    shuffle carries num_bands copies of each signature (num_hashes × 8 B per
-    copy — for 16 hashes that's 128 B, comparable to the text's own keys);
-    the multi-band duplicate pairs collapse in the final groupBy. The
-    signature relation is persisted across its two join-side consumers —
-    O(docs × num_hashes × 8 B), trivially cacheable at any scale."""
+) -> tuple[DataFrame, DataFrame]:
+    """Band-join candidate pairs with RAW integer match counts:
+    ``(pairs(id_a, id_b, __matches), sig)``. Shared core of
+    :func:`minhash_lsh_pairs` (display rounding) and
+    :func:`lsh_dedup_eval` (exact integer threshold compare). Does NOT
+    register the ``sig`` persist — callers do, exactly once."""
     sig = minhash_signature_arrays(df, num_hashes, n, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -461,14 +452,50 @@ def minhash_lsh_pairs(
     out = (
         a.join(b, ["band", "band_sig"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(matches / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
-        )
-        # a pair agreeing on k bands appears k times with identical estimate
+        .select("id_a", "id_b", matches.alias("__matches"))
+        # a pair agreeing on k bands appears k times with identical count
         .groupBy("id_a", "id_b")
-        .agg(F.first("est_jaccard").alias("est_jaccard"))
+        .agg(F.first("__matches").alias("__matches"))
+    )
+    return out, sig
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + LSH banding: docs agreeing on ALL hashes of any band become
+    candidates; estimated Jaccard = fraction of equal minhashes.
+
+    Returns (id_a, id_b, est_jaccard). The band join is the scale path: a
+    self-equi-join on (band, band_signature) — no all-pairs comparison.
+    ``est_jaccard`` is rounded to 4 dp FOR DISPLAY; threshold decisions
+    downstream (``lsh_dedup_eval``) use the raw integer match count so the
+    rounding can never flip a ``>= threshold`` compare (for num_hashes
+    whose binary fractions need >4 decimals, e.g. 32 → 1/32 = 0.03125,
+    the rounded value diverges from the exact fraction).
+
+    The full signature rides along through the band join, so the estimated
+    Jaccard is computed directly on the joined pair — no back-joins to a
+    signature lookup (two fewer shuffles than the lookup formulation). The
+    shuffle carries num_bands copies of each signature (num_hashes × 8 B per
+    copy — for 16 hashes that's 128 B, comparable to the text's own keys);
+    the multi-band duplicate pairs collapse in the final groupBy. The
+    signature relation is persisted across its two join-side consumers —
+    O(docs × num_hashes × 8 B), trivially cacheable at any scale."""
+    raw, sig = _minhash_lsh_match_counts(
+        df, num_hashes, band_size, n, text_col, id_col
+    )
+    out = raw.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("__matches") / F.lit(float(num_hashes)), 4
+        ).alias("est_jaccard"),
     )
     return _register_cache(out, sig)
 
@@ -498,8 +525,12 @@ def lsh_dedup_eval(
     corpus (``sampling.bernoulli_sample``) — ground truth costs the exact
     join; the measured recall transfers to the full corpus because LSH
     collision probability depends only on pair similarity, not corpus
-    size. est_jaccard values are exact k/num_hashes binary fractions on
-    both engines, so the threshold compare is engine-portable.
+    size. The threshold compare runs on the RAW integer match count
+    (``matches / num_hashes >= threshold`` in double — the division is
+    exact for power-of-two num_hashes and matches the oracle's unrounded
+    ``AVG(...)`` for any count), never on the 4-dp display rounding of
+    ``est_jaccard``, which for num_hashes like 32 (1/32 = 0.03125 →
+    0.0313) could flip the compare relative to the oracle.
     """
     exact = (
         ngram_jaccard_pairs(
@@ -508,16 +539,19 @@ def lsh_dedup_eval(
         .select("id_a", "id_b")
         .withColumn("__e", F.lit(1))
     )
+    raw, sig = _minhash_lsh_match_counts(
+        df,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        n=n,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    _register_cache(raw, sig)
     lsh = (
-        minhash_lsh_pairs(
-            df,
-            num_hashes=num_hashes,
-            band_size=band_size,
-            n=n,
-            text_col=text_col,
-            id_col=id_col,
+        raw.where(
+            F.col("__matches") / F.lit(float(num_hashes)) >= F.lit(threshold)
         )
-        .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b")
         .withColumn("__l", F.lit(1))
     )

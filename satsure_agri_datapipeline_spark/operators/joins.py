@@ -166,16 +166,53 @@ def distributed_rank(
     value), so ``tiebreak_cols`` ordering resolves entirely inside one
     window partition and the result equals
     ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY order, tiebreaks)``
-    exactly. ``order_col`` must be numeric (approxQuantile's domain).
+    exactly. ``order_col`` must be numeric (the quantile probe's domain).
+
+    GROUP-CARDINALITY CONTRACT: this operator exists for the FEW-group
+    regime (a handful of giant window partitions). The ``offsets`` relation
+    it broadcasts is O(groups × n_buckets) rows — with a million groups
+    that silent broadcast is hundreds of MB per executor. When the probed
+    group count exceeds ``max_groups`` (default 10k → ≤ ~640k offset rows,
+    a few tens of MB), the operator falls back to the PLAIN per-group
+    window, which is exactly right there: many groups ⇒ each window
+    partition is small ⇒ no funnel to fix. The group-count probe shares
+    ONE scan with the quantile probe (a single two-expression aggregate),
+    so the guard adds no extra job.
     """
     from pyspark.sql import Window
 
     group_cols = group_cols or []
     tiebreak_cols = tiebreak_cols or []
+    max_groups = 10_000
     probes = [i / n_buckets for i in range(1, n_buckets)]
+    # One driver action for BOTH probes: approximate bucket boundaries
+    # (percentile_approx ≡ approxQuantile; boundary placement only affects
+    # bucket balance, never rank values) and approximate group cardinality.
     # n_buckets=1 → no boundaries → one global bucket (degenerates to the
-    # plain per-group window; still correct, no approxQuantile call)
-    bounds = df.approxQuantile(order_col, probes, rel_error) if probes else []
+    # plain per-group window; still correct).
+    aggs = []
+    if probes:
+        aggs.append(
+            F.percentile_approx(
+                order_col,
+                F.array(*[F.lit(p) for p in probes]),
+                F.lit(int(round(1.0 / rel_error))),
+            ).alias("__bounds")
+        )
+    if group_cols:
+        gkey = (
+            F.struct(*group_cols) if len(group_cols) > 1 else F.col(group_cols[0])
+        )
+        aggs.append(F.approx_count_distinct(gkey).alias("__n_groups"))
+    row = df.agg(*aggs).first() if aggs else None
+    if group_cols and row["__n_groups"] > max_groups:
+        w_plain = Window.partitionBy(*group_cols).orderBy(
+            order_col, *tiebreak_cols
+        )
+        return df.withColumn(
+            rank_col, F.row_number().over(w_plain).cast("long")
+        )
+    bounds = list(row["__bounds"] or []) if probes else []
     # strictly increasing boundaries (duplicates collapse buckets harmlessly)
     uniq: list[float] = []
     for b in bounds:

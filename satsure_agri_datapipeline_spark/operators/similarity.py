@@ -43,19 +43,29 @@ def _dot_flat(a, b, dim: int):
     whole-stage codegen while higher-order lambdas are interpreted
     (~10× per-pair difference measured on the 100×-scale near-dup verify,
     r5). The leading ``lit(0.0)`` keeps even the -0.0 corner identical to
-    the fold's initial accumulator."""
+    the fold's initial accumulator.
+
+    Ragged-input contract (matches the HOF form): a vector whose length is
+    not exactly ``dim`` yields NULL — ``try_element_at`` never raises under
+    ANSI, and the explicit size guard also NULLs the too-long case that
+    plain truncation would silently mis-score. Guard cost is two integer
+    compares per pair — noise next to the ``dim`` multiply-adds."""
     e = F.lit(0.0)
     for i in range(1, dim + 1):
-        e = e + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
-    return e
+        e = e + (
+            F.try_element_at(a, F.lit(i)).cast("double")
+            * F.try_element_at(b, F.lit(i)).cast("double")
+        )
+    return F.when((F.size(a) == dim) & (F.size(b) == dim), e)
 
 
 def _norm_flat(a, dim: int):
+    """See :func:`_dot_flat` — same flat fold, same NULL-on-ragged contract."""
     e = F.lit(0.0)
     for i in range(1, dim + 1):
-        x = F.element_at(a, i).cast("double")
+        x = F.try_element_at(a, F.lit(i)).cast("double")
         e = e + x * x
-    return F.sqrt(e)
+    return F.when(F.size(a) == dim, F.sqrt(e))
 
 
 def cosine_similarity_col(a, b):

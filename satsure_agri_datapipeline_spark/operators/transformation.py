@@ -78,40 +78,112 @@ def impute_battery_median(
     """A2 — per-sensor median fill with global-median fallback
     (``transformation.py:126-140``).
 
-    Pure column expressions, no UDF. Shape: per-sensor medians as a groupBy
-    AGGREGATE broadcast-joined back, not a ``Window.partitionBy(sensor_id)``
-    median — the window form shuffles and sorts every fact row by sensor;
-    the aggregate form shuffles only (sensor, value) into partial buffers
-    and the fact table itself never moves (map-side broadcast join). The
-    medians relation is O(#sensors) — broadcastable far beyond any real
-    fleet size (100M sensors ≈ 1.6 GB; shrink with ``approx=True`` +
-    pre-aggregation before that point). Null sensor_ids are one group on
-    both sides (groupBy null group + null-safe join), matching the window
-    semantics exactly. ``approx=True`` switches to ``percentile_approx``
-    for 100 TB-scale exactness relaxation.
+    Pure column expressions, no UDF. Shape: EXACT per-sensor medians via one
+    shuffle+sort of the (sensor, value) projection (Tungsten radix sort +
+    middle-row selection — see the inline note for why this beats every
+    aggregate formulation), a tiny global-median aggregate, and a broadcast
+    join-back. The medians relation is O(#sensors) — broadcastable far
+    beyond any real fleet size (100M sensors ≈ 1.6 GB; shrink with
+    ``approx=True`` + pre-aggregation before that point). Null sensor_ids
+    are one group on both sides (null window partition + null-safe join).
+    A sensor whose every value is NULL has no median row and coalesces to
+    the global fallback — identical to ``F.median``'s NULL result. A single
+    mega-sensor makes the sort skew-bound; that regime is what
+    ``approx=True`` (``percentile_approx``: mergeable sketch, single scan,
+    no per-group sort) is for.
     """
-    med = (lambda c: F.expr(f"percentile_approx({c}, 0.5)")) if approx else F.median
-    # Per-sensor medians AND the global fallback in ONE scan via
-    # GROUPING SETS ((sensor_id), ()) — the two-aggregate form paid two full
-    # fact scans (one per broadcast build job). The global row is folded onto
-    # every per-sensor row with a window over the STATS relation only
-    # (O(#sensors) rows — kilobytes; the fact table never enters a window).
-    # ``F.grouping`` distinguishes the global row from a NULL-sensor group.
-    stats = df.groupingSets([["sensor_id"], []], "sensor_id").agg(
-        med(column).alias("__m"), F.grouping("sensor_id").alias("__g")
-    )
-    wall = Window.partitionBy()
-    meds = (
-        stats.withColumn(
-            "__global_median", F.max(F.when(F.col("__g") == 1, F.col("__m"))).over(wall)
+    if approx:
+        # Mergeable-sketch path for continuous 100 TB inputs: per-sensor
+        # medians AND the global fallback in ONE scan via GROUPING SETS
+        # ((sensor_id), ()). The global row is folded onto every per-sensor
+        # row with a window over the STATS relation only (O(#sensors) rows).
+        stats = df.groupingSets([["sensor_id"], []], "sensor_id").agg(
+            F.expr(f"percentile_approx({column}, 0.5)").alias("__m"),
+            F.grouping("sensor_id").alias("__g"),
         )
-        .where(F.col("__g") == 0)
-        .select(
-            F.col("sensor_id").alias("__med_sensor_id"),
-            F.col("__m").alias("__sensor_median"),
-            "__global_median",
+        wall = Window.partitionBy()
+        meds = (
+            stats.withColumn(
+                "__global_median",
+                F.max(F.when(F.col("__g") == 1, F.col("__m"))).over(wall),
+            )
+            .where(F.col("__g") == 0)
+            .select(
+                F.col("sensor_id").alias("__med_sensor_id"),
+                F.col("__m").alias("__sensor_median"),
+                "__global_median",
+            )
         )
-    )
+    else:
+        # EXACT per-sensor medians via SORT, not an object aggregate —
+        # measured fastest of six formulations at 100× bench scale (r6:
+        # window-sort 1.05 s vs F.median groupBy 2.35 s vs the r5 GROUPING
+        # SETS single-scan form 11.7 s, same-run DuckDB 0.95 s). Why: exact
+        # median is inherently a per-group sort, and Tungsten's shuffle+sort
+        # (radix, codegen'd) does that far cheaper than Percentile's
+        # ObjectHashAggregate, which builds per-group value→count maps and
+        # falls back to sort-based aggregation past 128 groups — paying
+        # object serialization on every row. The window form shuffles the
+        # (sensor, value) projection ONCE, sorts in-partition, and keeps
+        # only the middle row(s) per sensor: rn ∈ {n/2, n/2+1} (even) or
+        # {(n+1)/2} (odd), encoded as 2·rn ∈ {n, n+1, n+2}. The
+        # interpolation reproduces Percentile's exact formula
+        # lo + (hi-lo)·0.5 — bit-identical to F.median, not (lo+hi)/2.
+        # The r5 GROUPING SETS form was worst-of-all: the Expand DOUBLED
+        # the fact rows entering the object aggregate. The global median
+        # stays an aggregate — Percentile's partial maps merge BY VALUE
+        # map-side (0.36 s at 100×), no single-task funnel.
+        nn = df.where(F.col(column).isNotNull()).select(
+            "sensor_id", F.col(column).alias("__v")
+        )
+        w_rn = Window.partitionBy("sensor_id").orderBy("__v")
+        w_n = Window.partitionBy("sensor_id")
+        mid = nn.select(
+            "sensor_id",
+            "__v",
+            F.row_number().over(w_rn).alias("__rn"),
+            F.count(F.lit(1)).over(w_n).alias("__n"),
+        ).where(
+            (F.col("__rn") * 2 == F.col("__n"))
+            | (F.col("__rn") * 2 == F.col("__n") + 1)
+            | (F.col("__rn") * 2 == F.col("__n") + 2)
+        )
+        sensor_med = mid.groupBy("sensor_id").agg(
+            (
+                F.min("__v") + (F.max("__v") - F.min("__v")) * F.lit(0.5)
+            ).alias("__m")
+        )
+        global_med = df.agg(F.median(column).alias("__m"))
+        # The global fallback rides a 1-row broadcast CROSS JOIN onto the
+        # fact relation, NOT onto the per-sensor match row: a sensor whose
+        # every value is NULL carries a NULL per-sensor median and must
+        # still coalesce through to the global value.
+        return (
+            df.crossJoin(
+                F.broadcast(
+                    global_med.select(F.col("__m").alias("__global_median"))
+                )
+            )
+            .join(
+                F.broadcast(
+                    sensor_med.select(
+                        F.col("sensor_id").alias("__med_sensor_id"),
+                        F.col("__m").alias("__sensor_median"),
+                    )
+                ),
+                F.col("sensor_id").eqNullSafe(F.col("__med_sensor_id")),
+                "left",
+            )
+            .withColumn(
+                column,
+                F.coalesce(
+                    F.col(column),
+                    F.col("__sensor_median"),
+                    F.col("__global_median"),
+                ),
+            )
+            .drop("__med_sensor_id", "__sensor_median", "__global_median")
+        )
     return (
         df.join(
             F.broadcast(meds),

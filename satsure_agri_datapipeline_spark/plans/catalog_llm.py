@@ -2223,6 +2223,60 @@ def doc_char_jaccard(spark, sf_dir):
 
 
 @query(
+    "doc_char_jaccard_capped",
+    """
+    WITH idx AS (
+        SELECT doc_id, text,
+               UNNEST(generate_series(1, GREATEST(len(text) - 4, 0))) AS i
+        FROM documents
+    ),
+    cshingles AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle FROM idx),
+    -- the df-cap CTE: drop shingles appearing in more than 200 documents
+    -- BEFORE the pair join (the operator's max_shingle_df semantics)
+    kept AS (
+        SELECT doc_id, shingle FROM cshingles
+        WHERE shingle IN (
+            SELECT shingle FROM cshingles GROUP BY shingle HAVING COUNT(*) <= 200
+        )
+    ),
+    csizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+    cinter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+    FROM cinter
+    JOIN csizes sa ON cinter.id_a = sa.doc_id
+    JOIN csizes sb ON cinter.id_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.6
+    ORDER BY id_a, id_b
+    """,
+)
+def doc_char_jaccard_capped(spark, sf_dir):
+    """The SCALE-SAFE char-jaccard configuration, hash-pinned: identical to
+    ``doc_char_jaccard`` but with the ``max_shingle_df=200`` stop-shingle
+    cap that is MANDATORY at scale (uncapped GC-died at 100× bench scale;
+    capped completes in 18 s — PERF.md r5 dedup audit). The cap changes
+    results by definition — hot shingles leave both the intersection AND
+    each document's set size (jaccard denominators reflect the capped
+    sets) — so it gets its OWN oracle rather than riding the uncapped
+    pin. At sf0.01 the cap binds on 76 of 1981 shingles, so the oracle
+    genuinely exercises the df-filter path, not a no-op configuration.
+    Only set CARDINALITIES cross engines (the operator hashes with JVM
+    xxhash64, the oracle compares shingle strings) — equal up to a
+    ~1e-8 64-bit collision, exactly like the uncapped query."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, n=5, threshold=0.6, unit="char", max_shingle_df=200
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@query(
     "doc_incremental_near_dup",
     f"""
     WITH {SHINGLES_SQL},

@@ -99,19 +99,29 @@ def tpch_pricing_summary(spark, sf_dir):
     """,
 )
 def join_segment_revenue(spark, sf_dir):
-    """J1 — equi join fact→dimension. NO broadcast hint on customer: it is
-    a GROWING table (SF×150k rows — 100× bench scale measured the forced
-    broadcast at 12.1 s vs DuckDB 1.2 s, r5). AQE still broadcasts it at
-    runtime when it is actually small; at scale both sides shuffle."""
+    """J1 — equi join fact→dimension, with the AGGREGATE PUSHED BELOW THE
+    JOIN: orders pre-aggregates per custkey (algebraic sums, map-side
+    partials), so the custkey shuffle carries ≤ |customers| narrow rows
+    instead of every order row, and the join is customer-sized on both
+    sides. COUNT(DISTINCT o_custkey) collapses to COUNT(*) — the pre-agg
+    relation has exactly one row per custkey. Inner-join semantics are
+    preserved: custkeys missing from customer drop after either form.
+    NO broadcast hint on customer: it is a GROWING table (SF×150k rows —
+    100× scale measured the forced broadcast at 12.1 s vs DuckDB 1.2 s,
+    r5); AQE still broadcasts it at runtime when it is actually small."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(cents(F.col("o_totalprice"))).alias("__rev"),
+        F.count(F.lit(1)).alias("__n"),
+    )
     return (
-        o.join(c, o.o_custkey == c.c_custkey)
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.sum(cents(F.col("o_totalprice"))).alias("segment_revenue_c"),
-            F.count(F.lit(1)).alias("n_orders"),
-            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.sum("__rev").alias("segment_revenue_c"),
+            F.sum("__n").alias("n_orders"),
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
         )
         .transform(report_sort, "c_mktsegment")
     )
@@ -135,23 +145,44 @@ def join_segment_revenue(spark, sf_dir):
     """,
 )
 def join_multiway_revenue(spark, sf_dir):
-    """TPC-H Q5 shape — 5-way join; dims broadcast, fact-fact shuffles on
-    l_orderkey; region filter prunes before the join (Catalyst pushdown)."""
+    """TPC-H Q5 shape — 5-way join in DIMS-FIRST order, the 100 TB form of
+    this plan (measured best of three formulations at 100× bench scale, r6:
+    dims-first 4.2 s vs plain join tree 4.9 s vs staged-preagg 9.1 s).
+
+    1. customer ⋈ broadcast(nation) ⋈ broadcast(region), region filter
+       applied HERE — 60 % of customers drop before any fact is touched,
+       leaving a narrow (c_custkey, n_name) relation.
+    2. orders ⋈ that relation on custkey: the only custkey exchange
+       carries orders' two relevant columns, and its output is a narrow
+       (o_orderkey, n_name) relation at 40 % of |orders|.
+    3. lineitem ⋈ that on orderkey — the single big exchange in the plan,
+       and lineitem ships only (l_orderkey, rev) — then ONE final
+       groupBy(n_name): 25 groups, map-side partials collapse fully, so
+       the joined fact relation is never re-shuffled on a second key.
+
+    The rejected alternatives teach the shape: the plain tree re-shuffles
+    the wide lineitem⋈orders join on custkey (a second 60M-row exchange),
+    and pre-aggregating lineitem per orderkey (r6 first attempt) pays a
+    ~15M-group hash aggregate — near-unique keys, so partials don't
+    compress and the aggregate costs more than the exchange it saves.
+    customer GROWS with SF — no hint (the forced broadcast measured
+    71.6 s at 100×, r5); nation/region are true fixed-size dims and keep
+    theirs."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     rev = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        # customer GROWS with SF — no hint (100× scale measured the forced
-        # broadcast at 71.6 s vs DuckDB 1.5 s, r5); nation/region are true
-        # fixed-size dims and keep theirs.
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    cn = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .where(F.col("r_name").isin("ASIA", "EUROPE"))
+        .select("c_custkey", "n_name")
+    )
+    o2 = o.join(cn, o.o_custkey == cn.c_custkey).select("o_orderkey", "n_name")
+    return (
+        l.join(o2, l.l_orderkey == o2.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.sum(rev).alias("revenue_e4"), F.count(F.lit(1)).alias("n_items"))
         .transform(report_sort, F.desc("revenue_e4"), "nation")

@@ -37,26 +37,43 @@ def get_spark(
     # fork otherwise pays those imports inside the first Arrow-UDF task it
     # runs (~0.3-0.8 s straggler batches; see python_daemon.py). The package
     # dir must ride PYTHONPATH for the daemon subprocess to import it.
-    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    existing = os.environ.get("PYTHONPATH", "")
-    if pkg_root not in existing.split(os.pathsep):
-        os.environ["PYTHONPATH"] = (
-            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
-        )
+    # LOCAL-ONLY, FRESH-JVM-ONLY: the conf and env mutation only take effect
+    # when this call launches the JVM; a getOrCreate() that reuses a live
+    # gateway ignores them, and on a real cluster executors don't inherit
+    # the driver's env — there, ship the module via ``spark.submit.pyFiles``
+    # (or an archive) and set the conf in spark-defaults instead. Setting it
+    # unconditionally would leave a non-local session with an unimportable
+    # daemon module and EVERY Python-UDF stage failing to launch workers.
+    from pyspark import SparkContext  # noqa: PLC0415
+
+    fresh_jvm = SparkContext._active_spark_context is None
+    use_daemon = fresh_jvm and master.startswith("local")
+    if use_daemon:
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        existing = os.environ.get("PYTHONPATH", "")
+        if pkg_root not in existing.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+            )
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Respect the advisory partition size when coalescing rather than
-        # stopping at defaultParallelism (Spark's own docs recommend false
-        # in production): a kB-sized shuffle collapses to ONE post-shuffle
-        # partition instead of scheduling `defaultParallelism` near-empty
-        # tasks — at 100 TB the advisory size governs anyway, while at small
-        # SFs this removes a pure per-task scheduling floor (32 tasks × 2-4
-        # stages for intermediates that fit in one).
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # Keep Spark's default parallelismFirst=true: coalescing floors at
+        # defaultParallelism instead of the 64 MB advisory size. r5 set this
+        # false to kill the small-SF per-task scheduling floor, but r6
+        # measured the cost at 100× bench scale: size-based coalescing
+        # collapsed the CPU-DENSE exact-median aggregate (object hash maps,
+        # cost ∝ rows not bytes) to TWO post-shuffle tasks — 5.8 s vs 2.1 s
+        # with the parallelism floor. Size is the wrong proxy for dense
+        # aggregates, and that misjudgment only grows with scale; the tiny-
+        # input floor is handled where it belongs (bench.py runs small
+        # inputs with static planning, and sub-second interactive runs don't
+        # care). At 100 TB the advisory governs either way (shuffle bytes /
+        # 64 MB ≫ cluster parallelism).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Prefer shuffled-hash over sort-merge when the build side fits a
         # per-partition hash map (the planner's own fitness check still
@@ -67,10 +84,6 @@ def get_spark(
         # build; at bench scale AQE's runtime broadcast overrides either.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", timezone)
-        .config(
-            "spark.python.daemon.module",
-            "satsure_agri_datapipeline_spark.python_daemon",
-        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
@@ -78,6 +91,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
+    if use_daemon:
+        builder = builder.config(
+            "spark.python.daemon.module",
+            "satsure_agri_datapipeline_spark.python_daemon",
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -665,6 +665,14 @@ def test_curation_stats_single_action(spark):
     )
     assert with_stats <= base + 2
     assert stats_holder["input"] >= stats_holder["after_quality_and_exact"]
+    # The 'input' Observation is attached to a relation consumed by TWO plan
+    # subtrees; current Spark deduplicates the CollectMetrics accumulator
+    # across the fan-out (both physical instances count the full pass and the
+    # name-keyed map picks one). That is version-sensitive undocumented
+    # behavior — pin the observed count to the true row count so a Spark
+    # upgrade that double-counts or drops duplicated CollectMetrics nodes
+    # fails HERE, not silently in production counters.
+    assert stats_holder["input"] == docs.count()
 
 
 def test_pack_sequences_contiguous_stream(spark):
@@ -881,6 +889,30 @@ def test_distributed_rank_matches_window_row_number(spark):
             df, "v", group_cols=["grp"], tiebreak_cols=["id"], n_buckets=8
         ).collect()
     }
+    w = Window.partitionBy("grp").orderBy("v", "id")
+    want = {r.id: r.rn for r in df.withColumn("rn", F.row_number().over(w)).collect()}
+    assert got == want
+
+
+def test_distributed_rank_high_cardinality_falls_back_to_window(spark):
+    """Contract guard: with MANY groups (here 20k ≫ the 10k max_groups
+    cutoff) the operator must NOT build its O(groups × n_buckets) offsets
+    broadcast — it falls back to the plain per-group window, which is the
+    right plan in that regime. Asserts both the plan shape (no __bucket
+    machinery survives into the physical plan) and exact rank equality."""
+    from pyspark.sql import Window
+    from satsure_agri_datapipeline_spark.operators.joins import distributed_rank
+
+    df = spark.range(40_000).select(
+        F.col("id"),
+        (F.col("id") % 20_000).alias("grp"),
+        (F.col("id") * 2654435761 % 97).cast("double").alias("v"),
+    )
+    out = distributed_rank(
+        df, "v", group_cols=["grp"], tiebreak_cols=["id"], n_buckets=8
+    )
+    assert "__bucket" not in out._jdf.queryExecution().executedPlan().toString()
+    got = {r.id: r.rank for r in out.collect()}
     w = Window.partitionBy("grp").orderBy("v", "id")
     want = {r.id: r.rn for r in df.withColumn("rn", F.row_number().over(w)).collect()}
     assert got == want

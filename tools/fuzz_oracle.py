@@ -8,7 +8,7 @@ combinatorial space AROUND them (predicate × grouping × aggregate × join
 less-traveled corner (e.g. a null ordering, an integer-division edge, a
 grouping-on-expression rename) can't hide between hand-written cases.
 
-Spec families (r5 grammar, covers SURVEY §2.3-2.7 operator classes):
+Spec families (r6 grammar, covers SURVEY §2.3-2.7 operator classes):
 - ``scan``:   events filter → groupBy → aggregate;
 - ``join``:   orders ⋈ customer (broadcast) filter → groupBy → aggregate;
 - ``outer``:  customer LEFT/FULL/INNER join a FILTERED orders side — the
@@ -21,7 +21,15 @@ Spec families (r5 grammar, covers SURVEY §2.3-2.7 operator classes):
   GROUPING() markers disambiguating the null-group vs rollup rows;
 - ``semi``:   EXISTS / NOT EXISTS (left_semi / left_anti) against a
   filtered orders subquery — the keeper-filter and inactive-detection
-  join types the catalog uses.
+  join types the catalog uses;
+- ``setop``:  INTERSECT / EXCEPT, both DISTINCT and ALL multiset
+  variants, over two independently-filtered low-cardinality projections
+  with a manufactured NULL column (ANSI set ops treat NULL = NULL —
+  semantics a predicate never exercises) and possibly-empty sides;
+- ``rframe``: RANGE BETWEEN window frames with literal value offsets
+  (PRECEDING/FOLLOWING/UNBOUNDED combinations incl. an empty-frame
+  shape), asc and desc orderings — peer-inclusive frames, deterministic
+  WITHOUT a tiebreak, the dual of the ROWS-frame family.
 
 Predicates include type-boundary literals: the exact dataset min/max
 timestamps and values, epsilon-adjacent doubles, and empty-result
@@ -215,6 +223,73 @@ SEMI_AGG_EXPRS = [
      "CAST(COALESCE(MIN(c_custkey), -1) AS BIGINT)"),
 ]
 
+# --- set-op family (r6) -----------------------------------------------------
+# Two filtered projections of events combined with INTERSECT / EXCEPT
+# [ALL]. The projection is low-cardinality (lots of duplicate rows, so the
+# ALL variants genuinely differ from DISTINCT) and manufactures a NULL
+# string column: ANSI set ops treat NULL = NULL (unlike predicates), the
+# null-semantics corner the r5 grammar didn't reach. Sides may be EMPTY
+# (val_none predicate): A EXCEPT ∅ = DISTINCT(A), ∅ INTERSECT A = ∅.
+SETOP_PROJ = [
+    # (name, spark_fn, sql) — identical projection on both sides
+    ("etype_n",
+     lambda F: F.when(F.col("value") > 50, F.col("event_type")),
+     "CASE WHEN value > 50 THEN event_type END"),
+    ("uid_mod", lambda F: (F.col("user_id") % 3).cast("long"),
+     "CAST(user_id % 3 AS BIGINT)"),
+    ("etype", lambda F: F.col("event_type"), "event_type"),
+]
+
+SETOP_OPS = [
+    # (sql_keyword, spark_method_name)
+    ("INTERSECT", "intersect"),
+    ("INTERSECT ALL", "intersectAll"),
+    ("EXCEPT", "subtract"),
+    ("EXCEPT ALL", "exceptAll"),
+]
+
+# --- range-frame window family (r6) ----------------------------------------
+# RANGE BETWEEN frames with literal value offsets over price_c (BIGINT
+# cents). RANGE frames include ALL PEERS of the boundary rows, so the
+# output is deterministic WITHOUT a unique tiebreak — the opposite
+# discipline from the ROWS family, and exactly why it needs its own
+# grammar arm. Frame shape 4 (x FOLLOWING AND y FOLLOWING) manufactures
+# EMPTY frames → NULL aggregates, coalesced to keep dtypes exact.
+# Each shape: (x, y, W) -> (frame_sql, spark_lo, spark_hi); offsets are cents.
+RFRAME_SHAPES = [
+    lambda x, y, W: (f"RANGE BETWEEN {x} PRECEDING AND CURRENT ROW", -x, 0),
+    lambda x, y, W: (f"RANGE BETWEEN CURRENT ROW AND {y} FOLLOWING", 0, y),
+    lambda x, y, W: (
+        f"RANGE BETWEEN UNBOUNDED PRECEDING AND {y} FOLLOWING",
+        W.unboundedPreceding, y),
+    lambda x, y, W: (f"RANGE BETWEEN {x} PRECEDING AND {y} FOLLOWING", -x, y),
+    # empty-frame manufacturer: the frame starts AFTER the current row's
+    # peer group and may contain no rows at all
+    lambda x, y, W: (
+        f"RANGE BETWEEN {min(x, y)} FOLLOWING AND {max(x, y)} FOLLOWING",
+        min(x, y), max(x, y)),
+]
+
+RFRAME_AGGS = [
+    # (name, spark_fn(F, over_window), sql_fn(frame_sql)) — every aggregate
+    # coalesced: shape 4 produces empty frames → NULL SUM/MIN/MAX
+    ("rsum_c", lambda F, w: F.coalesce(
+        F.sum("price_c").over(w), F.lit(0)).cast("long"),
+     lambda fr: f"CAST(COALESCE(SUM(price_c) OVER ({fr}), 0) AS BIGINT)"),
+    ("rcnt", lambda F, w: F.count(F.lit(1)).over(w).cast("long"),
+     lambda fr: f"CAST(COUNT(*) OVER ({fr}) AS BIGINT)"),
+    ("rmin_k", lambda F, w: F.coalesce(F.min("o_orderkey").over(w), F.lit(-1)),
+     lambda fr: f"CAST(COALESCE(MIN(o_orderkey) OVER ({fr}), -1) AS BIGINT)"),
+    ("rmax_c", lambda F, w: F.coalesce(F.max("price_c").over(w), F.lit(-1)),
+     lambda fr: f"CAST(COALESCE(MAX(price_c) OVER ({fr}), -1) AS BIGINT)"),
+]
+
+RFRAME_PARTS = ["o_orderpriority", "o_orderstatus"]
+
+# literal offsets in cents, spanning no-op-tiny through frame-spans-all
+RFRAME_OFFSETS = [10_000, 250_000, 2_500_000, 25_000_000]
+
+
 # orders-only predicates for the window family (no customer columns)
 ORDERS_PRED_EXPRS = [
     ("price_gt", lambda F, c: F.col("o_totalprice") > c * 1000,
@@ -249,7 +324,35 @@ GSET_PRED_IDXS = [
 
 
 def gen_spec(rng: random.Random) -> dict:
-    family = rng.choice(["scan", "join", "outer", "window", "gsets", "semi"])
+    family = rng.choice(
+        ["scan", "join", "outer", "window", "gsets", "semi", "setop", "rframe"]
+    )
+    if family == "setop":
+        return {
+            "family": "setop",
+            "op": rng.randrange(len(SETOP_OPS)),
+            "cols": sorted(
+                rng.sample(range(len(SETOP_PROJ)), rng.randint(1, 3))
+            ),
+            # independent predicates for the two sides (val_none allowed:
+            # an empty side is the best EXCEPT/INTERSECT edge case)
+            "pred_a": (rng.randrange(len(PRED_EXPRS)), round(rng.uniform(0, 100), 2)),
+            "pred_b": (rng.randrange(len(PRED_EXPRS)), round(rng.uniform(0, 100), 2)),
+        }
+    if family == "rframe":
+        return {
+            "family": "rframe",
+            "part": rng.randrange(len(RFRAME_PARTS)),
+            "desc": rng.random() < 0.5,
+            "shape": rng.randrange(len(RFRAME_SHAPES)),
+            "x": rng.choice(RFRAME_OFFSETS),
+            "y": rng.choice(RFRAME_OFFSETS),
+            "aggs": rng.sample(range(len(RFRAME_AGGS)), rng.randint(1, 3)),
+            "preds": [
+                (i, round(rng.uniform(0, 100), 2))
+                for i in rng.sample(range(len(ORDERS_PRED_EXPRS)), rng.randint(0, 1))
+            ],
+        }
     if family == "semi":
         return {
             "family": "semi",
@@ -324,6 +427,10 @@ def spec_sql(spec: dict) -> str:
         return _gsets_sql(spec)
     if fam == "semi":
         return _semi_sql(spec)
+    if fam == "setop":
+        return _setop_sql(spec)
+    if fam == "rframe":
+        return _rframe_sql(spec)
     gp, ag, pr = _pools(spec)
     groups = [gp[i] for i in spec["groups"]]
     aggs = [ag[i] for i in spec["aggs"]]
@@ -411,6 +518,80 @@ def _semi_sql(spec: dict) -> str:
     return q
 
 
+def _setop_sql(spec: dict) -> str:
+    cols = [SETOP_PROJ[i] for i in spec["cols"]]
+    sel = ", ".join(f"{sql} AS {name}" for name, _, sql in cols)
+    op = SETOP_OPS[spec["op"]][0]
+    pa = PRED_EXPRS[spec["pred_a"][0]][2](spec["pred_a"][1])
+    pb = PRED_EXPRS[spec["pred_b"][0]][2](spec["pred_b"][1])
+    return (
+        f"SELECT {sel} FROM events WHERE {pa} "
+        f"{op} "
+        f"SELECT {sel} FROM events WHERE {pb}"
+    )
+
+
+def _setop_spark(spec: dict, tables):
+    from pyspark.sql import functions as F
+
+    cols = [SETOP_PROJ[i] for i in spec["cols"]]
+    proj = [fn(F).alias(name) for name, fn, _ in cols]
+    ev = tables["events"]
+    ia, ca = spec["pred_a"]
+    ib, cb = spec["pred_b"]
+    a = ev.where(PRED_EXPRS[ia][1](F, ca)).select(*proj)
+    b = ev.where(PRED_EXPRS[ib][1](F, cb)).select(*proj)
+    return getattr(a, SETOP_OPS[spec["op"]][1])(b)
+
+
+def _rframe_over(spec: dict) -> str:
+    shape = RFRAME_SHAPES[spec["shape"]]
+
+    class _W:  # SQL side only needs the keyword
+        unboundedPreceding = None
+
+    frame_sql, _, _ = shape(spec["x"], spec["y"], _W)
+    part = RFRAME_PARTS[spec["part"]]
+    order = "price_c DESC" if spec["desc"] else "price_c"
+    return f"PARTITION BY {part} ORDER BY {order} {frame_sql}"
+
+
+def _rframe_sql(spec: dict) -> str:
+    over = _rframe_over(spec)
+    aggs = [RFRAME_AGGS[i] for i in spec["aggs"]]
+    sel = ["o_orderkey"] + [f"{sql_fn(over)} AS {name}" for name, _, sql_fn in aggs]
+    q = (
+        f"SELECT {', '.join(sel)} FROM (SELECT *, "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c FROM orders"
+    )
+    if spec["preds"]:
+        conds = [ORDERS_PRED_EXPRS[i][2](c) for i, c in spec["preds"]]
+        q += " WHERE " + " AND ".join(conds)
+    return q + ") t"
+
+
+def _rframe_spark(spec: dict, tables):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = tables["orders"].withColumn(
+        "price_c", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    )
+    for i, c in spec["preds"]:
+        df = df.where(ORDERS_PRED_EXPRS[i][1](F, c))
+    _, lo, hi = RFRAME_SHAPES[spec["shape"]](spec["x"], spec["y"], W)
+    order = F.col("price_c").desc() if spec["desc"] else F.col("price_c")
+    w = (
+        W.partitionBy(RFRAME_PARTS[spec["part"]])
+        .orderBy(order)
+        .rangeBetween(lo, hi)
+    )
+    aggs = [RFRAME_AGGS[i] for i in spec["aggs"]]
+    return df.select(
+        "o_orderkey", *[fn(F, w).alias(name) for name, fn, _ in aggs]
+    )
+
+
 def _semi_spark(spec: dict, tables):
     from pyspark.sql import functions as F
 
@@ -491,6 +672,10 @@ def spec_spark(spec: dict, tables):
         return _gsets_spark(spec, tables)
     if fam == "semi":
         return _semi_spark(spec, tables)
+    if fam == "setop":
+        return _setop_spark(spec, tables)
+    if fam == "rframe":
+        return _rframe_spark(spec, tables)
     gp, ag, pr = _pools(spec)
     if spec.get("joined"):
         df = tables["orders"].join(
