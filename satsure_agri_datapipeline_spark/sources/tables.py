@@ -53,7 +53,17 @@ def _nanos_timestamp_columns(path: str | Path) -> list[str]:
 
 
 def load_table(spark: SparkSession, sf_dir: str | Path, name: str) -> DataFrame:
-    """Read one testdata table, normalizing ns timestamps to TimestampType."""
+    """Read one testdata table, normalizing ns timestamps to TimestampType.
+
+    When ``SPARK_GRAFT_BUCKETED_LAYOUT`` points at a layout built from THIS
+    ``sf_dir`` (see ``sources/bucketed.py``), the hot fact tables are served
+    from their bucketed form — identical rows, exchange-free join/groupBy
+    on the bucket key. Off (the default / driver path): raw parquet."""
+    from .bucketed import bucketed_table_or_none  # noqa: PLC0415
+
+    bkt = bucketed_table_or_none(spark, sf_dir, name)
+    if bkt is not None:
+        return bkt
     path = str(Path(sf_dir) / f"{name}.parquet")
     ns_cols = _nanos_timestamp_columns(path)
     if ns_cols:

@@ -198,21 +198,24 @@ def test_dedup_spans_shuffles_hashes_not_text(spark):
     assert "span_h" in plan  # hash key exists in the exchanges
 
 
-def test_impute_median_broadcasts_not_windows(spark, queries):
-    # per-sensor medians must be an aggregate broadcast-joined back — the
-    # fact table never shuffles; a Window.partitionBy(sensor_id) median
-    # (sort + full-row exchange of the fact) is the regression this guards.
-    # r5 shape: ONE grouping-sets scan serves both the per-sensor medians and
-    # the global fallback (Expand), folded together by a window over the
-    # O(#sensors) stats relation only — so the whole query reads the fact
-    # exactly twice (stats build + join-back), down from three.
+def test_impute_median_sort_form_and_broadcast_joinback(spark, queries):
+    # r6 exact-median shape (measured fastest of six at 100×, see
+    # operators/transformation.py): per-sensor medians via ONE shuffle+sort
+    # window over the NARROW (sensor, value) projection with middle-row
+    # selection — NOT an ObjectHashAggregate Percentile (2.2× slower) and
+    # NOT the r5 GROUPING SETS form whose Expand doubled the fact rows
+    # (Expand must be gone). The medians relation and the 1-row global
+    # median broadcast back onto the fact; the wide fact rows themselves
+    # never enter a window or an object aggregate.
     plan = plan_of(queries["sensor_impute_median"](spark, SF))
     assert plan.count("BroadcastHashJoin") >= 1
-    assert "BroadcastNestedLoopJoin" not in plan  # global row rides the stats
-    assert "Expand" in plan  # GROUPING SETS ((sensor_id), ())
-    assert plan.count("Scan parquet") == 2
-    # the only Window is over the stats subtree (bounded rows), never the fact
-    assert plan.count("Window") == 1
+    assert "Expand" not in plan  # the r5 GROUPING SETS regression
+    # only the GLOBAL median (keys=[]) may be a Percentile object aggregate;
+    # any keyed ObjectHashAggregate means the per-sensor path regressed
+    for frag in plan.split("ObjectHashAggregate(keys=[")[1:]:
+        assert frag.startswith("]"), "keyed ObjectHashAggregate in impute plan"
+    # windows: the rn/count pair over the narrow projection (one shuffle)
+    assert plan.count("Window") <= 2
 
 
 def test_report_finals_avoid_range_exchange(spark, queries):
