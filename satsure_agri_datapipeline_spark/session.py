@@ -86,6 +86,18 @@ def get_spark(
         .config("spark.sql.session.timeZone", timezone)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Shuffle/broadcast/spill codec, measured BOTH ways (r6): zstd wins
+        # ~19% end-to-end on the exchange-bound dedup family at 100× bench
+        # scale (ngram-jaccard 65.5 s vs 81.2 s lz4 — shuffle bytes
+        # dominate), but LOSES ~19% on the small-shuffle sf0.1 headline set
+        # (6.74 s vs 5.64 s total — compression CPU dominates). It is a
+        # STATIC core conf (not per-query togglable), so the default stays
+        # Spark's lz4; shuffle-heavy 100 TB deployments should launch with
+        # SPARK_GRAFT_IO_CODEC=zstd.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
