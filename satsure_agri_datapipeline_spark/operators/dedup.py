@@ -272,6 +272,18 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
 
+    A prefix-filtered AllPairs/PPJoin formulation (sort hashes, explode
+    only the first |A|−⌈t·|A|⌉+1 per doc, verify candidates with
+    array_intersect) was implemented and MEASURED WORSE at 100× bench
+    scale (r6: 118 s vs 52 s for this bucket join): under a hash-value
+    global order the prefixes still contain hot shingles, so candidate
+    generation keeps its quadratic blowup while losing map-side partial
+    aggregation (distinct beats count only with rare-first ordering), and
+    verification re-shuffles kilobyte shingle arrays per candidate. The
+    literature's df-ascending order fix needs a full df pass + per-doc
+    array rebuild — reintroducing the exchange it is meant to save. The
+    bucket join stays.
+
     Execution notes:
     - per-doc set sizes ride along as a column of the exploded relation
       (``n_sh``), so there is no separate sizes groupBy and no post-join
