@@ -327,6 +327,64 @@ def window_running_and_lag(spark, sf_dir):
 
 
 @query(
+    "window_price_band_stats",
+    """
+    WITH c AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+        FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(COUNT(*) OVER w AS BIGINT) AS band_n,
+           CAST(MAX(price_c) OVER w AS BIGINT) AS band_max_c,
+           CAST(COALESCE(SUM(price_c) OVER w2, 0) AS BIGINT) AS above_band_c
+    FROM c
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY price_c
+                 RANGE BETWEEN 100000 PRECEDING AND 100000 FOLLOWING),
+           w2 AS (PARTITION BY o_orderpriority ORDER BY price_c
+                  RANGE BETWEEN 100000 FOLLOWING AND 200000 FOLLOWING)
+    ORDER BY o_orderkey
+    """,
+)
+def window_price_band_stats(spark, sf_dir):
+    """RANGE-BETWEEN frames with literal VALUE offsets (SURVEY §2.5 frame
+    surface; fuzz family ``rframe``'s pinned catalog twin): per order,
+    peers within ±$1000 of its price inside its priority class, plus a
+    detached FOLLOWING-only frame ($1000, $2000] that can be EMPTY (NULL
+    sum → coalesced). RANGE frames include ALL peers of the boundary
+    values, so the result is deterministic with NO tiebreak column — the
+    exact property ROWS frames lack; the frame is resolved by a running
+    two-pointer over each sorted partition (one shuffle + sort, no
+    per-row rescan). Distributed caveat at 100 TB: a single priority
+    class is one window partition; this shape is for band analytics
+    within bounded classes — use ``distributed_rank``'s bucketing ideas
+    when partitions outgrow one task."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        cents(F.col("o_totalprice")).alias("price_c"),
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("price_c")
+        .rangeBetween(-100_000, 100_000)
+    )
+    w2 = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("price_c")
+        .rangeBetween(100_000, 200_000)
+    )
+    # row-per-order output: no report sort (the compare is order-insensitive;
+    # a single-partition sort of |orders| rows would be the real bug here)
+    return o.select(
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("band_n"),
+        F.max("price_c").over(w).alias("band_max_c"),
+        F.coalesce(F.sum("price_c").over(w2), F.lit(0)).alias("above_band_c"),
+    )
+
+
+@query(
     "set_ops_custkeys",
     """
     WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
