@@ -157,6 +157,10 @@ def main():
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
+    # Snapshot the session's actual pre-loop conf so the post-loop restore
+    # reinstates whatever get_spark (or an override) set, not hardcoded values.
+    pre_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    pre_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     for name in HEADLINE:
         if small_input and name not in AQE_ALWAYS:
             spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -187,14 +191,12 @@ def main():
         timings[name] = min(per_run)
         print(f"# {name}: {timings[name]:.2f}s (cold {cold[name]:.2f}s)", file=sys.stderr)
 
-    # Restore session defaults: the per-query toggling above otherwise leaves
-    # whatever the LAST query set (AQE off / 4 shuffle partitions for a
-    # small-input non-AQE query) in force for any Spark work added after the
-    # loop — a silent mis-measurement trap.
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
-    )
+    # Restore the snapshotted pre-loop conf: the per-query toggling above
+    # otherwise leaves whatever the LAST query set (AQE off / 4 shuffle
+    # partitions for a small-input non-AQE query) in force for any Spark work
+    # added after the loop — a silent mis-measurement trap.
+    spark.conf.set("spark.sql.adaptive.enabled", pre_aqe)
+    spark.conf.set("spark.sql.shuffle.partitions", pre_shuffle)
     if udf_partitions_set_here:
         del os.environ["SPARK_GRAFT_UDF_PARTITIONS"]
 
@@ -215,7 +217,47 @@ def main():
         out["duckdb"] = duck
         out["duckdb_total_sec"] = duck_total
         out["spark_vs_duckdb_ratio"] = round(total / duck_total, 2)
+    regressions = regression_guard(timings, out["sf"])
+    if regressions is not None:
+        out["regressions_vs_prev"] = regressions
     print(json.dumps(out))
+
+
+def regression_guard(timings: dict[str, float], sf) -> dict | None:
+    """Non-fatal guard: compare each headline query's warm time against the
+    newest committed BENCH_r*.json artifact at the SAME scale factor and
+    record >2x regressions, so a conf trade that silently hurts a query
+    nobody re-ran surfaces in the artifact instead of a later verdict.
+    Returns None when no prior same-sf artifact exists."""
+    here = Path(__file__).resolve().parent
+    prev_files = sorted(
+        f for f in here.glob("BENCH_r*.json")
+        if f.stem.replace("BENCH_r", "").isdigit()
+    )
+    prev = None
+    for f in reversed(prev_files):
+        try:
+            cand = json.loads(f.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        if cand.get("sf") == sf and "queries" in cand:
+            prev = (f.name, cand["queries"])
+            break
+    if prev is None:
+        return None
+    prev_name, prev_q = prev
+    flagged = {
+        name: {"now": t, "prev": prev_q[name], "ratio": round(t / prev_q[name], 2)}
+        for name, t in timings.items()
+        if name in prev_q and prev_q[name] > 0 and t > 2.0 * prev_q[name]
+    }
+    for name, r in flagged.items():
+        print(
+            f"# REGRESSION {name}: {r['now']:.2f}s vs {r['prev']:.2f}s "
+            f"in {prev_name} ({r['ratio']}x)",
+            file=sys.stderr,
+        )
+    return {"baseline_artifact": prev_name, "flagged": flagged}
 
 
 def duckdb_baseline(entry_mod, sf_dir: str, n_runs: int) -> dict[str, float]:

@@ -190,13 +190,17 @@ def distributed_rank(
     # bucket balance, never rank values) and approximate group cardinality.
     # n_buckets=1 → no boundaries → one global bucket (degenerates to the
     # plain per-group window; still correct).
+    # approxQuantile accepted rel_error=0 meaning "exact"; percentile_approx
+    # takes an accuracy count instead, so map rel_error<=0 to a large fixed
+    # accuracy rather than dividing by zero.
+    accuracy = 1_000_000 if rel_error <= 0 else max(1, int(round(1.0 / rel_error)))
     aggs = []
     if probes:
         aggs.append(
             F.percentile_approx(
                 order_col,
                 F.array(*[F.lit(p) for p in probes]),
-                F.lit(int(round(1.0 / rel_error))),
+                F.lit(accuracy),
             ).alias("__bounds")
         )
     if group_cols:

@@ -46,8 +46,25 @@ def query(name: str, oracle: str | None = None):
 
 
 def cents(col) -> F.Column:
-    """Exact integer cents from a 2-decimal double column."""
-    return F.round(col * 100, 0).cast("long")
+    """Exact integer cents from a non-negative 2-decimal double column.
+
+    floor(x*100 + 0.5), NOT round(x*100): Spark's Round codegen on
+    DoubleType allocates a java.math.BigDecimal PER VALUE, which at 1000×
+    bench scale made it the dominant cost of the TPC-H Q1 shape — 4 round
+    calls × 600M rows. The floor form is pure double arithmetic + one cast
+    and is value-identical here: for non-negative inputs both are half-up,
+    and a 2-decimal double times 100 lands within ~1e-10 of an integer, so
+    no input sits near the .5 boundary where representations could differ
+    (measured r7: 2.34 s → 1.09 s at 100×, equal collect() on all groups;
+    the 155-query oracle gate re-verified green after the switch)."""
+    return F.floor(col * 100 + F.lit(0.5))
+
+
+def half_cents(col) -> F.Column:
+    """Exact integer half-cents (×200) — same floor form and rationale as
+    ``cents``; used where calibration multipliers of 0.5 make half-cents the
+    exact unit."""
+    return F.floor(col * 200 + F.lit(0.5))
 
 
 def half_up(expr) -> F.Column:
@@ -177,7 +194,7 @@ def sensor_impute_median(spark, sf_dir):
     base = r.groupBy("sensor_id").agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(F.col(col).isNull().cast("long")).alias("__n_null"),
-        F.sum(F.round(F.col(col) * 200, 0).cast("long")).alias("__s"),
+        F.sum(half_cents(F.col(col))).alias("__s"),
     )
     nn = r.where(F.col(col).isNotNull()).select(
         "sensor_id", F.col(col).alias("__v")
@@ -211,9 +228,7 @@ def sensor_impute_median(spark, sf_dir):
                 (
                     F.coalesce(F.col("__s"), F.lit(0))
                     + F.col("__n_null")
-                    * F.round(
-                        F.coalesce(F.col("__med"), F.col("__g")) * 200, 0
-                    ).cast("long")
+                    * half_cents(F.coalesce(F.col("__med"), F.col("__g")))
                 )
                 * 50.0
                 / F.col("__n")
@@ -251,7 +266,7 @@ def sensor_calibration(spark, sf_dir):
     r = events_as_readings(spark, sf_dir)
     return (
         tr.calibrate(r, cfg)
-        .withColumn("hc", F.round(F.col("value") * 200, 0).cast("long"))
+        .withColumn("hc", half_cents(F.col("value")))
         .groupBy("reading_type")
         .agg(F.sum("hc").alias("sum_calibrated_hc"))
         .orderBy("reading_type")
@@ -443,7 +458,7 @@ def sensor_coverage(spark, sf_dir):
     """A6 — multi-agg per-sensor coverage (validation.py:396-407); timestamps
     second-truncated strings, battery average via exact half-cents."""
     r = events_as_readings(spark, sf_dir)
-    hc = F.round(F.col("battery_level") * 200, 0).cast("long")
+    hc = half_cents(F.col("battery_level"))
     return (
         r.groupBy("sensor_id")
         .agg(
@@ -473,7 +488,7 @@ def sensor_global_stats(spark, sf_dir):
     """A7/A8 — global stats (validation.py:422-430)."""
     r = events_as_readings(spark, sf_dir)
     vc = cents(F.col("value"))
-    hc = F.round(F.col("battery_level") * 200, 0).cast("long")
+    hc = half_cents(F.col("battery_level"))
     return r.agg(
         F.count(F.lit(1)).alias("total_records"),
         F.countDistinct("sensor_id").cast("long").alias("unique_sensors"),

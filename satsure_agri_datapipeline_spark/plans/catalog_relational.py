@@ -85,9 +85,7 @@ def tpch_pricing_summary(spark, sf_dir):
     )
 
 
-@query(
-    "join_segment_revenue",
-    """
+SEGMENT_REVENUE_SQL = """
     SELECT c.c_mktsegment,
            CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS segment_revenue_c,
            COUNT(*) AS n_orders,
@@ -96,21 +94,10 @@ def tpch_pricing_summary(spark, sf_dir):
     JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     ORDER BY c.c_mktsegment
-    """,
-)
-def join_segment_revenue(spark, sf_dir):
-    """J1 — equi join fact→dimension, with the AGGREGATE PUSHED BELOW THE
-    JOIN: orders pre-aggregates per custkey (algebraic sums, map-side
-    partials), so the custkey shuffle carries ≤ |customers| narrow rows
-    instead of every order row, and the join is customer-sized on both
-    sides. COUNT(DISTINCT o_custkey) collapses to COUNT(*) — the pre-agg
-    relation has exactly one row per custkey. Inner-join semantics are
-    preserved: custkeys missing from customer drop after either form.
-    NO broadcast hint on customer: it is a GROWING table (SF×150k rows —
-    100× scale measured the forced broadcast at 12.1 s vs DuckDB 1.2 s,
-    r5); AQE still broadcasts it at runtime when it is actually small."""
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
+    """
+
+
+def _segment_revenue_plan(o, c):
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(cents(F.col("o_totalprice"))).alias("__rev"),
         F.count(F.lit(1)).alias("__n"),
@@ -127,9 +114,24 @@ def join_segment_revenue(spark, sf_dir):
     )
 
 
-@query(
-    "join_multiway_revenue",
-    """
+@query("join_segment_revenue", SEGMENT_REVENUE_SQL)
+def join_segment_revenue(spark, sf_dir):
+    """J1 — equi join fact→dimension, with the AGGREGATE PUSHED BELOW THE
+    JOIN: orders pre-aggregates per custkey (algebraic sums, map-side
+    partials), so the custkey shuffle carries ≤ |customers| narrow rows
+    instead of every order row, and the join is customer-sized on both
+    sides. COUNT(DISTINCT o_custkey) collapses to COUNT(*) — the pre-agg
+    relation has exactly one row per custkey. Inner-join semantics are
+    preserved: custkeys missing from customer drop after either form.
+    NO broadcast hint on customer: it is a GROWING table (SF×150k rows —
+    100× scale measured the forced broadcast at 12.1 s vs DuckDB 1.2 s,
+    r5); AQE still broadcasts it at runtime when it is actually small."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return _segment_revenue_plan(o, c)
+
+
+MULTIWAY_REVENUE_SQL = """
     SELECT n.n_name AS nation,
            CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
                * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
@@ -142,8 +144,27 @@ def join_segment_revenue(spark, sf_dir):
     WHERE r.r_name IN ('ASIA', 'EUROPE')
     GROUP BY n.n_name
     ORDER BY revenue_e4 DESC, nation
-    """,
-)
+    """
+
+
+def _multiway_revenue_plan(l, o, c, n, r):
+    rev = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+    cn = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(F.col("r_name").isin("ASIA", "EUROPE"))
+        .select("c_custkey", "n_name")
+    )
+    o2 = o.join(cn, o.o_custkey == cn.c_custkey).select("o_orderkey", "n_name")
+    return (
+        l.join(o2, l.l_orderkey == o2.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).alias("revenue_e4"), F.count(F.lit(1)).alias("n_items"))
+        .transform(report_sort, F.desc("revenue_e4"), "nation")
+    )
+
+
+@query("join_multiway_revenue", MULTIWAY_REVENUE_SQL)
 def join_multiway_revenue(spark, sf_dir):
     """TPC-H Q5 shape — 5-way join in DIMS-FIRST order, the 100 TB form of
     this plan (measured best of three formulations at 100× bench scale, r6:
@@ -173,20 +194,44 @@ def join_multiway_revenue(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    rev = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
-    cn = (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .where(F.col("r_name").isin("ASIA", "EUROPE"))
-        .select("c_custkey", "n_name")
+    return _multiway_revenue_plan(l, o, c, n, r)
+
+
+def _bucketed_tables(spark, sf_dir, names):
+    """Serve ``names`` from the per-sf_dir bucketed layout, building it on
+    first use (``sources/bucketed.py``) — independent of the opt-in env var,
+    so the correctness gate exercises the layout unconditionally."""
+    from satsure_agri_datapipeline_spark.sources.bucketed import (
+        _table_name,
+        ensure_bucketed_layout,
     )
-    o2 = o.join(cn, o.o_custkey == cn.c_custkey).select("o_orderkey", "n_name")
-    return (
-        l.join(o2, l.l_orderkey == o2.o_orderkey)
-        .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.sum(rev).alias("revenue_e4"), F.count(F.lit(1)).alias("n_items"))
-        .transform(report_sort, F.desc("revenue_e4"), "nation")
-    )
+
+    ensure_bucketed_layout(spark, sf_dir, tables=list(names))
+    return [spark.table(_table_name(n)) for n in names]
+
+
+@query("join_multiway_revenue_bucketed", MULTIWAY_REVENUE_SQL)
+def join_multiway_revenue_bucketed(spark, sf_dir):
+    """The SAME multiway plan served from the bucketed storage layout — the
+    configuration that carries the headline 100×/1000× numbers (lineitem
+    clustered on l_orderkey, orders/customer on custkey: the orderkey and
+    custkey exchanges vanish). Oracle identical to the raw path, so the
+    layout itself is hash-pinned by the correctness gate, not just
+    row-identity-checked in pytest."""
+    l, o, c = _bucketed_tables(spark, sf_dir, ["lineitem", "orders", "customer"])
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return _multiway_revenue_plan(l, o, c, n, r)
+
+
+@query("join_segment_revenue_bucketed", SEGMENT_REVENUE_SQL)
+def join_segment_revenue_bucketed(spark, sf_dir):
+    """Segment revenue through the bucketed layout: orders is clustered on
+    o_custkey, so the per-custkey pre-aggregate plans zero Exchange; the
+    customer side shares the same bucket count for an exchange-free join.
+    Same oracle as the raw path."""
+    o, c = _bucketed_tables(spark, sf_dir, ["orders", "customer"])
+    return _segment_revenue_plan(o, c)
 
 
 @query(

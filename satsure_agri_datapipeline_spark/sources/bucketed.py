@@ -101,25 +101,106 @@ def build_bucketed_layout(
     return manifest
 
 
+def _normalize_location(loc: str) -> str:
+    """Spark reports table locations as ``file:/abs/path``; compare on the
+    bare absolute path with trailing slashes stripped."""
+    for prefix in ("file://", "file:"):
+        if loc.startswith(prefix):
+            loc = loc[len(prefix) :]
+            break
+    return loc.rstrip("/")
+
+
+def _table_location(spark: SparkSession, tbl: str) -> str | None:
+    for row in spark.sql(f"DESCRIBE FORMATTED {tbl}").collect():
+        if row.col_name.strip() == "Location":
+            return _normalize_location(row.data_type.strip())
+    return None
+
+
 def register_bucketed_layout(spark: SparkSession, layout_dir: str | Path) -> dict:
     """Re-attach a previously built layout in THIS session: metadata-only
     ``CREATE TABLE`` DDL per table (Spark's in-memory catalog forgets
-    bucketing across JVMs; the files and manifest remember)."""
-    layout = Path(layout_dir)
+    bucketing across JVMs; the files and manifest remember).
+
+    An already-registered ``bkt_*`` table is reused only if its storage
+    location is exactly ``layout / name`` — switching layouts mid-session
+    drops and recreates the stale table instead of silently serving the old
+    layout's data (the module invariant: correctness can never depend on the
+    env var)."""
+    layout = Path(layout_dir).resolve()
     manifest = json.loads((layout / MANIFEST_NAME).read_text())
     n = manifest["n_buckets"]
     for name, spec in manifest["tables"].items():
         tbl = _table_name(name)
+        location = layout / name
+        if "'" in str(location):
+            raise ValueError(f"bucketed layout path contains a quote: {location}")
         if spark.catalog.tableExists(tbl):
-            continue
+            if _table_location(spark, tbl) == _normalize_location(str(location)):
+                continue
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         bucket_cols = ", ".join(spec["bucket_cols"])
         sort_cols = ", ".join(spec["sort_cols"])
         spark.sql(
             f"CREATE TABLE {tbl} ({spec['ddl_schema']}) USING parquet "
             f"CLUSTERED BY ({bucket_cols}) SORTED BY ({sort_cols}) "
-            f"INTO {n} BUCKETS LOCATION '{layout / name}'"
+            f"INTO {n} BUCKETS LOCATION '{location}'"
         )
     return manifest
+
+
+def ensure_bucketed_layout(
+    spark: SparkSession,
+    sf_dir: str | Path,
+    tables: list[str] | None = None,
+    n_buckets: int = 32,
+) -> Path:
+    """Build-if-needed + register, for queries that run THROUGH the layout
+    rather than opting in via the env var: a deterministic per-``sf_dir``
+    layout directory (keyed by the resolved path's digest) is rebuilt when
+    missing, built from a different source, missing a requested table, or
+    older than the source parquet — then registered in this session. The
+    self-check/correctness gate uses this so the configuration carrying the
+    headline join numbers is itself oracle-hash-pinned."""
+    import hashlib
+    import tempfile
+
+    tables = tables or list(BUCKET_SPECS)
+    sf_resolved = Path(sf_dir).resolve()
+    digest = hashlib.sha1(str(sf_resolved).encode()).hexdigest()[:12]
+    layout = Path(tempfile.gettempdir()) / f"spark_graft_bucketed_{digest}"
+    manifest_path = layout / MANIFEST_NAME
+    needs_build = True
+    if manifest_path.exists():
+        manifest = json.loads(manifest_path.read_text())
+        src_mtimes = [
+            (sf_resolved / f"{t}.parquet").stat().st_mtime_ns
+            for t in tables
+            if (sf_resolved / f"{t}.parquet").exists()
+        ]
+        if (
+            manifest["sf_dir"] == str(sf_resolved)
+            and set(tables) <= set(manifest["tables"])
+            and (not src_mtimes or manifest_path.stat().st_mtime_ns > max(src_mtimes))
+        ):
+            needs_build = False
+        elif manifest["sf_dir"] == str(sf_resolved):
+            # Rebuild keeps tables a previous caller already placed here
+            # (build_bucketed_layout rewrites the whole manifest).
+            tables = sorted(set(tables) | set(manifest["tables"]))
+    if needs_build:
+        build_bucketed_layout(
+            spark, sf_resolved, layout, n_buckets=n_buckets, tables=tables
+        )
+    register_bucketed_layout(spark, layout)
+    return layout
+
+
+# (app_id, resolved layout dir) -> (manifest mtime_ns, parsed manifest).
+# load_table calls this per table per query; without the cache each call
+# re-reads the manifest JSON and round-trips the catalog per table.
+_REGISTRATION_CACHE: dict[tuple[str, str], tuple[int, dict]] = {}
 
 
 def bucketed_table_or_none(
@@ -128,17 +209,27 @@ def bucketed_table_or_none(
     """The ``load_table`` hook: serve ``name`` from the bucketed layout when
     ``SPARK_GRAFT_BUCKETED_LAYOUT`` is set AND its manifest was built from
     exactly the requested ``sf_dir``; ``None`` (caller reads raw parquet)
-    otherwise. Registration is lazy and idempotent per session."""
+    otherwise. Registration is lazy and idempotent per session, cached per
+    (session, layout) and invalidated when the manifest file changes."""
     layout_dir = os.environ.get("SPARK_GRAFT_BUCKETED_LAYOUT")
     if not layout_dir or name not in BUCKET_SPECS:
         return None
-    manifest_path = Path(layout_dir) / MANIFEST_NAME
-    if not manifest_path.exists():
+    layout = Path(layout_dir).resolve()
+    manifest_path = layout / MANIFEST_NAME
+    try:
+        mtime = manifest_path.stat().st_mtime_ns
+    except OSError:
         return None
-    manifest = json.loads(manifest_path.read_text())
+    cache_key = (spark.sparkContext.applicationId, str(layout))
+    cached = _REGISTRATION_CACHE.get(cache_key)
+    if cached is not None and cached[0] == mtime:
+        manifest = cached[1]
+    else:
+        manifest = json.loads(manifest_path.read_text())
+        register_bucketed_layout(spark, layout)
+        _REGISTRATION_CACHE[cache_key] = (mtime, manifest)
     if manifest["sf_dir"] != str(Path(sf_dir).resolve()):
         return None
     if name not in manifest["tables"]:
         return None
-    register_bucketed_layout(spark, layout_dir)
     return spark.table(_table_name(name))

@@ -260,11 +260,12 @@ def run_streaming_ingest(
     output_dir: str | Path,
     checkpoint_dir: str | Path,
     once: bool = True,
+    max_files_per_trigger: int = 10,
 ):
     """End-to-end streaming ingest: file source → hourly counts → parquet
     sink with exactly-once checkpointing. ``once=True`` processes all
     available files then stops (micro-batch catch-up mode)."""
-    readings = stream_sensor_readings(spark, config)
+    readings = stream_sensor_readings(spark, config, max_files_per_trigger)
     counts = hourly_counts_with_watermark(readings)
     writer = (
         counts.writeStream.outputMode("append")

@@ -1,12 +1,14 @@
 """Seeded cross-engine fuzz: random query specs compared Spark-vs-DuckDB
-exactly (tools/fuzz_oracle.py). The r6 grammar (8 families) covers every
+exactly (tools/fuzz_oracle.py). The r7 grammar (9 families) covers every
 §2.3-2.7 operator class: scan/filter/agg, broadcast joins, OUTER joins
 with NULL-generating keys, window frames (running/sliding/rank/lag/lead),
 GROUPING SETS with GROUPING() markers, semi/anti joins, INTERSECT/EXCEPT
 [ALL] set ops with NULL-equality and empty sides, RANGE-BETWEEN window
-frames with literal offsets (incl. empty frames, asc/desc), and
-type-boundary literals (dataset-exact min/max timestamps and doubles,
-empty-result predicates).
+frames with literal offsets (incl. empty frames, asc/desc), type-boundary
+literals (dataset-exact min/max timestamps and doubles, empty-result
+predicates), and — family 9 (r7) — multi-relation joins executed BOTH over
+raw parquet and through the bucketed storage layout (sources/bucketed.py),
+asserting raw == bucketed == oracle per seed.
 
 The full seeded run is 500 specs (SPARK_GRAFT_FUZZ_N overrides; the
 500-spec run at seed 20260814 was green when this landed and takes ~4 min

@@ -13,6 +13,17 @@ seconds and rows/s per scenario. Usage:
 
     python tools/bench_streaming.py            # sf0.1, 20 files
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/bench_streaming.py
+
+Scale mode (r7 — BENCH_r07_streaming.json): SPARK_GRAFT_STREAM_ROCKSDB=1
+switches the state store to RocksDB (the 100 TB configuration:
+disk-backed state + changelog checkpointing) and
+SPARK_GRAFT_STREAM_FILES_PER_TRIGGER sizes each micro-batch so triggers
+carry real volume instead of being planning-floor-bound:
+
+    SPARK_GRAFT_SF_DIR=/tmp/sf1  SPARK_GRAFT_STREAM_ROCKSDB=1 \
+        python tools/bench_streaming.py        # 10x: 1M rows
+    SPARK_GRAFT_SF_DIR=/tmp/sf10 SPARK_GRAFT_STREAM_ROCKSDB=1 \
+        python tools/bench_streaming.py        # 100x: 10M rows
 """
 
 from __future__ import annotations
@@ -37,9 +48,13 @@ def main():
     from satsure_agri_datapipeline_spark.streaming.ingest import (
         run_streaming_ingest,
         run_streaming_upsert,
+        use_rocksdb_state,
     )
 
     spark = get_spark(app_name="bench_streaming", timezone="UTC")
+    rocksdb = os.environ.get("SPARK_GRAFT_STREAM_ROCKSDB") == "1"
+    if rocksdb:
+        use_rocksdb_state(spark)
     work = Path(tempfile.mkdtemp(prefix="stream_bench_"))
     try:
         cfg = PipelineConfig().resolve_paths(work)
@@ -67,22 +82,42 @@ def main():
             shutil.copy(f, raw / f"batch_{i:04d}.parquet")
             i += 1
 
-        out: dict = {"sf_dir": sf_dir, "n_rows": n_rows, "n_files": i}
+        fpt = int(os.environ.get("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "10"))
+        out: dict = {
+            "sf_dir": sf_dir,
+            "n_rows": n_rows,
+            "n_files": i,
+            "files_per_trigger": fpt,
+            "state_store": "rocksdb" if rocksdb else "hdfs-heap",
+        }
 
         t0 = time.time()
         q = run_streaming_ingest(
-            spark, cfg, work / "ingest_out", work / "ingest_ckpt", once=True
+            spark,
+            cfg,
+            work / "ingest_out",
+            work / "ingest_ckpt",
+            once=True,
+            max_files_per_trigger=fpt,
         )
-        q.awaitTermination(600)
+        q.awaitTermination(1200)
         dt = time.time() - t0
         out["ingest_sec"] = round(dt, 2)
         out["ingest_rows_per_sec"] = int(n_rows / dt)
+        out["ingest_state_rows"] = spark.read.parquet(
+            str(work / "ingest_out")
+        ).count()
 
         t0 = time.time()
         q = run_streaming_upsert(
-            spark, cfg, work / "state", work / "upsert_ckpt", once=True
+            spark,
+            cfg,
+            work / "state",
+            work / "upsert_ckpt",
+            once=True,
+            max_files_per_trigger=fpt,
         )
-        q.awaitTermination(600)
+        q.awaitTermination(1200)
         dt = time.time() - t0
         out["upsert_sec"] = round(dt, 2)
         out["upsert_rows_per_sec"] = int(n_rows / dt)

@@ -325,8 +325,24 @@ GSET_PRED_IDXS = [
 
 def gen_spec(rng: random.Random) -> dict:
     family = rng.choice(
-        ["scan", "join", "outer", "window", "gsets", "semi", "setop", "rframe"]
+        ["scan", "join", "outer", "window", "gsets", "semi", "setop", "rframe",
+         "bktjoin"]
     )
+    if family == "bktjoin":
+        # family 9 (r7): the join grammar run BOTH raw and through the
+        # bucketed storage layout (sources/bucketed.py) — the harness
+        # executes each seed twice and asserts raw == bucketed == oracle.
+        # No broadcast hint, so the custkey join actually exercises the
+        # bucket clustering.
+        return {
+            "family": "bktjoin",
+            "groups": rng.sample(range(len(JOIN_GROUP_EXPRS)), rng.randint(0, 2)),
+            "aggs": rng.sample(range(len(JOIN_AGG_EXPRS)), rng.randint(1, 3)),
+            "preds": [
+                (i, round(rng.uniform(0, 100), 2))
+                for i in rng.sample(range(len(JOIN_PRED_EXPRS)), rng.randint(0, 2))
+            ],
+        }
     if family == "setop":
         return {
             "family": "setop",
@@ -419,6 +435,9 @@ def _pools(spec: dict):
 
 def spec_sql(spec: dict) -> str:
     fam = spec.get("family")
+    if fam == "bktjoin":
+        spec = {**spec, "family": None, "joined": True}
+        fam = None
     if fam == "outer":
         return _outer_sql(spec)
     if fam == "window":
@@ -664,6 +683,8 @@ def spec_spark(spec: dict, tables):
     from pyspark.sql import functions as F
 
     fam = spec.get("family")
+    if fam == "bktjoin":
+        return _bktjoin_spark(spec, tables)
     if fam == "outer":
         return _outer_spark(spec, tables)
     if fam == "window":
@@ -697,8 +718,46 @@ def spec_spark(spec: dict, tables):
     return df.agg(*agg_cols)
 
 
+def _bktjoin_spark(spec: dict, tables):
+    """orders ⋈ customer WITHOUT a broadcast hint (the bucketed variant must
+    actually exercise the clustered layout), then the shared join grammar."""
+    from pyspark.sql import functions as F
+
+    o, c = tables["orders"], tables["customer"]
+    df = o.join(c, o.o_custkey == c.c_custkey)
+    for i, const in spec["preds"]:
+        df = df.where(JOIN_PRED_EXPRS[i][1](F, const))
+    groups = [JOIN_GROUP_EXPRS[i] for i in spec["groups"]]
+    aggs = [JOIN_AGG_EXPRS[i] for i in spec["aggs"]]
+    agg_cols = [fn(F).alias(name) for name, fn, _ in aggs]
+    if groups:
+        gcols = [fn(F).alias(name) for name, fn, _ in groups]
+        return df.groupBy(*gcols).agg(*agg_cols).orderBy(
+            *[name for name, _, _ in groups]
+        )
+    return df.agg(*agg_cols)
+
+
+def _bucketed_fuzz_tables(spark, sf_dir, raw_tables):
+    """orders/customer served from the per-sf_dir bucketed layout (built on
+    first use); events has no bucket spec and stays raw."""
+    from satsure_agri_datapipeline_spark.sources.bucketed import (
+        _table_name,
+        ensure_bucketed_layout,
+    )
+
+    ensure_bucketed_layout(spark, sf_dir, tables=["orders", "customer"])
+    return {
+        "orders": spark.table(_table_name("orders")),
+        "customer": spark.table(_table_name("customer")),
+        "events": raw_tables["events"],
+    }
+
+
 def run_fuzz(spark, con, sf_dir: str, n: int, seed: int, verbose: bool = True):
-    """Returns list of (spec_index, ok, detail)."""
+    """Returns list of (spec_index, ok, detail). ``bktjoin`` specs execute
+    TWICE — raw parquet and the bucketed layout — and must match the oracle
+    both ways (raw == bucketed == DuckDB)."""
     import pandas as pd
 
     from satsure_agri_datapipeline_spark.sources.tables import load_table
@@ -709,6 +768,7 @@ def run_fuzz(spark, con, sf_dir: str, n: int, seed: int, verbose: bool = True):
     tables = {
         t: load_table(spark, sf_dir, t) for t in ("events", "orders", "customer")
     }
+    bkt_tables = None
     rng = random.Random(seed)
     results = []
     for i in range(n):
@@ -720,11 +780,23 @@ def run_fuzz(spark, con, sf_dir: str, n: int, seed: int, verbose: bool = True):
             a, b = canonical(got), canonical(want)
             ok = a.equals(b)
             detail = "" if ok else f"spark {len(got)} rows vs duckdb {len(want)}"
+            if ok and spec.get("family") == "bktjoin":
+                if bkt_tables is None:
+                    bkt_tables = _bucketed_fuzz_tables(spark, sf_dir, tables)
+                got_bkt = spec_spark(spec, bkt_tables).toPandas()
+                ok = canonical(got_bkt).equals(b)
+                detail = (
+                    ""
+                    if ok
+                    else f"bucketed {len(got_bkt)} rows diverged from oracle {len(want)}"
+                )
         except Exception as exc:  # genuine mapping bug — report, keep going
             ok, detail = False, f"error: {exc}"
         results.append((i, ok, sql if not ok else ""))
         if verbose:
-            print(f"# {'ok  ' if ok else 'FAIL'} [{i}] {sql[:100]}", file=sys.stderr)
+            tag = "ok  " if ok else "FAIL"
+            fam = "bkt " if spec.get("family") == "bktjoin" else ""
+            print(f"# {tag} [{i}] {fam}{sql[:100]}", file=sys.stderr)
             if not ok:
                 print(f"#      {detail}", file=sys.stderr)
     return results
