@@ -240,6 +240,8 @@ def regression_guard(timings: dict[str, float], sf) -> dict | None:
             cand = json.loads(f.read_text())
         except (OSError, json.JSONDecodeError):
             continue
+        # driver artifacts wrap the bench JSON line under "parsed"
+        cand = cand.get("parsed", cand)
         if cand.get("sf") == sf and "queries" in cand:
             prev = (f.name, cand["queries"])
             break
