@@ -120,3 +120,60 @@ def test_catalog_queries_identical_with_layout(spark, layout):
         ] == plain["segment"]
     finally:
         del os.environ["SPARK_GRAFT_BUCKETED_LAYOUT"]
+
+
+def test_layout_switch_drops_stale_table(spark, tmp_path):
+    """r7 (ADVICE r6 item 1): registering layout A and then layout B in the
+    SAME session must not serve A's data under B's manifest — the stale
+    ``bkt_*`` table (whose LOCATION no longer matches) is dropped and
+    recreated, never silently reused."""
+    a_dir, b_dir = tmp_path / "layout_a", tmp_path / "layout_b"
+    build_bucketed_layout(spark, SF, a_dir, n_buckets=2, tables=["orders"])
+    # make layout B visibly different: only even orderkeys survive
+    import shutil
+
+    build_bucketed_layout(spark, SF, b_dir, n_buckets=2, tables=["orders"])
+    half = load_table(spark, SF, "orders").where(F.col("o_orderkey") % 2 == 0)
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    (
+        half.repartition(2, "o_custkey")
+        .write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(2, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", str(b_dir / "orders"))
+        .saveAsTable("bkt_orders")
+    )
+    n_full = load_table(spark, SF, "orders").count()
+    n_half = half.count()
+    assert n_half < n_full
+
+    register_bucketed_layout(spark, a_dir)
+    assert spark.table("bkt_orders").count() == n_full
+    register_bucketed_layout(spark, b_dir)
+    assert spark.table("bkt_orders").count() == n_half
+    register_bucketed_layout(spark, a_dir)
+    assert spark.table("bkt_orders").count() == n_full
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
+def test_ensure_bucketed_layout_builds_registers_and_caches(spark):
+    """ensure_bucketed_layout: deterministic per-sf_dir dir, idempotent
+    (second call re-registers without rebuilding — manifest mtime stable),
+    and the served table matches raw rows. This is the path the
+    oracle-pinned *_bucketed catalog queries run through."""
+    from satsure_agri_datapipeline_spark.sources.bucketed import (
+        ensure_bucketed_layout,
+    )
+
+    layout1 = ensure_bucketed_layout(spark, SF, tables=["orders", "customer"])
+    manifest = layout1 / "_layout_manifest.json"
+    mtime1 = manifest.stat().st_mtime_ns
+    layout2 = ensure_bucketed_layout(spark, SF, tables=["orders"])
+    assert layout2 == layout1
+    assert manifest.stat().st_mtime_ns == mtime1  # no rebuild
+    raw = sorted(map(tuple, load_table(spark, SF, "orders").collect()))
+    bkt = sorted(map(tuple, spark.table("bkt_orders").collect()))
+    assert raw == bkt
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_customer")

@@ -242,3 +242,20 @@ def test_zscore_broadcasts_per_type_stats(spark, queries):
     plan = plan_of(queries["sensor_zscore_anomalies"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+def test_bench_regression_guard_flags_and_unwraps_driver_artifacts():
+    """bench.regression_guard (r7): finds the newest same-sf committed
+    BENCH_r*.json — unwrapping the driver's {"parsed": ...} envelope —
+    and flags only >2x warm-time regressions, non-fatally."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from bench import regression_guard
+
+    prev = regression_guard({"sensor_daily_avg": 99.0, "doc_simhash": 0.01}, 0.1)
+    assert prev is not None and prev["baseline_artifact"].startswith("BENCH_r")
+    assert "sensor_daily_avg" in prev["flagged"]
+    assert "doc_simhash" not in prev["flagged"]  # faster is never flagged
+    assert regression_guard({"sensor_daily_avg": 99.0}, 31337.0) is None

@@ -393,3 +393,39 @@ def test_incremental_dedup_equals_global_dedup(spark, texts, split):
             want.add(i)
             seen.add(t)
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            # 2-decimal money values, the catalog contract
+            st.integers(min_value=0, max_value=10_000_000).map(lambda k: k / 100),
+            # adversarial: values whose *100 product strays furthest from
+            # an integer in IEEE (e.g. x.x5 / x.x35 patterns)
+            st.integers(min_value=0, max_value=2_000_000).map(lambda k: k / 200),
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(**SETTINGS)
+def test_floor_cents_matches_duckdb_round(spark, vals):
+    """cents()/half_cents() floor form (r7 perf rework of Round's
+    per-value BigDecimal codegen) must remain cell-identical to the oracle
+    side's ROUND(x*100)/ROUND(x*200) for every non-negative input the
+    catalog feeds it — including exact half-cent midpoints (k/200), the
+    closest representable values to the .5 rounding boundary."""
+    import duckdb
+
+    from satsure_agri_datapipeline_spark.plans.catalog import cents, half_cents
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.select(
+        cents(F.col("x")).alias("c"), half_cents(F.col("x")).alias("hc")
+    ).collect()
+    want = duckdb.sql(
+        "SELECT CAST(ROUND(x*100) AS BIGINT), CAST(ROUND(x*200) AS BIGINT) "
+        "FROM (SELECT UNNEST(?::DOUBLE[]) AS x)",
+        params=[vals],
+    ).fetchall()
+    assert [(r.c, r.hc) for r in got] == [tuple(w) for w in want]
