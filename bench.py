@@ -61,6 +61,7 @@ HEADLINE = [
     # LLM data ops
     "doc_exact_dedup",
     "doc_ngram_jaccard",
+    "doc_ngram_jaccard_stored",
     "doc_minhash_lsh",
     "doc_simhash",
     "doc_quality_score",

@@ -318,6 +318,19 @@ def ngram_jaccard_pairs(
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
         # sizes must reflect the capped sets, or jaccard denominators skew
         sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    out = jaccard_pairs_from_exploded(sh, threshold, id_col=id_col)
+    return _register_cache(out, arr)
+
+
+def jaccard_pairs_from_exploded(
+    sh: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """The pair-generation tail of :func:`ngram_jaccard_pairs`, operating on
+    an already-exploded ``(id, n_sh, sh)`` relation: self-join on the
+    shingle hash, count intersections, Jaccard via
+    |A∪B| = |A|+|B|−|A∩B|. Factored out so the bucketed shingle store
+    (``sources/shingle_store.py``) can feed it a relation whose bucketing
+    makes BOTH self-join exchanges vanish."""
     a = sh.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "sh")
     inter = (
@@ -330,14 +343,13 @@ def ngram_jaccard_pairs(
             F.min("n_b").alias("n_b"),
         )
     )
-    out = inter.select(
+    return inter.select(
         "id_a",
         "id_b",
         (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias(
             "jaccard"
         ),
     ).where(F.col("jaccard") >= threshold)
-    return _register_cache(out, arr)
 
 
 # ---------------------------------------------------------------------------

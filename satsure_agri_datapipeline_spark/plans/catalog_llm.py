@@ -66,9 +66,7 @@ def doc_exact_dedup(spark, sf_dir):
     return dd.exact_duplicate_groups(docs)
 
 
-@query(
-    "doc_ngram_jaccard",
-    f"""
+NGRAM_JACCARD_SQL = f"""
     WITH {SHINGLES_SQL},
     hashed AS (
         SELECT doc_id, ('0x' || substr(md5('0:' || shingle), 1, 15))::BIGINT AS sh
@@ -87,12 +85,34 @@ def doc_exact_dedup(spark, sf_dir):
     JOIN sizes sb ON inter.id_b = sb.doc_id
     WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.5
     ORDER BY id_a, id_b
-    """,
-)
+    """
+
+
+@query("doc_ngram_jaccard", NGRAM_JACCARD_SQL)
 def doc_ngram_jaccard(spark, sf_dir):
     """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5 (shingle bucket join)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@query("doc_ngram_jaccard_stored", NGRAM_JACCARD_SQL)
+def doc_ngram_jaccard_stored(spark, sf_dir):
+    """The SAME Jaccard query served from the bucketed shingle store
+    (``sources/shingle_store.py``): the exploded (doc, shingle) relation is
+    pre-hashed and CLUSTERED BY the shingle hash at ingest, so both
+    self-join exchanges AND the per-run shingle hashing vanish — only the
+    inherent pair-counting groupBy remains. Identical oracle to
+    ``doc_ngram_jaccard``, so the store itself is hash-pinned by the
+    correctness gate."""
+    from satsure_agri_datapipeline_spark.sources.shingle_store import (
+        ensure_shingle_store,
+    )
+
+    sh = ensure_shingle_store(spark, sf_dir, n=3, unit="word", seed=0)
+    pairs = dd.jaccard_pairs_from_exploded(sh, threshold=0.5)
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     ).orderBy("id_a", "id_b")

@@ -1,0 +1,160 @@
+"""Bucketed shingle store: the dedup analog of ``sources/bucketed.py``.
+
+The n-gram Jaccard self-join is the engine's single heaviest headline query
+(581 s at 1000× bench scale, proven exchange-bound in the r6 formulation
+race — four alternatives measured worse). Its cost decomposes as:
+
+1. shingle hashing (xxhash64 per n-gram, map-only CPU);
+2. TWO hash exchanges of the exploded (doc, shingle) relation — the two
+   self-join sides project different column names, so ReuseExchange cannot
+   dedupe them;
+3. the pair-counting groupBy (inherent — this IS the answer).
+
+A corpus that is deduplicated repeatedly (every new-data drop, every
+curation round — the normal life of a training-data pipeline) re-pays 1 and
+2 every run. This module pays them ONCE at ingest: the exploded
+``(doc_id, n_sh, sh)`` relation is written CLUSTERED BY the shingle hash,
+so every later Jaccard run reads co-located buckets and plans ZERO Exchange
+on either self-join side — only the inherent pair groupBy remains. Same
+manifest discipline as the bucketed fact layout: the store is keyed by
+(source sf_dir, n, unit, seed), and a store built from different data or
+parameters is never served.
+
+Reference shape: the reference's pandas near-dup pass re-shingles the full
+corpus per run (single process, no storage layout concept); this is the
+Spark-native ingest-time answer at 100 TB, where the exploded relation is
+tens of TB and its exchange dominates the query.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_NAME = "_shingle_manifest.json"
+
+
+def _table_name(n: int, unit: str, seed: int) -> str:
+    return f"bkt_shingles_{unit[0]}{n}_s{seed}"
+
+
+def build_shingle_store(
+    spark: SparkSession,
+    sf_dir: str | Path,
+    layout_dir: str | Path,
+    n: int = 3,
+    unit: str = "word",
+    seed: int = 0,
+    n_buckets: int = 32,
+) -> dict:
+    """One-time ingest: explode the documents table's distinct shingle
+    hashes (identical expressions to ``dedup.shingle_hash_arrays`` — the
+    downstream Jaccard counts are bit-identical) and write them bucketed
+    AND bucket-sorted by the hash. Idempotent (overwrite)."""
+    from satsure_agri_datapipeline_spark.operators.dedup import shingle_hash_arrays
+    from satsure_agri_datapipeline_spark.sources.tables import load_table
+
+    layout = Path(layout_dir).resolve()
+    layout.mkdir(parents=True, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_hash_arrays(docs, n=n, seed=seed, unit=unit).select(
+        "doc_id",
+        F.size("shs").alias("n_sh"),
+        F.explode("shs").alias("sh"),
+    )
+    tbl = _table_name(n, unit, seed)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        sh.repartition(n_buckets, "sh")
+        .write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(n_buckets, "sh")
+        .sortBy("sh")
+        .option("path", str(layout / tbl))
+        .saveAsTable(tbl)
+    )
+    manifest = {
+        "sf_dir": str(Path(sf_dir).resolve()),
+        "n": n,
+        "unit": unit,
+        "seed": seed,
+        "n_buckets": n_buckets,
+        "table": tbl,
+        "ddl_schema": ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in sh.schema.fields
+        ),
+    }
+    (layout / MANIFEST_NAME).write_text(json.dumps(manifest, indent=2))
+    return manifest
+
+
+def _attach(spark: SparkSession, layout: Path, manifest: dict) -> None:
+    tbl = manifest["table"]
+    location = layout / tbl
+    if "'" in str(location):
+        raise ValueError(f"shingle store path contains a quote: {location}")
+    spark.sql(
+        f"CREATE TABLE {tbl} ({manifest['ddl_schema']}) USING parquet "
+        f"CLUSTERED BY (sh) SORTED BY (sh) INTO {manifest['n_buckets']} "
+        f"BUCKETS LOCATION '{location}'"
+    )
+
+
+def ensure_shingle_store(
+    spark: SparkSession,
+    sf_dir: str | Path,
+    n: int = 3,
+    unit: str = "word",
+    seed: int = 0,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Serve the exploded shingle relation from the per-(sf_dir, params)
+    store, building it on first use and re-attaching (metadata-only DDL)
+    in later sessions. Rebuilds when the manifest is missing, was built
+    from different data/params, or is older than the source parquet."""
+    import hashlib
+    import tempfile
+
+    sf_resolved = Path(sf_dir).resolve()
+    key = f"{sf_resolved}|{n}|{unit}|{seed}"
+    digest = hashlib.sha1(key.encode()).hexdigest()[:12]
+    layout = Path(tempfile.gettempdir()) / f"spark_graft_shingles_{digest}"
+    manifest_path = layout / MANIFEST_NAME
+    tbl = _table_name(n, unit, seed)
+
+    needs_build = True
+    if manifest_path.exists():
+        manifest = json.loads(manifest_path.read_text())
+        src = sf_resolved / "documents.parquet"
+        src_mtime = src.stat().st_mtime_ns if src.exists() else 0
+        if (
+            manifest.get("sf_dir") == str(sf_resolved)
+            and (manifest.get("n"), manifest.get("unit"), manifest.get("seed"))
+            == (n, unit, seed)
+            and manifest_path.stat().st_mtime_ns > src_mtime
+        ):
+            needs_build = False
+    if needs_build:
+        build_shingle_store(
+            spark, sf_resolved, layout, n=n, unit=unit, seed=seed, n_buckets=n_buckets
+        )
+    else:
+        manifest = json.loads(manifest_path.read_text())
+        if not spark.catalog.tableExists(tbl):
+            _attach(spark, layout, manifest)
+        else:
+            # a table by this name from an EARLIER store (different tmpdir /
+            # rebuilt data) must not be served — verify location, like
+            # bucketed.register_bucketed_layout does
+            from satsure_agri_datapipeline_spark.sources.bucketed import (
+                _normalize_location,
+                _table_location,
+            )
+
+            if _table_location(spark, tbl) != _normalize_location(str(layout / tbl)):
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+                _attach(spark, layout, manifest)
+    return spark.table(tbl)

@@ -177,3 +177,79 @@ def test_ensure_bucketed_layout_builds_registers_and_caches(spark):
     assert raw == bkt
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
     spark.sql("DROP TABLE IF EXISTS bkt_customer")
+
+
+def test_shingle_store_matches_direct_operator_and_plans_no_join_exchange(spark):
+    """r7 shingle store (sources/shingle_store.py): the pre-exploded
+    bucketed relation must (a) yield EXACTLY the pairs the direct operator
+    computes, and (b) plan the self-join with zero Exchange and two
+    bucketed scans — the property that removes the dominant cost of the
+    heaviest headline query at scale."""
+    from satsure_agri_datapipeline_spark.operators.dedup import (
+        jaccard_pairs_from_exploded,
+        ngram_jaccard_pairs,
+    )
+    from satsure_agri_datapipeline_spark.sources.shingle_store import (
+        ensure_shingle_store,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    direct = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    )
+    sh = ensure_shingle_store(spark, SF, n=3, unit="word", seed=0)
+    stored = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in jaccard_pairs_from_exploded(sh, 0.5).collect()
+    )
+    assert stored == direct and len(direct) > 0
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = (
+            jaccard_pairs_from_exploded(sh, 0.5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("Bucketed: true") == 2
+    # the ONLY exchange left is the inherent pair-counting groupBy on
+    # (id_a, id_b); the self-join itself shuffles nothing
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(exchanges) == 1 and "id_a" in exchanges[0] and "id_b" in exchanges[0]
+
+
+def test_shingle_store_idempotent_and_param_keyed(spark):
+    """Second ensure call re-serves without rebuilding; different params
+    resolve to a DIFFERENT store (never silently shared)."""
+    import json
+    from pathlib import Path
+
+    from satsure_agri_datapipeline_spark.sources import shingle_store as ss
+
+    sh1 = ss.ensure_shingle_store(spark, SF, n=3, unit="word", seed=0)
+    import hashlib
+    import tempfile
+
+    key = f"{Path(SF).resolve()}|3|word|0"
+    layout = Path(tempfile.gettempdir()) / (
+        "spark_graft_shingles_" + hashlib.sha1(key.encode()).hexdigest()[:12]
+    )
+    manifest = layout / ss.MANIFEST_NAME
+    mtime = manifest.stat().st_mtime_ns
+    ss.ensure_shingle_store(spark, SF, n=3, unit="word", seed=0)
+    assert manifest.stat().st_mtime_ns == mtime  # no rebuild
+    sh2 = ss.ensure_shingle_store(spark, SF, n=4, unit="word", seed=0)
+    # the n=3 store is untouched by the n=4 build...
+    assert json.loads(manifest.read_text())["n"] == 3
+    # ...and the two stores are distinct tables with distinct contents
+    # (4-gram shingle sets are strictly smaller per doc than 3-gram sets)
+    assert ss._table_name(4, "word", 0) != ss._table_name(3, "word", 0)
+    assert sh2.count() < sh1.count()
