@@ -429,6 +429,69 @@ def minhash_signatures(
     )
 
 
+def band_rows_from_signatures(
+    sig: DataFrame, band_size: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Explode a ``(id, sig array<long>)`` relation into LSH band rows
+    ``(id, sig, band, band_sig)`` — num_bands rows per doc, signature
+    riding along so downstream match counting never back-joins. This is
+    also the STORAGE schema of the bucketed band store
+    (``sources/band_store.py``). The band count is derived per row as
+    ``size(sig) / band_size`` so the relation needs no side parameter."""
+    return _band_rows(sig, band_size, id_col)
+
+
+def _band_rows(sig: DataFrame, band_size: int, id_col: str) -> DataFrame:
+    n_bands_expr = (F.size("sig") / band_size).cast("int")
+    return sig.select(
+        F.col(id_col),
+        "sig",
+        F.explode(F.sequence(F.lit(0), n_bands_expr - 1)).alias("band"),
+    ).select(
+        id_col,
+        "sig",
+        "band",
+        F.array_join(
+            F.transform(
+                F.slice(F.col("sig"), F.col("band") * band_size + 1, band_size),
+                lambda h: h.cast("string"),
+            ),
+            ",",
+        ).alias("band_sig"),
+    )
+
+
+def lsh_match_counts_from_bands(
+    bands: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The pair-generation tail of the LSH pipeline, operating on an
+    already-exploded band relation ``(id, sig, band, band_sig)``:
+    self-equi-join on (band, band_sig), raw integer signature match count
+    per candidate pair. Factored out so the bucketed band store
+    (``sources/band_store.py``) can feed it a relation whose bucketing
+    makes BOTH self-join exchanges vanish — the Jaccard-store pattern
+    (``jaccard_pairs_from_exploded``) applied to MinHash."""
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_sig"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_sig"
+    )
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, ["band", "band_sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", matches.alias("__matches"))
+        # a pair agreeing on k bands appears k times with identical count
+        .groupBy("id_a", "id_b")
+        .agg(F.first("__matches").alias("__matches"))
+    )
+
+
 def _minhash_lsh_match_counts(
     df: DataFrame,
     num_hashes: int = 16,
@@ -445,43 +508,8 @@ def _minhash_lsh_match_counts(
     sig = minhash_signature_arrays(df, num_hashes, n, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    n_bands = num_hashes // band_size
-    bands = sig.select(
-        F.col(id_col),
-        "sig",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-    ).select(
-        id_col,
-        "sig",
-        "band",
-        F.array_join(
-            F.transform(
-                F.slice(F.col("sig"), F.col("band") * band_size + 1, band_size),
-                lambda h: h.cast("string"),
-            ),
-            ",",
-        ).alias("band_sig"),
-    )
-    a = bands.select(
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_sig"
-    )
-    b = bands.select(
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_sig"
-    )
-    matches = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    out = (
-        a.join(b, ["band", "band_sig"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", matches.alias("__matches"))
-        # a pair agreeing on k bands appears k times with identical count
-        .groupBy("id_a", "id_b")
-        .agg(F.first("__matches").alias("__matches"))
-    )
-    return out, sig
+    bands = _band_rows(sig, band_size, id_col)
+    return lsh_match_counts_from_bands(bands, id_col), sig
 
 
 def minhash_lsh_pairs(
@@ -1151,22 +1179,7 @@ def minhash_bands(
     join key for candidate generation and the STORE format for incremental
     near-dup (:func:`incremental_minhash_dedup`)."""
     sig = minhash_signature_arrays(df, num_hashes, n, text_col, id_col)
-    n_bands = num_hashes // band_size
-    return sig.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-        "sig",
-    ).select(
-        id_col,
-        "band",
-        F.array_join(
-            F.transform(
-                F.slice(F.col("sig"), F.col("band") * band_size + 1, band_size),
-                lambda h: h.cast("string"),
-            ),
-            ",",
-        ).alias("band_sig"),
-    )
+    return _band_rows(sig, band_size, id_col).select(id_col, "band", "band_sig")
 
 
 def incremental_minhash_dedup(
@@ -1177,6 +1190,7 @@ def incremental_minhash_dedup(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    batch_bands: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """NEAR-dup companion of :func:`incremental_exact_dedup`: dedupe a new
     ingest batch against the standing LSH band store of everything already
@@ -1192,8 +1206,18 @@ def incremental_minhash_dedup(
     the connected-components round loop) and errs toward dropping, never
     toward accepting a near-dup. Returns (accepted, new_bands); append
     ``new_bands`` to the store — update cost ∝ batch, like the exact form.
+
+    ``batch_bands`` (optional) short-circuits the per-run signature
+    computation: a precomputed ``(id, band, band_sig)`` relation for the
+    batch — e.g. served from the bucketed band store
+    (``sources/band_store.py``) when the batch was already ingested there.
+    The caller owns its parameter consistency (num_hashes/band_size/n must
+    match the store's, as the manifest guarantees).
     """
-    bands = minhash_bands(new_docs, num_hashes, band_size, n, text_col, id_col)
+    if batch_bands is not None:
+        bands = batch_bands.select(id_col, "band", "band_sig")
+    else:
+        bands = minhash_bands(new_docs, num_hashes, band_size, n, text_col, id_col)
     bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     dropped = bands.join(
         bands.select(F.col(id_col).alias("__lower"), "band", "band_sig"),

@@ -127,9 +127,7 @@ def _minhash_seed_values() -> str:
     return ", ".join(f"({k}, {a[k]}::HUGEINT, {b[k]}::HUGEINT)" for k in range(16))
 
 
-@query(
-    "doc_minhash_lsh",
-    f"""
+MINHASH_LSH_SQL = f"""
     WITH {SHINGLES_SQL},
     seeds(k, a, b) AS (VALUES {_minhash_seed_values()}),
     hashed AS (
@@ -161,8 +159,10 @@ def _minhash_seed_values() -> str:
     JOIN sig sb ON sb.doc_id = c.id_b AND sb.k = sa.k
     GROUP BY c.id_a, c.id_b
     ORDER BY c.id_a, c.id_b
-    """,
-)
+    """
+
+
+@query("doc_minhash_lsh", MINHASH_LSH_SQL)
 def doc_minhash_lsh(spark, sf_dir):
     """MinHash(16) + LSH(4 bands × 4 rows) candidate pairs with estimated
     Jaccard — the one-md5 + affine-mix family (dedup.minhash_params) is
@@ -171,6 +171,26 @@ def doc_minhash_lsh(spark, sf_dir):
     return dd.minhash_lsh_pairs(docs, num_hashes=16, band_size=4, n=3).orderBy(
         "id_a", "id_b"
     )
+
+
+@query("doc_minhash_lsh_stored", MINHASH_LSH_SQL)
+def doc_minhash_lsh_stored(spark, sf_dir):
+    """The SAME MinHash-LSH query served from the bucketed band store
+    (``sources/band_store.py``): signatures and band rows are computed once
+    at ingest and written CLUSTERED BY (band, band_sig), so the per-run
+    signature CPU (16 hashes × every shingle) AND both band self-join
+    exchanges vanish — only the inherent pair groupBy remains. Identical
+    oracle to ``doc_minhash_lsh``, so the store itself is hash-pinned by
+    the correctness gate."""
+    from satsure_agri_datapipeline_spark.sources.band_store import ensure_band_store
+
+    bands = ensure_band_store(spark, sf_dir, num_hashes=16, band_size=4, n=3)
+    raw = dd.lsh_match_counts_from_bands(bands)
+    return raw.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("__matches") / F.lit(16.0), 4).alias("est_jaccard"),
+    ).orderBy("id_a", "id_b")
 
 
 @query(
@@ -2352,6 +2372,38 @@ def doc_incremental_near_dup(spark, sf_dir):
     batch = docs.where(F.col("doc_id") % 5 >= 2)
     accepted, _ = dd.incremental_minhash_dedup(batch, hist_bands)
     return accepted.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+
+
+@query("doc_incremental_near_dup_stored", None)
+def doc_incremental_near_dup_stored(spark, sf_dir):
+    """The SAME incremental near-dup served from the bucketed band store
+    (``sources/band_store.py``): history bands, the batch's own bands, and
+    both collision joins (batch⋈history semi, within-batch self-join) all
+    read the one CLUSTERED BY (band, band_sig) relation — zero signature
+    recompute and zero exchange on every band-keyed operation; only the
+    final anti-join on doc_id shuffles. Shares
+    ``doc_incremental_near_dup``'s oracle (registered below), so the
+    store-served path is hash-pinned by the correctness gate."""
+    from satsure_agri_datapipeline_spark.sources.band_store import ensure_band_store
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = ensure_band_store(spark, sf_dir, num_hashes=16, band_size=4, n=3)
+    hist_bands = (
+        store.where(F.col("doc_id") % 5 < 2).select("band", "band_sig").distinct()
+    )
+    batch_bands = store.where(F.col("doc_id") % 5 >= 2).select(
+        "doc_id", "band", "band_sig"
+    )
+    batch = docs.where(F.col("doc_id") % 5 >= 2)
+    accepted, _ = dd.incremental_minhash_dedup(
+        batch, hist_bands, batch_bands=batch_bands
+    )
+    return accepted.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+
+
+# Register the shared oracle now that doc_incremental_near_dup's SQL is in
+# ORACLES (the stored variant is defined adjacent for readability).
+_ORACLES["doc_incremental_near_dup_stored"] = _ORACLES["doc_incremental_near_dup"]
 
 
 @query(

@@ -114,14 +114,20 @@ def ensure_shingle_store(
     """Serve the exploded shingle relation from the per-(sf_dir, params)
     store, building it on first use and re-attaching (metadata-only DDL)
     in later sessions. Rebuilds when the manifest is missing, was built
-    from different data/params, or is older than the source parquet."""
-    import hashlib
-    import tempfile
+    from different data/params, or is older than the source parquet.
+    Builds go through a process-unique scratch dir + atomic rename
+    (``store_util``) so concurrent builders never interleave, and the
+    digest key includes every byte-affecting parameter (incl. n_buckets)."""
+    import shutil
+
+    from satsure_agri_datapipeline_spark.sources.store_util import (
+        atomic_swap,
+        build_scratch_dir,
+        layout_dir,
+    )
 
     sf_resolved = Path(sf_dir).resolve()
-    key = f"{sf_resolved}|{n}|{unit}|{seed}"
-    digest = hashlib.sha1(key.encode()).hexdigest()[:12]
-    layout = Path(tempfile.gettempdir()) / f"spark_graft_shingles_{digest}"
+    layout = layout_dir("shingles", sf_resolved, n, unit, seed, n_buckets)
     manifest_path = layout / MANIFEST_NAME
     tbl = _table_name(n, unit, seed)
 
@@ -132,29 +138,36 @@ def ensure_shingle_store(
         src_mtime = src.stat().st_mtime_ns if src.exists() else 0
         if (
             manifest.get("sf_dir") == str(sf_resolved)
-            and (manifest.get("n"), manifest.get("unit"), manifest.get("seed"))
-            == (n, unit, seed)
+            and (
+                manifest.get("n"),
+                manifest.get("unit"),
+                manifest.get("seed"),
+                manifest.get("n_buckets"),
+            )
+            == (n, unit, seed, n_buckets)
             and manifest_path.stat().st_mtime_ns > src_mtime
         ):
             needs_build = False
     if needs_build:
+        if layout.exists():  # stale layout must not survive under the path
+            shutil.rmtree(layout, ignore_errors=True)
+        scratch = build_scratch_dir(layout)
         build_shingle_store(
-            spark, sf_resolved, layout, n=n, unit=unit, seed=seed, n_buckets=n_buckets
+            spark, sf_resolved, scratch, n=n, unit=unit, seed=seed, n_buckets=n_buckets
         )
-    else:
-        manifest = json.loads(manifest_path.read_text())
-        if not spark.catalog.tableExists(tbl):
-            _attach(spark, layout, manifest)
-        else:
-            # a table by this name from an EARLIER store (different tmpdir /
-            # rebuilt data) must not be served — verify location, like
-            # bucketed.register_bucketed_layout does
-            from satsure_agri_datapipeline_spark.sources.bucketed import (
-                _normalize_location,
-                _table_location,
-            )
+        atomic_swap(scratch, layout)
+    manifest = json.loads(manifest_path.read_text())
+    # A table by this name from an EARLIER store (different tmpdir, rebuilt
+    # data, or the scratch dir the build registered) must not be served —
+    # verify location, like bucketed.register_bucketed_layout does.
+    from satsure_agri_datapipeline_spark.sources.bucketed import (
+        _normalize_location,
+        _table_location,
+    )
 
-            if _table_location(spark, tbl) != _normalize_location(str(layout / tbl)):
-                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-                _attach(spark, layout, manifest)
+    if not spark.catalog.tableExists(tbl):
+        _attach(spark, layout, manifest)
+    elif _table_location(spark, tbl) != _normalize_location(str(layout / tbl)):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        _attach(spark, layout, manifest)
     return spark.table(tbl)

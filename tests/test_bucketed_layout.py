@@ -234,14 +234,10 @@ def test_shingle_store_idempotent_and_param_keyed(spark):
 
     from satsure_agri_datapipeline_spark.sources import shingle_store as ss
 
-    sh1 = ss.ensure_shingle_store(spark, SF, n=3, unit="word", seed=0)
-    import hashlib
-    import tempfile
+    from satsure_agri_datapipeline_spark.sources.store_util import layout_dir
 
-    key = f"{Path(SF).resolve()}|3|word|0"
-    layout = Path(tempfile.gettempdir()) / (
-        "spark_graft_shingles_" + hashlib.sha1(key.encode()).hexdigest()[:12]
-    )
+    sh1 = ss.ensure_shingle_store(spark, SF, n=3, unit="word", seed=0)
+    layout = layout_dir("shingles", Path(SF).resolve(), 3, "word", 0, 32)
     manifest = layout / ss.MANIFEST_NAME
     mtime = manifest.stat().st_mtime_ns
     ss.ensure_shingle_store(spark, SF, n=3, unit="word", seed=0)
@@ -253,3 +249,129 @@ def test_shingle_store_idempotent_and_param_keyed(spark):
     # (4-gram shingle sets are strictly smaller per doc than 3-gram sets)
     assert ss._table_name(4, "word", 0) != ss._table_name(3, "word", 0)
     assert sh2.count() < sh1.count()
+
+
+def test_band_store_matches_direct_operator_and_plans_no_join_exchange(spark):
+    """r8 band store (sources/band_store.py): the pre-computed bucketed
+    band relation must (a) yield EXACTLY the candidate pairs + estimated
+    Jaccard the direct MinHash-LSH operator computes, and (b) plan the
+    band self-join with zero Exchange and two bucketed scans — removing
+    both the per-run signature CPU and the band-join shuffles."""
+    import re
+
+    from satsure_agri_datapipeline_spark.operators.dedup import (
+        lsh_match_counts_from_bands,
+        minhash_lsh_pairs,
+    )
+    from satsure_agri_datapipeline_spark.sources.band_store import ensure_band_store
+
+    docs = load_table(spark, SF, "documents")
+    direct = sorted(
+        (r.id_a, r.id_b, round(r.est_jaccard, 6))
+        for r in minhash_lsh_pairs(docs, num_hashes=16, band_size=4, n=3).collect()
+    )
+    bands = ensure_band_store(spark, SF, num_hashes=16, band_size=4, n=3)
+    stored_df = lsh_match_counts_from_bands(bands).select(
+        "id_a", "id_b", (F.col("__matches") / 16.0).alias("est_jaccard")
+    )
+    stored = sorted(
+        (r.id_a, r.id_b, round(r.est_jaccard, 6)) for r in stored_df.collect()
+    )
+    assert stored == direct and len(direct) > 0
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = (
+            lsh_match_counts_from_bands(bands)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("Bucketed: true") == 2
+    # the ONLY exchange left is the inherent pair groupBy on (id_a, id_b);
+    # the band self-join itself shuffles nothing
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(exchanges) == 1 and "id_a" in exchanges[0] and "id_b" in exchanges[0]
+
+
+def test_band_store_incremental_matches_raw_and_rebuild_keying(spark):
+    """The store-served incremental near-dup returns IDENTICAL survivors to
+    the recompute-everything path, a second ensure call re-serves without
+    rebuilding, and a store built with different params lives at a
+    DIFFERENT path (n_buckets included in the digest key)."""
+    from pathlib import Path
+
+    from satsure_agri_datapipeline_spark.plans import catalog_llm  # noqa: F401
+    from satsure_agri_datapipeline_spark.plans.catalog import QUERIES
+    from satsure_agri_datapipeline_spark.sources import band_store as bs
+    from satsure_agri_datapipeline_spark.sources.store_util import layout_dir
+
+    raw = [tuple(r) for r in QUERIES["doc_incremental_near_dup"](spark, SF).collect()]
+    stored = [
+        tuple(r)
+        for r in QUERIES["doc_incremental_near_dup_stored"](spark, SF).collect()
+    ]
+    assert stored == raw and len(raw) > 0
+
+    layout = layout_dir("bands", Path(SF).resolve(), 16, 4, 3, 32)
+    manifest = layout / bs.MANIFEST_NAME
+    mtime = manifest.stat().st_mtime_ns
+    bs.ensure_band_store(spark, SF, num_hashes=16, band_size=4, n=3)
+    assert manifest.stat().st_mtime_ns == mtime  # no rebuild
+    assert layout_dir("bands", Path(SF).resolve(), 16, 4, 3, 8) != layout
+
+
+def test_store_staleness_rebuild_triggers(spark, tmp_path):
+    """Fuzz the stores' staleness machinery (r7 verdict task 6): mutate the
+    SOURCE data between ensure calls and assert the store rebuilds rather
+    than serving stale rows; mutate params and assert a separate store."""
+    import shutil
+
+    from satsure_agri_datapipeline_spark.sources import band_store as bs
+    from satsure_agri_datapipeline_spark.sources import shingle_store as ss
+
+    src = tmp_path / "sfmut"
+    src.mkdir()
+    docs = load_table(spark, SF, "documents").limit(40)
+    docs.write.mode("overwrite").parquet(str(src / "documents.parquet"))
+
+    sh1 = ss.ensure_shingle_store(spark, src, n=3, unit="word", seed=0)
+    n1 = sh1.count()
+    b1 = bs.ensure_band_store(spark, src, num_hashes=16, band_size=4, n=3)
+    nb1 = b1.count()
+
+    # mutate the source: halve the corpus, bump mtime past the manifest's
+    docs.limit(20).write.mode("overwrite").parquet(str(src / "documents.parquet"))
+    import os
+    import time
+
+    now = time.time() + 5
+    os.utime(src / "documents.parquet", (now, now))
+
+    sh2 = ss.ensure_shingle_store(spark, src, n=3, unit="word", seed=0)
+    assert sh2.count() < n1  # rebuilt from the mutated source, not stale
+    b2 = bs.ensure_band_store(spark, src, num_hashes=16, band_size=4, n=3)
+    assert b2.count() < nb1
+
+    # distinct docs per store: params key the path, so the n=4 build
+    # leaves the n=3 manifest untouched
+    from satsure_agri_datapipeline_spark.sources.store_util import layout_dir
+
+    l3 = layout_dir("shingles", src.resolve(), 3, "word", 0, 32)
+    m3 = (l3 / ss.MANIFEST_NAME).stat().st_mtime_ns
+    ss.ensure_shingle_store(spark, src, n=4, unit="word", seed=0)
+    assert (l3 / ss.MANIFEST_NAME).stat().st_mtime_ns == m3
+
+    # cleanup: drop tables + stores keyed by this tmp source
+    for tbl in ("bkt_shingles_w3_s0", "bkt_shingles_w4_s0", "bkt_bands_h16b4n3"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    for kind, parts in (
+        ("shingles", (src.resolve(), 3, "word", 0, 32)),
+        ("shingles", (src.resolve(), 4, "word", 0, 32)),
+        ("bands", (src.resolve(), 16, 4, 3, 32)),
+    ):
+        shutil.rmtree(layout_dir(kind, *parts), ignore_errors=True)
