@@ -231,9 +231,12 @@ def regression_guard(timings: dict[str, float], sf) -> dict | None:
     nobody re-ran surfaces in the artifact instead of a later verdict.
     Returns None when no prior same-sf artifact exists."""
     here = Path(__file__).resolve().parent
+    # numeric sort: lexicographic would order BENCH_r9 after BENCH_r10
+    # once zero-padding is dropped (ADVICE r7)
     prev_files = sorted(
-        f for f in here.glob("BENCH_r*.json")
-        if f.stem.replace("BENCH_r", "").isdigit()
+        (f for f in here.glob("BENCH_r*.json")
+         if f.stem.replace("BENCH_r", "").isdigit()),
+        key=lambda f: int(f.stem.replace("BENCH_r", "")),
     )
     prev = None
     for f in reversed(prev_files):
@@ -252,7 +255,11 @@ def regression_guard(timings: dict[str, float], sf) -> dict | None:
     flagged = {
         name: {"now": t, "prev": prev_q[name], "ratio": round(t / prev_q[name], 2)}
         for name, t in timings.items()
-        if name in prev_q and prev_q[name] > 0 and t > 2.0 * prev_q[name]
+        if name in prev_q
+        # bench_scale-style artifacts may carry DNF strings, not numbers
+        and isinstance(prev_q[name], (int, float))
+        and prev_q[name] > 0
+        and t > 2.0 * prev_q[name]
     }
     for name, r in flagged.items():
         print(

@@ -56,8 +56,26 @@ def cents(col) -> F.Column:
     and a 2-decimal double times 100 lands within ~1e-10 of an integer, so
     no input sits near the .5 boundary where representations could differ
     (measured r7: 2.34 s → 1.09 s at 100×, equal collect() on all groups;
-    the 155-query oracle gate re-verified green after the switch)."""
+    the 155-query oracle gate re-verified green after the switch).
+
+    CONTRACT — non-negative inputs only (r8 fence): floor(x*100+0.5) is
+    half-UP (toward +inf) while the oracle's ROUND is half-away-from-zero;
+    the two diverge on negative exact midpoints (-0.005 → 0 here, -1
+    there). Every current catalog input is non-negative (TPC-H money,
+    events.value with min 0.0); a signed column (deltas, calibrated values
+    with negative offsets) must NOT go through this helper — use
+    ``signed_cents`` instead, which spends one extra ``sign`` op to match
+    ROUND on the full domain. Pinned by
+    ``tests/test_properties.py::test_floor_cents_negative_midpoint_fence``."""
     return F.floor(col * 100 + F.lit(0.5))
+
+
+def signed_cents(col, scale: int = 100) -> F.Column:
+    """Sign-aware exact integer cents: ``sign(x)*floor(abs(x)*scale+0.5)``
+    — half-away-from-zero, value-identical to the oracle ROUND on the FULL
+    signed domain. One extra sign/abs pair vs ``cents``; use this for any
+    column that can be negative."""
+    return (F.signum(col) * F.floor(F.abs(col) * scale + F.lit(0.5))).cast("long")
 
 
 def half_cents(col) -> F.Column:

@@ -26,13 +26,19 @@ schemas), and ``register_bucketed_layout`` re-attaches the tables in any
 later session with ``CREATE TABLE ... USING parquet CLUSTERED BY ...
 LOCATION ...`` DDL — metadata-only, no data movement.
 
-Opt-in wiring: when ``SPARK_GRAFT_BUCKETED_LAYOUT`` names a layout
-directory, ``sources.tables.load_table`` serves ``orders``/``lineitem``/
-``customer`` from the bucketed tables — IF the manifest's source sf_dir
-matches the requested one (a layout built from sf0.1 silently ignored when
-a query asks for sf0.01 — correctness can never depend on the env var).
-Default path (env unset, the driver's configuration) is untouched raw
-parquet.
+Serving wiring (r8: the layout is now the DEFAULT serving path, not an
+opt-in): ``sources.tables.load_table`` serves ``orders``/``lineitem``/
+``customer`` from the bucketed tables whenever a valid layout exists —
+either the directory named by ``SPARK_GRAFT_BUCKETED_LAYOUT`` or, with the
+env var unset, the deterministic per-``sf_dir`` directory that
+``ensure_bucketed_layout`` builds (so once any ``*_bucketed`` query or
+``tools/make_bucketed_layout.py`` has paid the ingest exchange, EVERY
+query on those tables rides it — the measured 8.72×→1.94× multiway-join
+fix no longer needs operator action). A layout is valid only when its
+manifest was built from exactly the requested sf_dir AND is newer than
+the source parquet — correctness can never depend on the env var or on a
+stale layout; anything else falls back to raw parquet. Serving never
+BUILDS a layout implicitly (ingest cost stays explicit).
 """
 
 from __future__ import annotations
@@ -98,6 +104,11 @@ def build_bucketed_layout(
             ),
         }
     (layout / MANIFEST_NAME).write_text(json.dumps(manifest, indent=2))
+    # saveAsTable re-pointed the global bkt_* names at this layout: every
+    # other layout's warm registration cache is stale now.
+    app_id = spark.sparkContext.applicationId
+    for key in [k for k in _REGISTRATION_CACHE if k[0] == app_id]:
+        del _REGISTRATION_CACHE[key]
     return manifest
 
 
@@ -147,6 +158,16 @@ def register_bucketed_layout(spark: SparkSession, layout_dir: str | Path) -> dic
             f"CLUSTERED BY ({bucket_cols}) SORTED BY ({sort_cols}) "
             f"INTO {n} BUCKETS LOCATION '{location}'"
         )
+    # The bkt_* names are global per session: any OTHER layout's warm
+    # registration cache is now stale (its tables may have just been
+    # re-pointed here) and must revalidate on next use.
+    app_id = spark.sparkContext.applicationId
+    for key in [
+        k
+        for k in _REGISTRATION_CACHE
+        if k[0] == app_id and k[1] != str(layout)
+    ]:
+        del _REGISTRATION_CACHE[key]
     return manifest
 
 
@@ -163,13 +184,13 @@ def ensure_bucketed_layout(
     older than the source parquet — then registered in this session. The
     self-check/correctness gate uses this so the configuration carrying the
     headline join numbers is itself oracle-hash-pinned."""
-    import hashlib
-    import tempfile
+    import shutil
+
+    from .store_util import atomic_swap, build_scratch_dir
 
     tables = tables or list(BUCKET_SPECS)
     sf_resolved = Path(sf_dir).resolve()
-    digest = hashlib.sha1(str(sf_resolved).encode()).hexdigest()[:12]
-    layout = Path(tempfile.gettempdir()) / f"spark_graft_bucketed_{digest}"
+    layout = default_layout_dir(sf_resolved, n_buckets)
     manifest_path = layout / MANIFEST_NAME
     needs_build = True
     if manifest_path.exists():
@@ -190,11 +211,24 @@ def ensure_bucketed_layout(
             # (build_bucketed_layout rewrites the whole manifest).
             tables = sorted(set(tables) | set(manifest["tables"]))
     if needs_build:
+        if layout.exists():  # stale layout must not survive under the path
+            shutil.rmtree(layout, ignore_errors=True)
+        scratch = build_scratch_dir(layout)
         build_bucketed_layout(
-            spark, sf_resolved, layout, n_buckets=n_buckets, tables=tables
+            spark, sf_resolved, scratch, n_buckets=n_buckets, tables=tables
         )
+        atomic_swap(scratch, layout)
     register_bucketed_layout(spark, layout)
     return layout
+
+
+def default_layout_dir(sf_dir: str | Path, n_buckets: int = 32) -> Path:
+    """The deterministic per-(sf_dir, n_buckets) layout directory that
+    ``ensure_bucketed_layout`` builds into and the default serving path
+    (``bucketed_table_or_none`` with the env var unset) reads from."""
+    from .store_util import layout_dir
+
+    return layout_dir("bucketed", Path(sf_dir).resolve(), n_buckets)
 
 
 # (app_id, resolved layout dir) -> (manifest mtime_ns, parsed manifest).
@@ -206,30 +240,53 @@ _REGISTRATION_CACHE: dict[tuple[str, str], tuple[int, dict]] = {}
 def bucketed_table_or_none(
     spark: SparkSession, sf_dir: str | Path, name: str
 ) -> DataFrame | None:
-    """The ``load_table`` hook: serve ``name`` from the bucketed layout when
-    ``SPARK_GRAFT_BUCKETED_LAYOUT`` is set AND its manifest was built from
-    exactly the requested ``sf_dir``; ``None`` (caller reads raw parquet)
-    otherwise. Registration is lazy and idempotent per session, cached per
-    (session, layout) and invalidated when the manifest file changes."""
-    layout_dir = os.environ.get("SPARK_GRAFT_BUCKETED_LAYOUT")
-    if not layout_dir or name not in BUCKET_SPECS:
+    """The ``load_table`` hook: serve ``name`` from a valid bucketed layout,
+    ``None`` (caller reads raw parquet) otherwise.
+
+    The layout searched is the one named by ``SPARK_GRAFT_BUCKETED_LAYOUT``
+    when set, else (r8) the deterministic per-``sf_dir`` default that
+    ``ensure_bucketed_layout`` builds — so the layout serves every query by
+    default once built, without operator action. Valid means: manifest
+    present, built from exactly the requested ``sf_dir``, containing
+    ``name``, and newer than the source parquet (a layout left over from a
+    regenerated dataset is ignored, never served stale). Registration is
+    lazy and idempotent per session, cached per (session, layout),
+    invalidated when the manifest changes, when another layout re-points
+    the ``bkt_*`` names (see ``register_bucketed_layout``), or when the
+    served table was dropped out from under the cache."""
+    if name not in BUCKET_SPECS:
         return None
-    layout = Path(layout_dir).resolve()
+    env_dir = os.environ.get("SPARK_GRAFT_BUCKETED_LAYOUT")
+    layout = Path(env_dir).resolve() if env_dir else default_layout_dir(sf_dir)
     manifest_path = layout / MANIFEST_NAME
     try:
         mtime = manifest_path.stat().st_mtime_ns
     except OSError:
         return None
+    sf_resolved = Path(sf_dir).resolve()
+    src = sf_resolved / f"{name}.parquet"
+    if src.exists() and src.stat().st_mtime_ns >= mtime:
+        return None  # layout predates (or ties) the current source data
+    tbl = _table_name(name)
     cache_key = (spark.sparkContext.applicationId, str(layout))
     cached = _REGISTRATION_CACHE.get(cache_key)
-    if cached is not None and cached[0] == mtime:
+    # A cache hit still verifies THIS table's catalog location: anything can
+    # re-point a global bkt_* name between calls (another layout's register,
+    # a test's own saveAsTable) and a warm cache must never serve a table
+    # whose storage no longer belongs to this layout (ADVICE r7, medium).
+    if (
+        cached is not None
+        and cached[0] == mtime
+        and spark.catalog.tableExists(tbl)
+        and _table_location(spark, tbl) == _normalize_location(str(layout / name))
+    ):
         manifest = cached[1]
     else:
         manifest = json.loads(manifest_path.read_text())
         register_bucketed_layout(spark, layout)
         _REGISTRATION_CACHE[cache_key] = (mtime, manifest)
-    if manifest["sf_dir"] != str(Path(sf_dir).resolve()):
+    if manifest["sf_dir"] != str(sf_resolved):
         return None
     if name not in manifest["tables"]:
         return None
-    return spark.table(_table_name(name))
+    return spark.table(tbl)

@@ -375,3 +375,43 @@ def test_store_staleness_rebuild_triggers(spark, tmp_path):
         ("bands", (src.resolve(), 16, 4, 3, 32)),
     ):
         shutil.rmtree(layout_dir(kind, *parts), ignore_errors=True)
+
+
+def test_default_serving_path_and_staleness_fallback(spark, tmp_path):
+    """r8: with SPARK_GRAFT_BUCKETED_LAYOUT unset, load_table serves the
+    deterministic ensure-layout once built (zero-exchange agg on the bucket
+    key proves it's really the bucketed table), falls back to raw parquet
+    when the layout predates the source data, and a dropped bkt_* table is
+    transparently re-registered on the next call (cache revalidation)."""
+    import shutil
+    import time
+
+    from satsure_agri_datapipeline_spark.sources import bucketed as bk
+
+    assert "SPARK_GRAFT_BUCKETED_LAYOUT" not in os.environ
+    # isolate: copy the source so mtime games don't touch shared testdata
+    src = tmp_path / "sfdef"
+    src.mkdir()
+    for t in ("orders", "customer", "lineitem"):
+        shutil.copy(Path(SF) / f"{t}.parquet", src / f"{t}.parquet")
+
+    assert bk.bucketed_table_or_none(spark, src, "orders") is None  # not built
+    bk.ensure_bucketed_layout(spark, src, tables=["orders"])
+    served = load_table(spark, src, "orders")
+    assert "Exchange hashpartitioning" not in _plan(
+        served.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    )
+    raw_rows = sorted(map(tuple, spark.read.parquet(str(src / "orders.parquet")).collect()))
+    assert sorted(map(tuple, served.collect())) == raw_rows
+
+    # dropped table is re-registered on the next call, not a cache error
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    assert bk.bucketed_table_or_none(spark, src, "orders") is not None
+
+    # source regenerated AFTER the layout -> layout is stale -> raw fallback
+    now = time.time() + 10
+    os.utime(src / "orders.parquet", (now, now))
+    assert bk.bucketed_table_or_none(spark, src, "orders") is None
+
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    shutil.rmtree(bk.default_layout_dir(src), ignore_errors=True)

@@ -429,3 +429,48 @@ def test_floor_cents_matches_duckdb_round(spark, vals):
         params=[vals],
     ).fetchall()
     assert [(r.c, r.hc) for r in got] == [tuple(w) for w in want]
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            # signed 2-decimal values and exact half-cent midpoints (k/200):
+            # the domain where the floor form and ROUND diverge
+            st.integers(min_value=-10_000_000, max_value=10_000_000).map(
+                lambda k: k / 100
+            ),
+            st.integers(min_value=-2_000_000, max_value=2_000_000).map(
+                lambda k: k / 200
+            ),
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(**SETTINGS)
+def test_floor_cents_negative_midpoint_fence(spark, vals):
+    """r8 fence for the cents() non-negativity contract: (a) signed_cents
+    matches DuckDB ROUND on the FULL signed domain including negative exact
+    midpoints, and (b) the plain floor form is pinned to its CHOSEN half-up
+    semantics — floor(x*100+0.5) — computed here in exact integer
+    arithmetic, so any silent change to either helper fails loudly."""
+    import math
+
+    import duckdb
+
+    from satsure_agri_datapipeline_spark.plans.catalog import cents, signed_cents
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.select(
+        signed_cents(F.col("x")).alias("sc"), cents(F.col("x")).alias("c")
+    ).collect()
+    want_round = duckdb.sql(
+        "SELECT CAST(ROUND(x*100) AS BIGINT) "
+        "FROM (SELECT UNNEST(?::DOUBLE[]) AS x)",
+        params=[vals],
+    ).fetchall()
+    # (a) signed form == ROUND everywhere
+    assert [r.sc for r in got] == [w[0] for w in want_round]
+    # (b) floor form == half-up everywhere (and == ROUND iff non-negative
+    # or not an exact negative midpoint)
+    assert [r.c for r in got] == [math.floor(v * 100 + 0.5) for v in vals]
