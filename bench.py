@@ -85,7 +85,7 @@ def main():
     # steady by dropping the 2 MB/64 KB override, everything else neutral or
     # better). At real scale files span many row groups and the same default
     # parallelizes scans naturally.
-    spark = get_spark(app_name="bench", timezone="UTC")
+    spark = get_spark(app_name="bench", timezone="UTC", data_dir=sf_dir)
     queries = entry_mod.queries()
 
     def run(df):

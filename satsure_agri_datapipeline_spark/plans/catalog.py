@@ -206,40 +206,56 @@ def sensor_impute_median(spark, sf_dir):
     use where downstream consumers need the imputed rows) is exercised by
     the pipeline e2e + unit tests. Per-sensor medians use the sort-based
     window form (see the operator's docstring for the six-way measurement)
-    with Percentile's exact ``lo + (hi-lo)·0.5`` interpolation."""
+    with Percentile's exact ``lo + (hi-lo)·0.5`` interpolation.
+
+    r8 (formulation 7, ``tools/race_impute.py``): the base aggregates
+    (n, n_null, Σ half-cents) are FOLDED INTO the median window pass —
+    both key on sensor_id, so one shuffle+sort of the full projection
+    serves both, replacing the separate groupBy scan (3 source scans →
+    2). Null rows ride the same shuffle sorted NULLS FIRST (non-null
+    rank = rn − n_null); an all-null sensor keeps its rn == 1 row so the
+    global fallback still sees it. Measured 1.67 → 1.54 s best-of-3 at
+    100× (DuckDB 0.71 s same-run); the remaining gap is the exact-median
+    sort + the separate global-median scan — the seven-way raced floor."""
     r = events_as_readings(spark, sf_dir)
     col = "battery_level"
-    base = r.groupBy("sensor_id").agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.sum(F.col(col).isNull().cast("long")).alias("__n_null"),
-        F.sum(half_cents(F.col(col))).alias("__s"),
+    allr = r.select(
+        "sensor_id",
+        F.col(col).alias("__v"),
+        half_cents(F.col(col)).alias("__hc"),
     )
-    nn = r.where(F.col(col).isNotNull()).select(
-        "sensor_id", F.col(col).alias("__v")
-    )
-    w_rn = Window.partitionBy("sensor_id").orderBy("__v")
     w_n = Window.partitionBy("sensor_id")
-    mid = nn.select(
+    w_rn = Window.partitionBy("sensor_id").orderBy(F.asc_nulls_first("__v"))
+    annotated = allr.select(
         "sensor_id",
         "__v",
+        F.count(F.lit(1)).over(w_n).alias("__n"),
+        F.sum(F.col("__v").isNull().cast("long")).over(w_n).alias("__n_null"),
+        F.sum("__hc").over(w_n).alias("__s"),
         F.row_number().over(w_rn).alias("__rn"),
-        F.count(F.lit(1)).over(w_n).alias("__m"),
-    ).where(
-        (F.col("__rn") * 2 == F.col("__m"))
-        | (F.col("__rn") * 2 == F.col("__m") + 1)
-        | (F.col("__rn") * 2 == F.col("__m") + 2)
     )
-    med = mid.groupBy("sensor_id").agg(
-        (F.min("__v") + (F.max("__v") - F.min("__v")) * F.lit(0.5)).alias("__med")
+    m = F.col("__n") - F.col("__n_null")
+    nn_rank = F.col("__rn") - F.col("__n_null")
+    kept = annotated.where(
+        (
+            F.col("__v").isNotNull()
+            & (
+                (nn_rank * 2 == m)
+                | (nn_rank * 2 == m + 1)
+                | (nn_rank * 2 == m + 2)
+            )
+        )
+        | ((m == 0) & (F.col("__rn") == 1))
+    )
+    per_sensor = kept.groupBy("sensor_id").agg(
+        (F.min("__v") + (F.max("__v") - F.min("__v")) * F.lit(0.5)).alias("__med"),
+        F.first("__n").alias("__n"),
+        F.first("__n_null").alias("__n_null"),
+        F.first("__s").alias("__s"),
     )
     gmed = r.agg(F.median(col).alias("__g"))
     return (
-        base.join(
-            med.withColumnRenamed("sensor_id", "__ms"),
-            F.col("sensor_id").eqNullSafe(F.col("__ms")),
-            "left",
-        )
-        .crossJoin(F.broadcast(gmed))
+        per_sensor.crossJoin(F.broadcast(gmed))
         .select(
             "sensor_id",
             half_up(

@@ -15,6 +15,47 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Source-parquet volume above which the session launches with zstd shuffle
+# compression (see the inline note at the conf site for the measurements).
+ZSTD_VOLUME_THRESHOLD = 8 * 1024**3
+
+
+def _pick_io_codec(data_dir: str | os.PathLike | None) -> str:
+    """Scale- AND layout-aware shuffle codec (r8 matrix at 1000×,
+    PERF.md): zstd pays ONLY in the big-raw-exchange regime — the multiway
+    join ran 92 s lz4 / 49 s zstd on raw parquet, but once the bucketed
+    fact layout serves (the engine's default once built) the exchange is
+    gone and zstd is pure CPU loss (bucketed multiway 16.0 s lz4 vs
+    17.8 s zstd; subset total 58.2 vs 62.1). So: declared input volume
+    ≥ 8 GiB AND no fresh fact layout for the data dir → zstd (first touch
+    of big raw data); layout present, small inputs, or nothing declared →
+    Spark's lz4. ``data_dir`` falls back to $SPARK_GRAFT_SF_DIR;
+    SPARK_GRAFT_IO_CODEC overrides at the conf site."""
+    from pathlib import Path
+
+    d = data_dir or os.environ.get("SPARK_GRAFT_SF_DIR")
+    if not d:
+        return "lz4"
+    try:
+        total = sum(f.stat().st_size for f in Path(d).glob("**/*.parquet"))
+    except OSError:
+        return "lz4"
+    if total < ZSTD_VOLUME_THRESHOLD:
+        return "lz4"
+    try:
+        from .sources.bucketed import MANIFEST_NAME, default_layout_dir
+
+        manifest = default_layout_dir(d) / MANIFEST_NAME
+        if manifest.exists():
+            src_mtimes = [
+                f.stat().st_mtime_ns for f in Path(d).glob("**/*.parquet")
+            ]
+            if not src_mtimes or manifest.stat().st_mtime_ns > max(src_mtimes):
+                return "lz4"  # fact layout serves; big exchanges are gone
+    except OSError:
+        pass
+    return "zstd"
+
 
 def get_spark(
     app_name: str = "satsure_agri_datapipeline_spark",
@@ -22,6 +63,7 @@ def get_spark(
     timezone: str = "UTC",
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    data_dir: str | os.PathLike | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with scale-aware defaults.
 
@@ -86,17 +128,21 @@ def get_spark(
         .config("spark.sql.session.timeZone", timezone)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        # Shuffle/broadcast/spill codec, measured BOTH ways (r6): zstd wins
-        # ~19% end-to-end on the exchange-bound dedup family at 100× bench
-        # scale (ngram-jaccard 65.5 s vs 81.2 s lz4 — shuffle bytes
-        # dominate), but LOSES ~19% on the small-shuffle sf0.1 headline set
-        # (6.74 s vs 5.64 s total — compression CPU dominates). It is a
-        # STATIC core conf (not per-query togglable), so the default stays
-        # Spark's lz4; shuffle-heavy 100 TB deployments should launch with
-        # SPARK_GRAFT_IO_CODEC=zstd.
+        # Shuffle/broadcast/spill codec — scale-selected (r8). Measured:
+        # zstd LOSES ~19% on the small-shuffle sf0.1 headline set (6.74 s
+        # vs 5.64 s — compression CPU dominates, r6), is a WASH at 100×
+        # (91.3 s lz4 vs 87.1 s zstd full headline set, mixed per-query,
+        # r8), and WINS decisively once shuffles spill out of page cache:
+        # −29% on the exchange-bound multiway join at 1000× (60.5→43.1 s,
+        # r7). It is a STATIC core conf (not per-query togglable), so the
+        # session picks it ONCE from the declared input (``data_dir`` /
+        # $SPARK_GRAFT_SF_DIR): zstd only for ≥ 8 GiB inputs WITHOUT a
+        # fresh bucketed fact layout — the one regime where giant raw
+        # exchanges exist (see _pick_io_codec for the 1000× matrix).
+        # SPARK_GRAFT_IO_CODEC still overrides in either direction.
         .config(
             "spark.io.compression.codec",
-            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+            os.environ.get("SPARK_GRAFT_IO_CODEC") or _pick_io_codec(data_dir),
         )
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -257,6 +257,8 @@ def bucketed_table_or_none(
     if name not in BUCKET_SPECS:
         return None
     env_dir = os.environ.get("SPARK_GRAFT_BUCKETED_LAYOUT")
+    if env_dir and env_dir.lower() in ("none", "off", "0", "raw"):
+        return None  # explicit raw-path escape hatch (benchmarking, debug)
     layout = Path(env_dir).resolve() if env_dir else default_layout_dir(sf_dir)
     manifest_path = layout / MANIFEST_NAME
     try:

@@ -419,7 +419,13 @@ def correlate_streams(
     return lw.join(rw, cond, how).drop(rw[key])
 
 
-def use_rocksdb_state(spark: SparkSession, enabled: bool = True) -> None:
+def use_rocksdb_state(
+    spark: SparkSession,
+    enabled: bool = True,
+    changelog: bool = True,
+    block_cache_mb: int | None = None,
+    compact_on_commit: bool = False,
+) -> None:
     """Switch Structured Streaming's state store to RocksDB (native,
     bundled with Spark 4) for queries started AFTER this call.
 
@@ -433,6 +439,13 @@ def use_rocksdb_state(spark: SparkSession, enabled: bool = True) -> None:
 
     Per-query state formats are incompatible: never flip this on an
     EXISTING checkpoint; start a fresh checkpoint directory when switching.
+
+    Tuning knobs (r8 — measured in BENCH_r08_streaming.json's matrix):
+    ``changelog`` uploads per-batch deltas instead of full snapshots at
+    checkpoint (default on — the production choice for large state);
+    ``block_cache_mb`` sizes RocksDB's shared read cache;
+    ``compact_on_commit`` forces a range compaction on every commit
+    (write-amplification trade — usually off).
     """
     if enabled:
         spark.conf.set(
@@ -443,8 +456,17 @@ def use_rocksdb_state(spark: SparkSession, enabled: bool = True) -> None:
         spark.conf.set(
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
             ".enabled",
-            "true",
+            "true" if changelog else "false",
         )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.compactOnCommit",
+            "true" if compact_on_commit else "false",
+        )
+        if block_cache_mb is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB",
+                str(block_cache_mb),
+            )
     else:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 

@@ -199,22 +199,24 @@ def test_dedup_spans_shuffles_hashes_not_text(spark):
 
 
 def test_impute_median_sort_form_and_broadcast_joinback(spark, queries):
-    # r6 exact-median shape (measured fastest of six at 100×, see
-    # operators/transformation.py): per-sensor medians via ONE shuffle+sort
-    # window over the NARROW (sensor, value) projection with middle-row
+    # r8 fused shape (formulation 7, tools/race_impute.py — 1.67→1.54 s at
+    # 100×): per-sensor medians AND base aggregates share ONE shuffle+sort
+    # window over the (sensor, value, hc) projection with middle-row
     # selection — NOT an ObjectHashAggregate Percentile (2.2× slower) and
     # NOT the r5 GROUPING SETS form whose Expand doubled the fact rows
-    # (Expand must be gone). The medians relation and the 1-row global
-    # median broadcast back onto the fact; the wide fact rows themselves
-    # never enter a window or an object aggregate.
+    # (Expand must be gone). There is no keyed join-back at all anymore:
+    # the ONLY join is the 1-row global-median broadcast (nested-loop
+    # cross join); a keyed BroadcastHashJoin reappearing means the base
+    # aggregate split back out into its own scan.
     plan = plan_of(queries["sensor_impute_median"](spark, SF))
-    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row gmed cross join
+    assert "BroadcastHashJoin" not in plan  # keyed join-back is fused away
     assert "Expand" not in plan  # the r5 GROUPING SETS regression
     # only the GLOBAL median (keys=[]) may be a Percentile object aggregate;
     # any keyed ObjectHashAggregate means the per-sensor path regressed
     for frag in plan.split("ObjectHashAggregate(keys=[")[1:]:
         assert frag.startswith("]"), "keyed ObjectHashAggregate in impute plan"
-    # windows: the rn/count pair over the narrow projection (one shuffle)
+    # windows: the rn + partition-aggregate pair over one shuffle
     assert plan.count("Window") <= 2
 
 
@@ -259,3 +261,43 @@ def test_bench_regression_guard_flags_and_unwraps_driver_artifacts():
     assert "sensor_daily_avg" in prev["flagged"]
     assert "doc_simhash" not in prev["flagged"]  # faster is never flagged
     assert regression_guard({"sensor_daily_avg": 99.0}, 31337.0) is None
+
+
+def test_scale_aware_io_codec_selection(tmp_path):
+    """r8: _pick_io_codec chooses zstd ONLY for big inputs without a fresh
+    bucketed fact layout (the measured big-raw-exchange regime); small
+    inputs, no declared dir, or a fresh layout all stay lz4."""
+    import json
+    import shutil
+    import time
+
+    from satsure_agri_datapipeline_spark import session as sess
+    from satsure_agri_datapipeline_spark.sources import bucketed as bk
+
+    assert sess._pick_io_codec(None) == "lz4"
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "a.parquet").write_bytes(b"x" * 1024)
+    assert sess._pick_io_codec(small) == "lz4"
+    big = tmp_path / "big"
+    (big / "nested").mkdir(parents=True)
+    f = big / "nested" / "b.parquet"
+    with f.open("wb") as fh:  # sparse: size without the disk cost
+        fh.seek(sess.ZSTD_VOLUME_THRESHOLD)
+        fh.write(b"\0")
+    assert sess._pick_io_codec(big) == "zstd"
+    # a FRESH fact layout for the dir flips big input back to lz4 (the
+    # exchanges zstd was winning on no longer exist)
+    layout = bk.default_layout_dir(big)
+    layout.mkdir(parents=True)
+    (layout / bk.MANIFEST_NAME).write_text(json.dumps({"tables": {}}))
+    now = time.time() + 5
+    import os as _os
+
+    _os.utime(layout / bk.MANIFEST_NAME, (now, now))
+    assert sess._pick_io_codec(big) == "lz4"
+    # ...but a STALE layout (source regenerated after it) keeps zstd
+    later = time.time() + 10
+    _os.utime(f, (later, later))
+    assert sess._pick_io_codec(big) == "zstd"
+    shutil.rmtree(layout, ignore_errors=True)

@@ -33,7 +33,7 @@ def run_spark(sf_dir: str, names: list[str], n_runs: int) -> dict:
     from satsure_agri_datapipeline_spark.operators import dedup as _dedup
     from satsure_agri_datapipeline_spark.session import get_spark
 
-    spark = get_spark(app_name="bench_scale", timezone="UTC")
+    spark = get_spark(app_name="bench_scale", timezone="UTC", data_dir=sf_dir)
     queries = entry_mod.queries()
 
     def run(df):

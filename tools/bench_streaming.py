@@ -53,8 +53,19 @@ def main():
 
     spark = get_spark(app_name="bench_streaming", timezone="UTC")
     rocksdb = os.environ.get("SPARK_GRAFT_STREAM_ROCKSDB") == "1"
+    # r8 knob matrix (BENCH_r08_streaming.json): changelog checkpointing,
+    # block-cache size, compact-on-commit — all RocksDB-only.
+    changelog = os.environ.get("SPARK_GRAFT_STREAM_CHANGELOG", "1") == "1"
+    compact = os.environ.get("SPARK_GRAFT_STREAM_COMPACT_ON_COMMIT") == "1"
+    cache_mb_env = os.environ.get("SPARK_GRAFT_STREAM_BLOCK_CACHE_MB")
+    cache_mb = int(cache_mb_env) if cache_mb_env else None
     if rocksdb:
-        use_rocksdb_state(spark)
+        use_rocksdb_state(
+            spark,
+            changelog=changelog,
+            block_cache_mb=cache_mb,
+            compact_on_commit=compact,
+        )
     work = Path(tempfile.mkdtemp(prefix="stream_bench_"))
     try:
         cfg = PipelineConfig().resolve_paths(work)
@@ -90,6 +101,12 @@ def main():
             "files_per_trigger": fpt,
             "state_store": "rocksdb" if rocksdb else "hdfs-heap",
         }
+        if rocksdb:
+            out["rocksdb_knobs"] = {
+                "changelog": changelog,
+                "compact_on_commit": compact,
+                "block_cache_mb": cache_mb,
+            }
 
         t0 = time.time()
         q = run_streaming_ingest(
@@ -100,10 +117,13 @@ def main():
             once=True,
             max_files_per_trigger=fpt,
         )
-        q.awaitTermination(1200)
+        finished = q.awaitTermination(1200)
         dt = time.time() - t0
+        if not finished:  # rows/s over partial input would be garbage
+            q.stop()
+            out["ingest_timed_out"] = True
         out["ingest_sec"] = round(dt, 2)
-        out["ingest_rows_per_sec"] = int(n_rows / dt)
+        out["ingest_rows_per_sec"] = int(n_rows / dt) if finished else None
         out["ingest_state_rows"] = spark.read.parquet(
             str(work / "ingest_out")
         ).count()
@@ -117,10 +137,13 @@ def main():
             once=True,
             max_files_per_trigger=fpt,
         )
-        q.awaitTermination(1200)
+        finished = q.awaitTermination(1200)
         dt = time.time() - t0
+        if not finished:
+            q.stop()
+            out["upsert_timed_out"] = True
         out["upsert_sec"] = round(dt, 2)
-        out["upsert_rows_per_sec"] = int(n_rows / dt)
+        out["upsert_rows_per_sec"] = int(n_rows / dt) if finished else None
         out["upsert_state_rows"] = spark.read.parquet(str(work / "state")).count()
 
         print(json.dumps(out))
