@@ -63,6 +63,7 @@ HEADLINE = [
     "doc_ngram_jaccard",
     "doc_ngram_jaccard_stored",
     "doc_minhash_lsh",
+    "doc_minhash_lsh_stored",
     "doc_simhash",
     "doc_quality_score",
     "emb_cosine_topk",
