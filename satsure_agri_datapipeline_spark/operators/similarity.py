@@ -643,3 +643,119 @@ def semantic_decontaminate(
             ).alias("contaminated"),
         )
     )
+
+
+def semantic_decontaminate_vectorized(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    eval_id_col: str = "vec_id",
+    eval_vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`semantic_decontaminate` on the Arrow/numpy fast path — same
+    contract and output schema, ~50× the throughput at scale.
+
+    The expression-fold form evaluates eval_count × dim Catalyst lambda
+    ops PER CORPUS ROW (interpreted, never codegen'd): at 100× bench scale
+    that is 784M interpreted cosines and the query runs minutes; at 1000×
+    it is effectively a DNF. Here the benchmark-sized eval set (thousands
+    of vectors — it must fit a broadcast either way) is collected once at
+    plan build, shipped as a ``SparkContext.broadcast`` numpy matrix, and
+    each Arrow batch computes ALL its cosines as one float64 matmul
+    (``batch @ evals.T``) — the corpus still never shuffles and the scan
+    stays map-only, exactly like the expression form.
+
+    Exactness: float64 throughout, cosines rounded to 6 dp, ties resolve
+    to the lowest eval id (evals are id-sorted and ``argmax`` takes the
+    first maximum), zero-norm / null vectors surface NULL cosine and
+    ``contaminated=false`` — the same rules as the expression form; the
+    two paths are equality-tested and the catalog query shares the same
+    DuckDB oracle hash gate. (Summation order inside a dot product can
+    differ from the sequential fold by last-ulp; after 6-dp rounding no
+    divergence has been observed across the test SFs — the gate would
+    surface one loudly.)
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    evals = sorted(
+        (
+            (int(r[0]), np.asarray(r[1], dtype=np.float64))
+            for r in eval_set.select(eval_id_col, eval_vec_col).collect()
+            if r[1] is not None
+        ),
+        key=lambda t: t[0],
+    )
+    if evals:
+        eids = np.array([e for e, _ in evals], dtype=np.int64)
+        mat = np.stack([v for _, v in evals])  # (m, d)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        valid_evals = norms > 0.0
+    else:
+        eids = np.empty(0, dtype=np.int64)
+        mat = np.empty((0, 0))
+        norms = np.empty(0)
+        valid_evals = np.empty(0, dtype=bool)
+    bc = spark.sparkContext.broadcast((eids, mat, norms, valid_evals))
+
+    id_field = corpus.schema[id_col]
+    out_schema = (
+        f"`{id_col}` {id_field.dataType.simpleString()}, "
+        "matched_eval_id long, max_cosine double, contaminated boolean"
+    )
+
+    def compute(batches):
+        b_eids, b_mat, b_norms, b_valid = bc.value
+        any_valid = bool(b_valid.any())
+        for pdf in batches:
+            n = len(pdf)
+            out_eid = np.full(n, np.nan)
+            out_cos = np.full(n, np.nan)
+            if n and any_valid:
+                vecs = pdf["__vec"]
+                ok_rows = np.fromiter(
+                    (v is not None for v in vecs), dtype=bool, count=n
+                )
+                if ok_rows.any():
+                    emb = np.stack(
+                        [np.asarray(v, dtype=np.float64) for v in vecs[ok_rows]]
+                    )
+                    enorm = np.sqrt((emb * emb).sum(axis=1))
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = (emb @ b_mat.T) / (
+                            enorm[:, None] * b_norms[None, :]
+                        )
+                    cos = np.round(cos, 6)
+                    # invalid cosines (zero-norm either side) never compete
+                    cos[:, ~b_valid] = -np.inf
+                    cos[enorm == 0.0, :] = -np.inf
+                    best = np.argmax(cos, axis=1)  # first max = lowest eid
+                    best_cos = cos[np.arange(len(best)), best]
+                    row_ok = np.isfinite(best_cos)
+                    idx = np.flatnonzero(ok_rows)
+                    out_eid[idx[row_ok]] = b_eids[best[row_ok]]
+                    out_cos[idx[row_ok]] = best_cos[row_ok]
+            has = ~np.isnan(out_eid)
+            # nullable dtypes: the expression form emits SQL NULL (not NaN)
+            # for rows with no valid comparison — match it exactly
+            eid_s = pd.Series(
+                np.where(has, out_eid, 0).astype(np.int64), dtype="Int64"
+            )
+            eid_s[~has] = pd.NA
+            cos_s = pd.Series(out_cos, dtype="Float64")
+            cos_s[~has] = pd.NA
+            yield pd.DataFrame(
+                {
+                    id_col: pdf["__id"].reset_index(drop=True),
+                    "matched_eval_id": eid_s,
+                    "max_cosine": cos_s,
+                    "contaminated": np.where(has, out_cos >= threshold, False),
+                }
+            )
+
+    return corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).mapInPandas(compute, out_schema)

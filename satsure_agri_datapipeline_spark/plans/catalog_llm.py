@@ -1396,6 +1396,39 @@ def doc_curation_pipeline(spark, sf_dir):
     return kept.select("doc_id").orderBy("doc_id")
 
 
+@query("doc_curation_pipeline_stored", None)
+def doc_curation_pipeline_stored(spark, sf_dir):
+    """The SAME curation pipeline with the near-dup stage served from the
+    bucketed shingle store: survivors of quality+exact filtering restrict
+    the pre-exploded relation via a broadcast semi-join (bucketing
+    preserved → the Jaccard self-join still plans zero Exchange) instead
+    of re-shingling the filtered corpus per run. Shares
+    ``doc_curation_pipeline``'s oracle — the store-fed composition is
+    hash-pinned end to end."""
+    from satsure_agri_datapipeline_spark.plans.curation import curate_corpus
+    from satsure_agri_datapipeline_spark.sources.shingle_store import (
+        ensure_shingle_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    store = ensure_shingle_store(spark, sf_dir, n=3, unit="word", seed=0)
+    kept = curate_corpus(
+        docs, bench, min_quality_e4=5000, jaccard_threshold=0.5,
+        shingle_n=3, decon_n=4, shingle_store=store,
+    )
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+from satsure_agri_datapipeline_spark.plans.catalog import (  # noqa: E402
+    ORACLES as _ORACLES_EARLY,
+)
+
+_ORACLES_EARLY["doc_curation_pipeline_stored"] = _ORACLES_EARLY[
+    "doc_curation_pipeline"
+]
+
+
 @query(
     "doc_pack_sequences",
     r"""
@@ -2175,6 +2208,31 @@ def emb_semantic_decontaminate(spark, sf_dir):
     ev = emb.where(F.col("vec_id") % 50 == 0)
     corpus = emb.where(F.col("vec_id") % 50 != 0)
     return sim.semantic_decontaminate(corpus, ev, threshold=0.99).orderBy("vec_id")
+
+
+@query("emb_semantic_decontaminate_vec", None)
+def emb_semantic_decontaminate_vec(spark, sf_dir):
+    """The SAME decontamination on the Arrow/numpy fast path
+    (similarity.semantic_decontaminate_vectorized): the eval set ships as
+    a broadcast float64 matrix and each Arrow batch computes all its
+    cosines as one matmul — the expression fold's eval_count × dim
+    interpreted lambda ops per corpus row (minutes at 100×, DNF-shaped at
+    1000×) become one BLAS call per batch. Shares the raw query's oracle
+    (registered below), so the fast path is hash-pinned, including the
+    round-6 / lowest-eid-tie / NULL-propagation rules."""
+    from satsure_agri_datapipeline_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.where(F.col("vec_id") % 50 == 0)
+    corpus = emb.where(F.col("vec_id") % 50 != 0)
+    return sim.semantic_decontaminate_vectorized(
+        corpus, ev, threshold=0.99
+    ).orderBy("vec_id")
+
+
+_ORACLES_EARLY["emb_semantic_decontaminate_vec"] = _ORACLES_EARLY[
+    "emb_semantic_decontaminate"
+]
 
 
 @query(

@@ -32,6 +32,7 @@ def curate_corpus(
     decon_n: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_store: DataFrame | None = None,
 ) -> DataFrame:
     """Return the curated corpus (same schema as ``docs``), keeping a doc iff
 
@@ -41,6 +42,18 @@ def curate_corpus(
        (n-gram Jaccard ≥ ``jaccard_threshold``);
     4. it shares no ``decon_n``-gram with ``benchmark`` (when given) —
        benchmark docs present in ``docs`` are thereby dropped too.
+
+    ``shingle_store`` (optional, r8): the corpus's bucketed exploded
+    shingle relation (``sources/shingle_store.ensure_shingle_store`` with
+    matching ``shingle_n`` — the caller owns parameter consistency).
+    When given, stage 3 skips re-shingling: the store is restricted to
+    the surviving ids with a BROADCAST semi-join (ids are fixed-width —
+    ~16 MB per 2M docs — and the broadcast preserves the store's
+    bucketing, so the Jaccard self-join still plans zero Exchange).
+    Jaccard scores are corpus-independent (per-pair set overlap), so
+    restricting full-corpus shingles to kept docs yields exactly the
+    pairs the per-run shingling computes. For corpora whose id set
+    outgrows broadcast capacity, omit the store (raw path).
     """
     kept, _ = _curate_staged(
         docs,
@@ -52,6 +65,7 @@ def curate_corpus(
         decon_n=decon_n,
         text_col=text_col,
         id_col=id_col,
+        shingle_store=shingle_store,
     )
     return kept
 
@@ -66,6 +80,7 @@ def _curate_staged(
     decon_n: int,
     text_col: str,
     id_col: str,
+    shingle_store: DataFrame | None = None,
 ) -> tuple[DataFrame, dict]:
     """Shared staged lineage. With ``observe_stages`` each stage boundary
     carries a ``CollectMetrics`` row count (Spark dedupes the metric across
@@ -98,10 +113,18 @@ def _curate_staged(
     )
     kept = mark(kept.join(keepers, id_col, "left_semi"), "after_exact")
 
-    pairs = dd.ngram_jaccard_pairs(
-        kept, n=shingle_n, threshold=jaccard_threshold,
-        text_col=text_col, id_col=id_col,
-    )
+    if shingle_store is not None:
+        surviving = shingle_store.join(
+            F.broadcast(kept.select(id_col)), id_col, "left_semi"
+        )
+        pairs = dd.jaccard_pairs_from_exploded(
+            surviving, jaccard_threshold, id_col=id_col
+        )
+    else:
+        pairs = dd.ngram_jaccard_pairs(
+            kept, n=shingle_n, threshold=jaccard_threshold,
+            text_col=text_col, id_col=id_col,
+        )
     kept = mark(dd.dedup_keep_canonical(kept, pairs, id_col=id_col), "after_near_dup")
 
     if benchmark is not None:

@@ -1184,3 +1184,66 @@ def test_curate_incremental_three_batches(spark):
         b1.union(b2), dig.union(dig2), bands.union(bands2), min_quality_e4=0
     )
     assert acc3.count() == 0
+
+
+def test_semantic_decontaminate_vectorized_matches_expression(spark):
+    """r8 Arrow/numpy fast path == expression-fold form cell for cell,
+    including the edge rules: zero-norm corpus vector (NULL cosine, not
+    contaminated), NULL embedding, round-6 ties to the lowest eval id."""
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0]),
+            (11, [0.0, 0.0, 0.0]),  # zero-norm: no valid cosine
+            (12, None),  # null embedding
+            (13, [0.6, 0.8, 0.0]),
+            (14, [-1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    evals = spark.createDataFrame(
+        [
+            (2, [1.0, 0.0, 0.0]),
+            (1, [2.0, 0.0, 0.0]),  # same direction as eid 2: round-6 tie
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    a = sorted(
+        map(tuple, sim.semantic_decontaminate(corpus, evals, 0.9).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            sim.semantic_decontaminate_vectorized(corpus, evals, 0.9).collect(),
+        )
+    )
+    assert a == b
+    by_id = {t[0]: t for t in b}
+    assert by_id[10][1] == 1  # tie between eids 1 and 2 -> lowest wins
+    assert by_id[11][2] is None and by_id[11][3] is False
+    assert by_id[12][2] is None and by_id[12][3] is False
+
+
+def test_curation_pipeline_store_fed_matches_raw(spark, tmp_path):
+    """r8: curate_corpus(shingle_store=...) returns identical survivors to
+    the per-run re-shingling path on real testdata."""
+    from satsure_agri_datapipeline_spark.plans.curation import curate_corpus
+    from satsure_agri_datapipeline_spark.sources.shingle_store import (
+        ensure_shingle_store,
+    )
+    from satsure_agri_datapipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    raw = sorted(
+        r.doc_id for r in curate_corpus(docs, bench).select("doc_id").collect()
+    )
+    store = ensure_shingle_store(spark, sf, n=3, unit="word", seed=0)
+    fed = sorted(
+        r.doc_id
+        for r in curate_corpus(docs, bench, shingle_store=store)
+        .select("doc_id")
+        .collect()
+    )
+    assert fed == raw and len(raw) > 0
