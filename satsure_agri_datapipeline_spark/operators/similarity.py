@@ -710,6 +710,15 @@ def semantic_decontaminate_vectorized(
     def compute(batches):
         b_eids, b_mat, b_norms, b_valid = bc.value
         any_valid = bool(b_valid.any())
+        # Chunk BOTH dimensions so the cosine tile stays cache-resident:
+        # an unchunked 10k-row Arrow batch against a 40k-vector eval set
+        # materializes a 3.2 GB float64 matrix (then again for round) —
+        # the 1000× profile showed pure memory traffic, not FLOPs. Tiles
+        # of 2048×4096 are 64 MB; the running (best_cos, best_eid) merge
+        # keeps the first-max/lowest-eid tie rule because eval chunks are
+        # visited in ascending-eid order and only STRICTLY greater cosines
+        # replace the incumbent.
+        row_chunk, eval_chunk = 2048, 4096
         for pdf in batches:
             n = len(pdf)
             out_eid = np.full(n, np.nan)
@@ -724,19 +733,36 @@ def semantic_decontaminate_vectorized(
                         [np.asarray(v, dtype=np.float64) for v in vecs[ok_rows]]
                     )
                     enorm = np.sqrt((emb * emb).sum(axis=1))
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        cos = (emb @ b_mat.T) / (
-                            enorm[:, None] * b_norms[None, :]
-                        )
-                    cos = np.round(cos, 6)
-                    # invalid cosines (zero-norm either side) never compete
-                    cos[:, ~b_valid] = -np.inf
-                    cos[enorm == 0.0, :] = -np.inf
-                    best = np.argmax(cos, axis=1)  # first max = lowest eid
-                    best_cos = cos[np.arange(len(best)), best]
+                    m_rows = emb.shape[0]
+                    best_cos = np.full(m_rows, -np.inf)
+                    best_idx = np.zeros(m_rows, dtype=np.int64)
+                    for r0 in range(0, m_rows, row_chunk):
+                        r1 = min(r0 + row_chunk, m_rows)
+                        er = emb[r0:r1]
+                        nr = enorm[r0:r1]
+                        bc_cos = best_cos[r0:r1]
+                        bc_idx = best_idx[r0:r1]
+                        for e0 in range(0, len(b_eids), eval_chunk):
+                            e1 = min(e0 + eval_chunk, len(b_eids))
+                            with np.errstate(
+                                divide="ignore", invalid="ignore"
+                            ):
+                                cos = (er @ b_mat[e0:e1].T) / (
+                                    nr[:, None] * b_norms[None, e0:e1]
+                                )
+                            np.round(cos, 6, out=cos)
+                            cos[:, ~b_valid[e0:e1]] = -np.inf
+                            loc = np.argmax(cos, axis=1)
+                            loc_cos = cos[np.arange(len(loc)), loc]
+                            better = loc_cos > bc_cos
+                            bc_idx[better] = loc[better] + e0
+                            bc_cos[better] = loc_cos[better]
+                        best_cos[r0:r1] = bc_cos
+                        best_idx[r0:r1] = bc_idx
+                    best_cos[enorm == 0.0] = -np.inf
                     row_ok = np.isfinite(best_cos)
                     idx = np.flatnonzero(ok_rows)
-                    out_eid[idx[row_ok]] = b_eids[best[row_ok]]
+                    out_eid[idx[row_ok]] = b_eids[best_idx[row_ok]]
                     out_cos[idx[row_ok]] = best_cos[row_ok]
             has = ~np.isnan(out_eid)
             # nullable dtypes: the expression form emits SQL NULL (not NaN)
@@ -756,6 +782,15 @@ def semantic_decontaminate_vectorized(
                 }
             )
 
-    return corpus.select(
+    src = corpus.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
-    ).mapInPandas(compute, out_schema)
+    )
+    # CPU-dense map stage: scan partitioning is file/row-group bounded (the
+    # 1000× embeddings dir is 8 files → 8 tasks on 32 cores). A round-robin
+    # repartition of the narrow (id, vec) projection costs one exchange and
+    # buys full-width parallelism for the matmuls — worth it whenever the
+    # scan can't feed every core.
+    want = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < want:
+        src = src.repartition(want)
+    return src.mapInPandas(compute, out_schema)
