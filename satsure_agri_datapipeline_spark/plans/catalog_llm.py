@@ -2207,7 +2207,16 @@ def emb_semantic_decontaminate(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     ev = emb.where(F.col("vec_id") % 50 == 0)
     corpus = emb.where(F.col("vec_id") % 50 != 0)
-    return sim.semantic_decontaminate(corpus, ev, threshold=0.99).orderBy("vec_id")
+    # report_sort, not orderBy: the decon plan is map-only and scan-rooted,
+    # so orderBy's range-boundary SAMPLING pass re-executes the whole
+    # (expensive) map before the real shuffle runs it again — measured at
+    # 1000×: compute 193.6 s, orderBy tail re-ran it at reduced width.
+    # The total order exists only for the oracle compare.
+    from satsure_agri_datapipeline_spark.operators.joins import report_sort
+
+    return report_sort(
+        sim.semantic_decontaminate(corpus, ev, threshold=0.99), "vec_id"
+    )
 
 
 @query("emb_semantic_decontaminate_vec", None)
@@ -2225,9 +2234,12 @@ def emb_semantic_decontaminate_vec(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     ev = emb.where(F.col("vec_id") % 50 == 0)
     corpus = emb.where(F.col("vec_id") % 50 != 0)
-    return sim.semantic_decontaminate_vectorized(
-        corpus, ev, threshold=0.99
-    ).orderBy("vec_id")
+    from satsure_agri_datapipeline_spark.operators.joins import report_sort
+
+    return report_sort(
+        sim.semantic_decontaminate_vectorized(corpus, ev, threshold=0.99),
+        "vec_id",
+    )
 
 
 _ORACLES_EARLY["emb_semantic_decontaminate_vec"] = _ORACLES_EARLY[
