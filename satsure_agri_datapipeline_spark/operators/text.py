@@ -652,14 +652,20 @@ def inverted_index(
     per-group state ever materializes — the discipline an inverted index
     over a 100 TB corpus requires (full posting lists would be written
     partitioned by token range, not collected).
+
+    r8: the (token, doc) dedup happens MAP-SIDE via ``array_distinct``
+    per document — each doc then contributes each token exactly once, so
+    the relation is globally distinct by construction and the old
+    post-explode ``.distinct()`` (a full shuffle of every exploded pair,
+    the operator's dominant cost and its super-linear wall once the
+    shuffle outgrew memory: 5.3 s → 88.4 s across 100×→1000×) is gone.
+    The remaining shuffles are the map-side-combined df count and the
+    two bounded windows.
     """
-    pairs = (
-        df.select(
-            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
-        )
-        .where(F.col("tok") != "")
-        .distinct()
+    toks = F.array_distinct(
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     )
+    pairs = df.select(F.col(id_col), F.explode(toks).alias("tok"))
     dfreq = pairs.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w_top = Window.orderBy(F.col("df").desc(), F.col("tok"))
     top = dfreq.withColumn("__r", F.row_number().over(w_top)).where(

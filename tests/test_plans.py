@@ -301,3 +301,16 @@ def test_scale_aware_io_codec_selection(tmp_path):
     _os.utime(f, (later, later))
     assert sess._pick_io_codec(big) == "zstd"
     shutil.rmtree(layout, ignore_errors=True)
+
+
+def test_inverted_index_no_pair_distinct_exchange(spark, queries):
+    # r8: (token, doc) dedup is map-side (array_distinct per document) —
+    # the old post-explode .distinct() shuffled EVERY exploded pair on
+    # (doc_id, tok) and was the operator's super-linear wall (88.4 -> 22.4 s
+    # at 1000x). Any hashpartitioning on both pair columns means the
+    # full-relation distinct crept back in.
+    plan = plan_of(queries["doc_inverted_index"](spark, SF))
+    import re
+
+    for cols in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert not ("doc_id" in cols and "tok" in cols), cols
