@@ -34,7 +34,7 @@ CPU and the band exchange is tens of TB.
 from __future__ import annotations
 
 import json
-import shutil
+import os
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,10 +42,15 @@ from pyspark.sql import DataFrame, SparkSession
 from satsure_agri_datapipeline_spark.sources.store_util import (
     atomic_swap,
     build_scratch_dir,
+    classify_source_change,
+    discard_retired,
     layout_dir,
+    retire_layout,
+    source_fingerprint,
 )
 
 MANIFEST_NAME = "_band_manifest.json"
+ENV_KNOB = "SPARK_GRAFT_BAND_STORE"
 
 
 def _table_name(num_hashes: int, band_size: int, n: int) -> str:
@@ -73,6 +78,10 @@ def build_band_store(
 
     layout = Path(layout).resolve()
     layout.mkdir(parents=True, exist_ok=True)
+    # Fingerprint BEFORE the read: a file landing mid-build is then absent
+    # from the manifest and picked up as an append delta next ensure —
+    # never silently recorded-but-unread.
+    files = source_fingerprint(Path(sf_dir).resolve() / "documents.parquet")
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signature_arrays(docs, num_hashes=num_hashes, n=n)
     bands = _band_rows(sig, band_size, "doc_id").select(
@@ -96,6 +105,8 @@ def build_band_store(
         "n": n,
         "n_buckets": n_buckets,
         "table": tbl,
+        "files": files,
+        "deltas": [],
         "ddl_schema": ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in bands.schema.fields
         ),
@@ -116,6 +127,113 @@ def _attach(spark: SparkSession, layout: Path, manifest: dict) -> None:
     )
 
 
+def _serve_attached(spark: SparkSession, layout: Path, manifest: dict) -> DataFrame:
+    """Attach-if-needed with location verification: a table by this name
+    from an EARLIER store (different tmpdir, rebuilt data, or the scratch
+    dir a build registered) must not be served — verify location, like
+    ``bucketed.register_bucketed_layout`` does."""
+    from satsure_agri_datapipeline_spark.sources.bucketed import (
+        _normalize_location,
+        _table_location,
+    )
+
+    tbl = manifest["table"]
+    if not spark.catalog.tableExists(tbl):
+        _attach(spark, layout, manifest)
+    elif _table_location(spark, tbl) != _normalize_location(str(layout / tbl)):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        _attach(spark, layout, manifest)
+    return spark.table(tbl)
+
+
+def _classify(
+    manifest_path: Path,
+    sf_resolved: Path,
+    params: tuple,
+) -> tuple[str, list[str], dict | None]:
+    """(state, new_files, manifest) where state ∈ fresh|append|rebuild.
+    A manifest from other params/source, a pre-fingerprint manifest, or one
+    carrying a ``pending_delta`` marker (a delta append that may or may not
+    have committed before a crash — indistinguishable, so never trusted)
+    all classify as rebuild."""
+    if not manifest_path.exists():
+        return ("rebuild", [], None)
+    manifest = json.loads(manifest_path.read_text())
+    if manifest.get("sf_dir") != str(sf_resolved) or (
+        manifest.get("num_hashes"),
+        manifest.get("band_size"),
+        manifest.get("n"),
+        manifest.get("n_buckets"),
+    ) != params:
+        return ("rebuild", [], manifest)
+    if "pending_delta" in manifest:
+        return ("rebuild", [], manifest)
+    current = source_fingerprint(sf_resolved / "documents.parquet")
+    state, new_files = classify_source_change(manifest.get("files"), current)
+    return (state, new_files, manifest)
+
+
+def append_band_delta(
+    spark: SparkSession,
+    layout: Path,
+    manifest: dict,
+    new_files: list[str],
+) -> dict:
+    """Delta maintenance for a data drop: compute band rows for ONLY the
+    new source files and append them into the standing bucketed table —
+    cost ∝ the batch, not the corpus (the 100-TB point of the store; a
+    full rebuild re-pays the whole signature pass per drop). Spark appends
+    per-bucket files alongside the existing ones; the scan still reports
+    HashPartitioning(band, band_sig), so the zero-Exchange join plans are
+    unchanged (probe-verified: multi-file buckets keep outputPartitioning).
+
+    Crash discipline: the manifest is stamped ``pending_delta`` BEFORE the
+    insert and finalized after — a crash between the two leaves a marker
+    that forces a full rebuild next ensure (a committed-but-unrecorded
+    append is indistinguishable from an uncommitted one)."""
+    from satsure_agri_datapipeline_spark.operators.dedup import (
+        _band_rows,
+        minhash_signature_arrays,
+    )
+    from satsure_agri_datapipeline_spark.sources.tables import load_parquet_files
+
+    manifest_path = layout / MANIFEST_NAME
+    _serve_attached(spark, layout, manifest)
+    pending = dict(manifest, pending_delta=sorted(new_files))
+    manifest_path.write_text(json.dumps(pending, indent=2))
+
+    src = Path(manifest["sf_dir"]) / "documents.parquet"
+    # Fingerprint before the read, and record ONLY the files this delta
+    # actually read: a file landing between classify and here stays
+    # unrecorded and is picked up by the next ensure as its own delta.
+    current = source_fingerprint(src)
+    read_files = {f: current[f] for f in new_files if f in current}
+    if set(read_files) != set(new_files):
+        raise FileNotFoundError(
+            "band-store delta: a new source file vanished before the read"
+        )
+    docs = load_parquet_files(spark, [src / f for f in sorted(new_files)])
+    sig = minhash_signature_arrays(
+        docs, num_hashes=manifest["num_hashes"], n=manifest["n"]
+    )
+    bands = _band_rows(sig, manifest["band_size"], "doc_id").select(
+        "doc_id", "band", "band_sig", "sig"
+    )
+    (
+        bands.repartition(manifest["n_buckets"], "band", "band_sig")
+        .write.format("parquet")
+        .mode("append")
+        .bucketBy(manifest["n_buckets"], "band", "band_sig")
+        .sortBy("band", "band_sig")
+        .saveAsTable(manifest["table"])
+    )
+    done = dict(manifest)
+    done["files"] = {**manifest.get("files", {}), **read_files}
+    done["deltas"] = list(manifest.get("deltas", [])) + [sorted(new_files)]
+    manifest_path.write_text(json.dumps(done, indent=2))
+    return done
+
+
 def ensure_band_store(
     spark: SparkSession,
     sf_dir: str | Path,
@@ -126,36 +244,28 @@ def ensure_band_store(
 ) -> DataFrame:
     """Serve the band relation ``(doc_id, band, band_sig, sig)`` from the
     per-(sf_dir, params) store, building it on first use and re-attaching
-    (metadata-only DDL) in later sessions. Rebuilds when the manifest is
-    missing, was built from different data/params, or is older than the
-    source parquet."""
+    (metadata-only DDL) in later sessions. Maintenance is
+    fingerprint-driven: an unchanged source serves as-is; a source that
+    only GAINED files (a data drop into a directory source) triggers an
+    append delta over just those files; any mutation/deletion (or a
+    single-file source rewrite) triggers a full rebuild. Stale layouts are
+    renamed aside (not rmtree'd in place) so concurrent readers of the old
+    layout finish their scans."""
     sf_resolved = Path(sf_dir).resolve()
+    params = (num_hashes, band_size, n, n_buckets)
     layout = layout_dir(
         "bands", sf_resolved, num_hashes, band_size, n, n_buckets
     )
     manifest_path = layout / MANIFEST_NAME
-    tbl = _table_name(num_hashes, band_size, n)
-
-    needs_build = True
-    if manifest_path.exists():
-        manifest = json.loads(manifest_path.read_text())
-        src = sf_resolved / "documents.parquet"
-        src_mtime = src.stat().st_mtime_ns if src.exists() else 0
-        if (
-            manifest.get("sf_dir") == str(sf_resolved)
-            and (
-                manifest.get("num_hashes"),
-                manifest.get("band_size"),
-                manifest.get("n"),
-                manifest.get("n_buckets"),
-            )
-            == (num_hashes, band_size, n, n_buckets)
-            and manifest_path.stat().st_mtime_ns > src_mtime
-        ):
-            needs_build = False
-    if needs_build:
-        if layout.exists():  # stale layout must not survive under the path
-            shutil.rmtree(layout, ignore_errors=True)
+    state, new_files, manifest = _classify(manifest_path, sf_resolved, params)
+    if state == "append":
+        try:
+            manifest = append_band_delta(spark, layout, manifest, new_files)
+            return _serve_attached(spark, layout, manifest)
+        except Exception:
+            state = "rebuild"  # pending_delta marker forces it anyway
+    if state == "rebuild":
+        aside = retire_layout(layout)
         scratch = build_scratch_dir(layout)
         build_band_store(
             spark,
@@ -167,18 +277,39 @@ def ensure_band_store(
             n_buckets=n_buckets,
         )
         atomic_swap(scratch, layout)
-    manifest = json.loads(manifest_path.read_text())
-    # A table by this name from an EARLIER store (different tmpdir, rebuilt
-    # data, or the scratch dir the build registered) must not be served —
-    # verify location, like bucketed.register_bucketed_layout does.
-    from satsure_agri_datapipeline_spark.sources.bucketed import (
-        _normalize_location,
-        _table_location,
-    )
+        discard_retired(aside)
+        manifest = json.loads(manifest_path.read_text())
+    return _serve_attached(spark, layout, manifest)
 
-    if not spark.catalog.tableExists(tbl):
-        _attach(spark, layout, manifest)
-    elif _table_location(spark, tbl) != _normalize_location(str(layout / tbl)):
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        _attach(spark, layout, manifest)
-    return spark.table(tbl)
+
+def band_store_or_none(
+    spark: SparkSession,
+    sf_dir: str | Path,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+    n_buckets: int = 32,
+) -> DataFrame | None:
+    """The default-serving hook (r8 fact-layout pattern,
+    ``bucketed.bucketed_table_or_none``): serve the band store under the
+    RAW query names when a FRESH store exists, ``None`` otherwise (caller
+    computes from raw text). Never builds and never delta-appends — ingest
+    cost stays explicit (``ensure_band_store`` / the stored names pay it);
+    a store awaiting an append delta is stale for the raw name and is not
+    served. ``SPARK_GRAFT_BAND_STORE=none|off|0|raw`` is the escape
+    hatch."""
+    knob = os.environ.get(ENV_KNOB, "")
+    if knob.lower() in ("none", "off", "0", "raw"):
+        return None
+    sf_resolved = Path(sf_dir).resolve()
+    params = (num_hashes, band_size, n, n_buckets)
+    layout = layout_dir(
+        "bands", sf_resolved, num_hashes, band_size, n, n_buckets
+    )
+    state, _, manifest = _classify(layout / MANIFEST_NAME, sf_resolved, params)
+    if state != "fresh":
+        return None
+    try:
+        return _serve_attached(spark, layout, manifest)
+    except Exception:
+        return None  # racing rebuild retired the layout mid-attach: raw path

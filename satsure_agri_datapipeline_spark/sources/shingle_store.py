@@ -29,12 +29,24 @@ tens of TB and its exchange dominates the query.
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from satsure_agri_datapipeline_spark.sources.store_util import (
+    atomic_swap,
+    build_scratch_dir,
+    classify_source_change,
+    discard_retired,
+    layout_dir,
+    retire_layout,
+    source_fingerprint,
+)
+
 MANIFEST_NAME = "_shingle_manifest.json"
+ENV_KNOB = "SPARK_GRAFT_SHINGLE_STORE"
 
 
 def _table_name(n: int, unit: str, seed: int) -> str:
@@ -59,6 +71,9 @@ def build_shingle_store(
 
     layout = Path(layout_dir).resolve()
     layout.mkdir(parents=True, exist_ok=True)
+    # Fingerprint BEFORE the read: a file landing mid-build is then absent
+    # from the manifest and picked up as an append delta next ensure.
+    files = source_fingerprint(Path(sf_dir).resolve() / "documents.parquet")
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_hash_arrays(docs, n=n, seed=seed, unit=unit).select(
         "doc_id",
@@ -83,6 +98,8 @@ def build_shingle_store(
         "seed": seed,
         "n_buckets": n_buckets,
         "table": tbl,
+        "files": files,
+        "deltas": [],
         "ddl_schema": ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in sh.schema.fields
         ),
@@ -103,6 +120,95 @@ def _attach(spark: SparkSession, layout: Path, manifest: dict) -> None:
     )
 
 
+def _serve_attached(spark: SparkSession, layout: Path, manifest: dict) -> DataFrame:
+    """Attach-if-needed with location verification (see band_store)."""
+    from satsure_agri_datapipeline_spark.sources.bucketed import (
+        _normalize_location,
+        _table_location,
+    )
+
+    tbl = manifest["table"]
+    if not spark.catalog.tableExists(tbl):
+        _attach(spark, layout, manifest)
+    elif _table_location(spark, tbl) != _normalize_location(str(layout / tbl)):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        _attach(spark, layout, manifest)
+    return spark.table(tbl)
+
+
+def _classify(
+    manifest_path: Path, sf_resolved: Path, params: tuple
+) -> tuple[str, list[str], dict | None]:
+    """(state, new_files, manifest); state ∈ fresh|append|rebuild — same
+    contract as band_store._classify (pending_delta ⇒ rebuild)."""
+    if not manifest_path.exists():
+        return ("rebuild", [], None)
+    manifest = json.loads(manifest_path.read_text())
+    if manifest.get("sf_dir") != str(sf_resolved) or (
+        manifest.get("n"),
+        manifest.get("unit"),
+        manifest.get("seed"),
+        manifest.get("n_buckets"),
+    ) != params:
+        return ("rebuild", [], manifest)
+    if "pending_delta" in manifest:
+        return ("rebuild", [], manifest)
+    current = source_fingerprint(sf_resolved / "documents.parquet")
+    state, new_files = classify_source_change(manifest.get("files"), current)
+    return (state, new_files, manifest)
+
+
+def append_shingle_delta(
+    spark: SparkSession,
+    layout: Path,
+    manifest: dict,
+    new_files: list[str],
+) -> dict:
+    """Delta maintenance for a data drop: shingle-hash ONLY the new source
+    files and append their exploded rows into the standing bucketed table
+    — cost ∝ the batch, not the corpus. Shingle rows are per-doc
+    (``n_sh`` rides each row), so appended docs need no reconciliation
+    with standing rows. Same pending_delta crash discipline as
+    ``band_store.append_band_delta``."""
+    from satsure_agri_datapipeline_spark.operators.dedup import shingle_hash_arrays
+    from satsure_agri_datapipeline_spark.sources.tables import load_parquet_files
+
+    manifest_path = layout / MANIFEST_NAME
+    _serve_attached(spark, layout, manifest)
+    pending = dict(manifest, pending_delta=sorted(new_files))
+    manifest_path.write_text(json.dumps(pending, indent=2))
+
+    src = Path(manifest["sf_dir"]) / "documents.parquet"
+    # Record ONLY the files this delta actually read (see band_store).
+    current = source_fingerprint(src)
+    read_files = {f: current[f] for f in new_files if f in current}
+    if set(read_files) != set(new_files):
+        raise FileNotFoundError(
+            "shingle-store delta: a new source file vanished before the read"
+        )
+    docs = load_parquet_files(spark, [src / f for f in sorted(new_files)])
+    sh = shingle_hash_arrays(
+        docs, n=manifest["n"], seed=manifest["seed"], unit=manifest["unit"]
+    ).select(
+        "doc_id",
+        F.size("shs").alias("n_sh"),
+        F.explode("shs").alias("sh"),
+    )
+    (
+        sh.repartition(manifest["n_buckets"], "sh")
+        .write.format("parquet")
+        .mode("append")
+        .bucketBy(manifest["n_buckets"], "sh")
+        .sortBy("sh")
+        .saveAsTable(manifest["table"])
+    )
+    done = dict(manifest)
+    done["files"] = {**manifest.get("files", {}), **read_files}
+    done["deltas"] = list(manifest.get("deltas", [])) + [sorted(new_files)]
+    manifest_path.write_text(json.dumps(done, indent=2))
+    return done
+
+
 def ensure_shingle_store(
     spark: SparkSession,
     sf_dir: str | Path,
@@ -113,61 +219,58 @@ def ensure_shingle_store(
 ) -> DataFrame:
     """Serve the exploded shingle relation from the per-(sf_dir, params)
     store, building it on first use and re-attaching (metadata-only DDL)
-    in later sessions. Rebuilds when the manifest is missing, was built
-    from different data/params, or is older than the source parquet.
-    Builds go through a process-unique scratch dir + atomic rename
-    (``store_util``) so concurrent builders never interleave, and the
-    digest key includes every byte-affecting parameter (incl. n_buckets)."""
-    import shutil
-
-    from satsure_agri_datapipeline_spark.sources.store_util import (
-        atomic_swap,
-        build_scratch_dir,
-        layout_dir,
-    )
-
+    in later sessions. Fingerprint-driven maintenance: unchanged source →
+    serve; source that only gained files → append delta over just those
+    files; mutation/deletion → full rebuild through a scratch dir + atomic
+    rename, with the stale layout renamed aside (not rmtree'd) so
+    concurrent readers finish. The digest key includes every
+    byte-affecting parameter (incl. n_buckets)."""
     sf_resolved = Path(sf_dir).resolve()
+    params = (n, unit, seed, n_buckets)
     layout = layout_dir("shingles", sf_resolved, n, unit, seed, n_buckets)
     manifest_path = layout / MANIFEST_NAME
-    tbl = _table_name(n, unit, seed)
-
-    needs_build = True
-    if manifest_path.exists():
-        manifest = json.loads(manifest_path.read_text())
-        src = sf_resolved / "documents.parquet"
-        src_mtime = src.stat().st_mtime_ns if src.exists() else 0
-        if (
-            manifest.get("sf_dir") == str(sf_resolved)
-            and (
-                manifest.get("n"),
-                manifest.get("unit"),
-                manifest.get("seed"),
-                manifest.get("n_buckets"),
-            )
-            == (n, unit, seed, n_buckets)
-            and manifest_path.stat().st_mtime_ns > src_mtime
-        ):
-            needs_build = False
-    if needs_build:
-        if layout.exists():  # stale layout must not survive under the path
-            shutil.rmtree(layout, ignore_errors=True)
+    state, new_files, manifest = _classify(manifest_path, sf_resolved, params)
+    if state == "append":
+        try:
+            manifest = append_shingle_delta(spark, layout, manifest, new_files)
+            return _serve_attached(spark, layout, manifest)
+        except Exception:
+            state = "rebuild"  # pending_delta marker forces it anyway
+    if state == "rebuild":
+        aside = retire_layout(layout)
         scratch = build_scratch_dir(layout)
         build_shingle_store(
             spark, sf_resolved, scratch, n=n, unit=unit, seed=seed, n_buckets=n_buckets
         )
         atomic_swap(scratch, layout)
-    manifest = json.loads(manifest_path.read_text())
-    # A table by this name from an EARLIER store (different tmpdir, rebuilt
-    # data, or the scratch dir the build registered) must not be served —
-    # verify location, like bucketed.register_bucketed_layout does.
-    from satsure_agri_datapipeline_spark.sources.bucketed import (
-        _normalize_location,
-        _table_location,
-    )
+        discard_retired(aside)
+        manifest = json.loads(manifest_path.read_text())
+    return _serve_attached(spark, layout, manifest)
 
-    if not spark.catalog.tableExists(tbl):
-        _attach(spark, layout, manifest)
-    elif _table_location(spark, tbl) != _normalize_location(str(layout / tbl)):
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        _attach(spark, layout, manifest)
-    return spark.table(tbl)
+
+def shingle_store_or_none(
+    spark: SparkSession,
+    sf_dir: str | Path,
+    n: int = 3,
+    unit: str = "word",
+    seed: int = 0,
+    n_buckets: int = 32,
+) -> DataFrame | None:
+    """Default-serving hook for the RAW query names (r8 fact-layout
+    pattern): serve a FRESH store when one exists, ``None`` otherwise.
+    Never builds and never delta-appends; a store awaiting an append is
+    stale for the raw name. ``SPARK_GRAFT_SHINGLE_STORE=none|off|0|raw``
+    is the escape hatch."""
+    knob = os.environ.get(ENV_KNOB, "")
+    if knob.lower() in ("none", "off", "0", "raw"):
+        return None
+    sf_resolved = Path(sf_dir).resolve()
+    params = (n, unit, seed, n_buckets)
+    layout = layout_dir("shingles", sf_resolved, n, unit, seed, n_buckets)
+    state, _, manifest = _classify(layout / MANIFEST_NAME, sf_resolved, params)
+    if state != "fresh":
+        return None
+    try:
+        return _serve_attached(spark, layout, manifest)
+    except Exception:
+        return None  # racing rebuild retired the layout mid-attach: raw path

@@ -23,10 +23,15 @@ discipline implemented here:
 from __future__ import annotations
 
 import hashlib
+import itertools
 import os
 import shutil
 import tempfile
 from pathlib import Path
+
+# Process-local uniquifier for retire_layout aside names: two retires of the
+# same layout within one process (test loops) must not collide on the pid.
+_ASIDE_COUNTER = itertools.count()
 
 
 def layout_dir(kind: str, *key_parts: object) -> Path:
@@ -40,6 +45,72 @@ def layout_dir(kind: str, *key_parts: object) -> Path:
 def build_scratch_dir(layout: Path) -> Path:
     """Process-unique sibling of ``layout`` to build into before the swap."""
     return layout.parent / f"{layout.name}.build{os.getpid()}"
+
+
+def source_fingerprint(src: Path) -> dict[str, list[int]]:
+    """``{relpath: [mtime_ns, size]}`` for a parquet source that is either a
+    single file or a directory of part files. Hidden/underscore-prefixed
+    entries (``_SUCCESS``, ``.crc``) are ignored — they carry no data and
+    committers touch them freely. The fingerprint is the store manifests'
+    provenance record: identical fingerprint ⇒ identical source bytes for
+    staleness purposes (mtime_ns + size per file)."""
+    if not src.exists():
+        return {}
+    if src.is_file():
+        st = src.stat()
+        return {src.name: [st.st_mtime_ns, st.st_size]}
+    out: dict[str, list[int]] = {}
+    for f in sorted(src.rglob("*")):
+        if f.is_file() and not f.name.startswith((".", "_")):
+            st = f.stat()
+            out[str(f.relative_to(src))] = [st.st_mtime_ns, st.st_size]
+    return out
+
+
+def classify_source_change(
+    recorded: dict[str, list[int]] | None, current: dict[str, list[int]]
+) -> tuple[str, list[str]]:
+    """Compare a manifest's recorded source fingerprint against the current
+    one: ``("fresh", [])`` when identical, ``("append", new_relpaths)`` when
+    every recorded file is byte-identical and only NEW files appeared (the
+    delta-maintenance case — a data drop into a directory source), else
+    ``("rebuild", [])`` (mutation, deletion, single-file rewrite, or a
+    pre-fingerprint manifest). JSON round-trips fingerprints as lists, so
+    entries compare as lists on both sides."""
+    if not recorded or not current:
+        return ("rebuild", [])
+    rec = {k: list(v) for k, v in recorded.items()}
+    cur = {k: list(v) for k, v in current.items()}
+    if rec == cur:
+        return ("fresh", [])
+    if all(cur.get(k) == v for k, v in rec.items()):
+        return ("append", sorted(k for k in cur if k not in rec))
+    return ("rebuild", [])
+
+
+def retire_layout(layout: Path) -> Path | None:
+    """Atomically rename a stale layout ASIDE (instead of rmtree-in-place)
+    so a concurrent session already scanning tables registered over the old
+    location keeps reading complete files for the whole rebuild; the caller
+    deletes the returned aside dir after the new layout is swapped in.
+    Returns None when the layout doesn't exist or another process already
+    retired it (benign race — both were replacing the same stale bytes)."""
+    if not layout.exists():
+        return None
+    aside = layout.parent / (
+        f"{layout.name}.old{os.getpid()}_{next(_ASIDE_COUNTER)}"
+    )
+    try:
+        os.rename(layout, aside)
+    except OSError:
+        return None
+    return aside
+
+
+def discard_retired(aside: Path | None) -> None:
+    """Best-effort cleanup of a retire_layout aside dir."""
+    if aside is not None:
+        shutil.rmtree(aside, ignore_errors=True)
 
 
 def atomic_swap(scratch: Path, layout: Path) -> None:

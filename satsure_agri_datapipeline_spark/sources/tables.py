@@ -74,6 +74,26 @@ def load_table(spark: SparkSession, sf_dir: str | Path, name: str) -> DataFrame:
     return df
 
 
+def load_parquet_files(
+    spark: SparkSession, paths: list[str | Path]
+) -> DataFrame:
+    """Read an explicit list of parquet files with the same ns-timestamp
+    normalization as ``load_table`` — the delta-maintenance read path for
+    the ingest-time stores (``band_store``/``shingle_store``), which must
+    process ONLY a data drop's new files, never rescan the standing
+    corpus."""
+    if not paths:
+        raise ValueError("load_parquet_files: empty path list")
+    str_paths = [str(p) for p in paths]
+    ns_cols = _nanos_timestamp_columns(str_paths[0])
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(*str_paths)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str | Path, names: list[str] | None = None
 ) -> dict[str, DataFrame]:

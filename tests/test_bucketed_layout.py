@@ -415,3 +415,197 @@ def test_default_serving_path_and_staleness_fallback(spark, tmp_path):
 
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
     shutil.rmtree(bk.default_layout_dir(src), ignore_errors=True)
+
+
+def _write_single_part(df, dest_dir: Path, name: str):
+    """Write df as ONE parquet part file named `name` inside dest_dir
+    (simulating a data drop into a directory source)."""
+    import shutil
+    import tempfile
+
+    stage = Path(tempfile.mkdtemp())
+    df.repartition(1).write.mode("overwrite").parquet(str(stage / "out"))
+    part = next((stage / "out").glob("part-*.parquet"))
+    dest_dir.mkdir(parents=True, exist_ok=True)
+    shutil.copy(part, dest_dir / name)
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_store_append_delta_maintenance(spark, tmp_path):
+    """r9 verdict task 1: a new part file dropped into a directory source
+    triggers an APPEND DELTA (standing store files untouched, manifest
+    records base+delta lineage), the grown store matches a from-scratch
+    computation exactly, and a subsequent MUTATION of an existing file
+    still forces a full rebuild (deltas lineage resets)."""
+    import shutil
+
+    from satsure_agri_datapipeline_spark.operators.dedup import (
+        band_rows_from_signatures,
+        minhash_signature_arrays,
+        shingle_hash_arrays,
+    )
+    from satsure_agri_datapipeline_spark.sources import band_store as bs
+    from satsure_agri_datapipeline_spark.sources import shingle_store as ss
+    from satsure_agri_datapipeline_spark.sources.store_util import layout_dir
+
+    src = tmp_path / "sfdrop"
+    docs_dir = src / "documents.parquet"
+    src.mkdir()
+    all_docs = load_table(spark, SF, "documents").limit(40).cache()
+    base = all_docs.where(F.col("doc_id") % 4 != 0)
+    drop = all_docs.where(F.col("doc_id") % 4 == 0)
+    _write_single_part(base, docs_dir, "base-000.parquet")
+
+    b1 = bs.ensure_band_store(spark, src, num_hashes=16, band_size=4, n=3)
+    nb1 = b1.count()
+    s1 = ss.ensure_shingle_store(spark, src, n=3, unit="word", seed=0)
+    ns1 = s1.count()
+
+    band_layout = layout_dir("bands", src.resolve(), 16, 4, 3, 32)
+    sh_layout = layout_dir("shingles", src.resolve(), 3, "word", 0, 32)
+    band_files_before = set((band_layout / "bkt_bands_h16b4n3").glob("part-*"))
+    assert band_files_before
+
+    # ---- the data drop ----
+    _write_single_part(drop, docs_dir, "drop-001.parquet")
+
+    b2 = bs.ensure_band_store(spark, src, num_hashes=16, band_size=4, n=3)
+    nb2 = b2.count()
+    assert nb2 > nb1
+    s2 = ss.ensure_shingle_store(spark, src, n=3, unit="word", seed=0)
+    assert s2.count() > ns1
+
+    # delta, not rebuild: every base file survived untouched, new files added
+    band_files_after = set((band_layout / "bkt_bands_h16b4n3").glob("part-*"))
+    assert band_files_before < band_files_after
+    import json
+
+    bman = json.loads((band_layout / bs.MANIFEST_NAME).read_text())
+    sman = json.loads((sh_layout / ss.MANIFEST_NAME).read_text())
+    assert bman["deltas"] == [["drop-001.parquet"]]
+    assert sman["deltas"] == [["drop-001.parquet"]]
+    assert "pending_delta" not in bman and "pending_delta" not in sman
+    assert set(bman["files"]) == {"base-000.parquet", "drop-001.parquet"}
+
+    # grown store content == from-scratch computation on the full corpus
+    full = load_table(spark, src, "documents")
+    want_bands = sorted(
+        map(
+            tuple,
+            band_rows_from_signatures(
+                minhash_signature_arrays(full, num_hashes=16, n=3), 4
+            )
+            .select("doc_id", "band", "band_sig")
+            .collect(),
+        )
+    )
+    got_bands = sorted(
+        map(tuple, b2.select("doc_id", "band", "band_sig").collect())
+    )
+    assert got_bands == want_bands
+    want_sh = sorted(
+        map(
+            tuple,
+            shingle_hash_arrays(full, n=3, seed=0, unit="word")
+            .select("doc_id", F.explode("shs").alias("sh"))
+            .collect(),
+        )
+    )
+    got_sh = sorted(map(tuple, s2.select("doc_id", "sh").collect()))
+    assert got_sh == want_sh
+
+    # idempotent: a third ensure with nothing new appends nothing
+    bs.ensure_band_store(spark, src, num_hashes=16, band_size=4, n=3)
+    bman2 = json.loads((band_layout / bs.MANIFEST_NAME).read_text())
+    assert bman2["deltas"] == [["drop-001.parquet"]]
+
+    # ---- mutation of an existing file → full rebuild, lineage resets ----
+    _write_single_part(base.limit(10), docs_dir, "base-000.parquet")
+    b3 = bs.ensure_band_store(spark, src, num_hashes=16, band_size=4, n=3)
+    bman3 = json.loads((band_layout / bs.MANIFEST_NAME).read_text())
+    assert bman3["deltas"] == []
+    assert b3.count() < nb2
+
+    all_docs.unpersist()
+    for tbl in ("bkt_bands_h16b4n3", "bkt_shingles_w3_s0"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(band_layout, ignore_errors=True)
+    shutil.rmtree(sh_layout, ignore_errors=True)
+
+
+def test_store_pending_delta_marker_forces_rebuild(spark, tmp_path):
+    """Crash discipline: a manifest carrying pending_delta (a delta append
+    that may or may not have committed) is never trusted — the next ensure
+    does a FULL rebuild even though the source fingerprint says 'append'."""
+    import json
+    import shutil
+
+    from satsure_agri_datapipeline_spark.sources import band_store as bs
+    from satsure_agri_datapipeline_spark.sources.store_util import layout_dir
+
+    src = tmp_path / "sfpend"
+    docs_dir = src / "documents.parquet"
+    src.mkdir()
+    docs = load_table(spark, SF, "documents").limit(20)
+    _write_single_part(docs, docs_dir, "base-000.parquet")
+
+    bs.ensure_band_store(spark, src, num_hashes=16, band_size=4, n=3)
+    layout = layout_dir("bands", src.resolve(), 16, 4, 3, 32)
+    mpath = layout / bs.MANIFEST_NAME
+    man = json.loads(mpath.read_text())
+    man["pending_delta"] = ["drop-001.parquet"]
+    mpath.write_text(json.dumps(man))
+
+    b = bs.ensure_band_store(spark, src, num_hashes=16, band_size=4, n=3)
+    man2 = json.loads(mpath.read_text())
+    assert "pending_delta" not in man2 and man2["deltas"] == []
+    assert b.count() > 0
+
+    spark.sql("DROP TABLE IF EXISTS bkt_bands_h16b4n3")
+    shutil.rmtree(layout, ignore_errors=True)
+
+
+def test_store_or_none_serving_rules(spark, tmp_path):
+    """band/shingle_store_or_none (r9 default serving): None before any
+    build, the store after an ensure, None again once the source gains a
+    file (append-stale is NOT served raw-side), and None under the env
+    escape hatch."""
+    import shutil
+
+    from satsure_agri_datapipeline_spark.sources import band_store as bs
+    from satsure_agri_datapipeline_spark.sources import shingle_store as ss
+    from satsure_agri_datapipeline_spark.sources.store_util import layout_dir
+
+    src = tmp_path / "sfserve"
+    docs_dir = src / "documents.parquet"
+    src.mkdir()
+    docs = load_table(spark, SF, "documents").limit(20)
+    _write_single_part(docs, docs_dir, "base-000.parquet")
+
+    assert bs.band_store_or_none(spark, src) is None
+    assert ss.shingle_store_or_none(spark, src) is None
+
+    bs.ensure_band_store(spark, src)
+    ss.ensure_shingle_store(spark, src)
+    assert bs.band_store_or_none(spark, src) is not None
+    assert ss.shingle_store_or_none(spark, src) is not None
+
+    os.environ[bs.ENV_KNOB] = "none"
+    os.environ[ss.ENV_KNOB] = "none"
+    try:
+        assert bs.band_store_or_none(spark, src) is None
+        assert ss.shingle_store_or_none(spark, src) is None
+    finally:
+        del os.environ[bs.ENV_KNOB]
+        del os.environ[ss.ENV_KNOB]
+
+    _write_single_part(docs.limit(5), docs_dir, "drop-001.parquet")
+    assert bs.band_store_or_none(spark, src) is None  # append-stale
+    assert ss.shingle_store_or_none(spark, src) is None
+
+    for tbl in ("bkt_bands_h16b4n3", "bkt_shingles_w3_s0"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(layout_dir("bands", src.resolve(), 16, 4, 3, 32), ignore_errors=True)
+    shutil.rmtree(
+        layout_dir("shingles", src.resolve(), 3, "word", 0, 32), ignore_errors=True
+    )
