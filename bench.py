@@ -58,7 +58,11 @@ HEADLINE = [
     "join_segment_revenue",
     "window_running_and_lag",
     "window_top_order_per_customer",
-    # LLM data ops
+    # LLM data ops. Stores are pre-ensured before the loop (r9): the raw
+    # doc_ngram_jaccard / doc_minhash_lsh names serve them BY DEFAULT, so
+    # their numbers are what a user of the default configuration gets;
+    # raw-plan scaling is tracked by tools/bench_scale.py with the
+    # SPARK_GRAFT_*_STORE=none knobs.
     "doc_exact_dedup",
     "doc_ngram_jaccard",
     "doc_ngram_jaccard_stored",
@@ -68,7 +72,20 @@ HEADLINE = [
     "doc_quality_score",
     "emb_cosine_topk",
     "emb_centroid_norms",
+    # stored/incremental serving paths (r8 verdict task 3): a staleness-
+    # logic regression that silently rebuilt or re-signed per run would
+    # surface here as a timing flag
+    "doc_incremental_near_dup",
+    "doc_incremental_near_dup_stored",
+    "doc_curation_pipeline",
+    "doc_curation_pipeline_stored",
 ]
+
+# Queries whose plan CONSTRUCTION executes work (connected_components'
+# size-gated driver union-find collects the pair relation eagerly): the
+# build-once-run-N methodology would time only the post-collect tail, so
+# these construct INSIDE the timed region each run instead.
+CONSTRUCT_EACH_RUN = {"doc_curation_pipeline", "doc_curation_pipeline_stored"}
 
 
 def main():
@@ -108,6 +125,18 @@ def main():
     _prime_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
     _prime = pandas_udf(_prime_fn, "long")
     run(spark.range(0, 10000, 1, 32).select(_prime(F.col("id")).alias("x")))
+
+    # One-time ingest, untimed (the production layout-build analog): with
+    # fresh stores present, the raw dedup names serve the bucketed
+    # band/shingle relations by default (r9) — the numbers below are the
+    # default-configuration numbers.
+    from satsure_agri_datapipeline_spark.sources.band_store import ensure_band_store
+    from satsure_agri_datapipeline_spark.sources.shingle_store import (
+        ensure_shingle_store,
+    )
+
+    ensure_band_store(spark, sf_dir, num_hashes=16, band_size=4, n=3)
+    ensure_shingle_store(spark, sf_dir, n=3, unit="word", seed=0)
 
     from satsure_agri_datapipeline_spark.operators import dedup as _dedup
 
@@ -154,7 +183,14 @@ def main():
         # this script (and the DuckDB baseline's process env) see the default.
         os.environ["SPARK_GRAFT_UDF_PARTITIONS"] = "8"
         udf_partitions_set_here = True
-    AQE_ALWAYS = {"doc_ngram_jaccard", "doc_minhash_lsh"}
+    AQE_ALWAYS = {
+        "doc_ngram_jaccard",
+        "doc_minhash_lsh",
+        "doc_incremental_near_dup",
+        "doc_incremental_near_dup_stored",
+        "doc_curation_pipeline",
+        "doc_curation_pipeline_stored",
+    }
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -173,14 +209,36 @@ def main():
                 "spark.sql.shuffle.partitions",
                 os.environ.get("SPARK_GRAFT_CPUS", "32"),
             )
+        if name in CONSTRUCT_EACH_RUN:
+            # construction executes work (eager union-find collect) —
+            # time construction + execution together, every run
+            per_run = []
+            for _ in range(n_runs):
+                _dedup.CACHE_REGISTRY.clear()
+                t0 = time.time()
+                run(queries[name](spark, sf_dir))
+                per_run.append(round(time.time() - t0, 3))
+                for dep in _dedup.CACHE_REGISTRY:
+                    dep.unpersist(blocking=True)
+            cold[name] = per_run[0]
+            timings[name] = min(per_run)
+            print(
+                f"# {name}: {timings[name]:.2f}s (cold {cold[name]:.2f}s)",
+                file=sys.stderr,
+            )
+            continue
         _dedup.CACHE_REGISTRY.clear()
         df = queries[name](spark, sf_dir)
         deps = list(_dedup.CACHE_REGISTRY)
         if name in PERSIST_BEARING and not deps:
-            raise AssertionError(
-                f"{name} is persist-bearing but registered no cache deps; "
-                "rearm would silently benchmark a warm cache"
-            )
+            # store-served plans legitimately register no persists (the
+            # stored relation replaces the signature/shingle cache)
+            plan_str = df._jdf.queryExecution().executedPlan().toString()
+            if "bkt_" not in plan_str:
+                raise AssertionError(
+                    f"{name} is persist-bearing but registered no cache deps; "
+                    "rearm would silently benchmark a warm cache"
+                )
         per_run = []
         for _ in range(n_runs):
             t0 = time.time()

@@ -442,6 +442,12 @@ def band_rows_from_signatures(
 
 
 def _band_rows(sig: DataFrame, band_size: int, id_col: str) -> DataFrame:
+    # NULL/short-sig guard (r8 ADVICE): size(NULL) is -1 under non-ANSI
+    # mode, so an unfiltered NULL row would explode F.sequence(0, -2)'s
+    # descending junk into phantom bands. minhash_signature_arrays never
+    # emits them, but this is a public composition point
+    # (band_rows_from_signatures) — enforce the precondition here.
+    sig = sig.where(F.col("sig").isNotNull() & (F.size("sig") >= band_size))
     n_bands_expr = (F.size("sig") / band_size).cast("int")
     return sig.select(
         F.col(id_col),

@@ -17,6 +17,43 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _round_half_up_6(a):
+    """Vectorized 6-dp rounding matching Spark's ``F.round`` on doubles
+    EXACTLY (r8 ADVICE): Spark converts the binary double to BigDecimal
+    and rounds HALF_UP (away from zero); ``np.round`` is half-to-even
+    after a 10^6 scaling with its own fp error — the two can disagree on
+    6-dp midpoints. Spark's Round calls ``BigDecimal.valueOf(double)`` =
+    ``new BigDecimal(Double.toString(d))`` — it rounds the SHORTEST
+    decimal repr of the double, not its exact binary expansion (so
+    -2.45e-05, binary ≈ -2.44999…e-05, still rounds AWAY to -2.5e-05).
+    Fast path: away-from-zero via floor(|x|·10⁶+0.5). Elements whose
+    scaled form lands near a .5 boundary (where scaling error could flip
+    the fast path) are re-rounded through ``Decimal(repr(x))`` — Python's
+    repr is the same shortest round-trip repr as Double.toString — so
+    every element matches Spark bit-for-bit. -0.0 is
+    normalized to +0.0 (BigDecimal has no signed zero). Pinned against
+    ``F.round`` on adversarial midpoints in
+    ``tests/test_properties.py``."""
+    import numpy as np
+
+    scaled = np.abs(a) * 1e6
+    out = np.copysign(np.floor(scaled + 0.5) / 1e6, a)
+    near_mid = np.abs(scaled - np.floor(scaled) - 0.5) < 1e-6
+    near_mid &= np.isfinite(a)
+    if near_mid.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.000001")
+        flat_out, flat_in = out.ravel(), a.ravel()
+        for i in np.flatnonzero(near_mid.ravel()):
+            flat_out[i] = float(
+                Decimal(repr(float(flat_in[i]))).quantize(
+                    q, rounding=ROUND_HALF_UP
+                )
+            )
+    return out + 0.0  # BigDecimal has no -0.0; neither may we
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -710,6 +747,7 @@ def semantic_decontaminate_vectorized(
     def compute(batches):
         b_eids, b_mat, b_norms, b_valid = bc.value
         any_valid = bool(b_valid.any())
+        round_half_up_6 = _round_half_up_6  # F.round-exact (module helper)
         # Chunk BOTH dimensions so the cosine tile stays cache-resident:
         # an unchunked 10k-row Arrow batch against a 40k-vector eval set
         # materializes a 3.2 GB float64 matrix (then again for round) —
@@ -750,7 +788,7 @@ def semantic_decontaminate_vectorized(
                                 cos = (er @ b_mat[e0:e1].T) / (
                                     nr[:, None] * b_norms[None, e0:e1]
                                 )
-                            np.round(cos, 6, out=cos)
+                            cos = round_half_up_6(cos)
                             cos[:, ~b_valid[e0:e1]] = -np.inf
                             loc = np.argmax(cos, axis=1)
                             loc_cos = cos[np.arange(len(loc)), loc]
@@ -791,6 +829,10 @@ def semantic_decontaminate_vectorized(
     # buys full-width parallelism for the matmuls — worth it whenever the
     # scan can't feed every core.
     want = src.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < want:
+    # Partition-count probe via the JVM QueryExecution's physical RDD —
+    # df.rdd would wrap it in an extra Python-conversion stage per call
+    # (r8 ADVICE): same planning cost, no serializer pipeline built.
+    n_parts = src._jdf.queryExecution().toRdd().getNumPartitions()
+    if n_parts < want:
         src = src.repartition(want)
     return src.mapInPandas(compute, out_schema)

@@ -88,14 +88,60 @@ NGRAM_JACCARD_SQL = f"""
     """
 
 
-@query("doc_ngram_jaccard", NGRAM_JACCARD_SQL)
-def doc_ngram_jaccard(spark, sf_dir):
-    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5 (shingle bucket join)."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+def _jaccard_display(pairs):
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     ).orderBy("id_a", "id_b")
+
+
+def _jaccard_pairs_default(spark, sf_dir, docs, threshold=0.5):
+    """3-gram word Jaccard pairs for ALL downstream consumers (clusters,
+    canonical dedup, edit-distance verify, triangles, keep-best): served
+    from a fresh bucketed shingle store when one exists (r9 — the raw
+    names get the zero-Exchange plan by default, like the r8 fact
+    layout), identical-result raw shingle self-join otherwise. Store
+    params are pinned to the catalog's (n=3, word, seed=0) so the served
+    relation is bit-identical to the recompute."""
+    from satsure_agri_datapipeline_spark.sources.shingle_store import (
+        shingle_store_or_none,
+    )
+
+    sh = shingle_store_or_none(spark, sf_dir, n=3, unit="word", seed=0)
+    if sh is not None:
+        return dd.jaccard_pairs_from_exploded(sh, threshold=threshold)
+    return dd.ngram_jaccard_pairs(docs, n=3, threshold=threshold)
+
+
+def _lsh_pairs_default(spark, sf_dir, docs):
+    """MinHash(16)/LSH(4×4) candidate pairs with 4-dp est_jaccard, served
+    from a fresh bucketed band store when one exists, raw signature
+    recompute otherwise — the store carries the full signature per band
+    row, so the match count (and therefore the rounded estimate) is
+    bit-identical to ``dd.minhash_lsh_pairs``."""
+    from satsure_agri_datapipeline_spark.sources.band_store import band_store_or_none
+
+    bands = band_store_or_none(spark, sf_dir, num_hashes=16, band_size=4, n=3)
+    if bands is not None:
+        raw = dd.lsh_match_counts_from_bands(bands)
+        return raw.select(
+            "id_a",
+            "id_b",
+            F.round(F.col("__matches") / F.lit(16.0), 4).alias("est_jaccard"),
+        )
+    return dd.minhash_lsh_pairs(docs, num_hashes=16, band_size=4, n=3)
+
+
+@query("doc_ngram_jaccard", NGRAM_JACCARD_SQL)
+def doc_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5 (shingle bucket join).
+
+    r9: serves the bucketed shingle store BY DEFAULT when a fresh one
+    exists (the r8 fact-layout pattern — the raw name is what users call,
+    so it gets the zero-Exchange plan once any stored query or ingest run
+    has paid the store build; ``SPARK_GRAFT_SHINGLE_STORE=none`` opts
+    out). Store absent or stale → identical-result raw recompute."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _jaccard_display(_jaccard_pairs_default(spark, sf_dir, docs, 0.5))
 
 
 @query("doc_ngram_jaccard_stored", NGRAM_JACCARD_SQL)
@@ -112,10 +158,7 @@ def doc_ngram_jaccard_stored(spark, sf_dir):
     )
 
     sh = ensure_shingle_store(spark, sf_dir, n=3, unit="word", seed=0)
-    pairs = dd.jaccard_pairs_from_exploded(sh, threshold=0.5)
-    return pairs.select(
-        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
-    ).orderBy("id_a", "id_b")
+    return _jaccard_display(dd.jaccard_pairs_from_exploded(sh, threshold=0.5))
 
 
 # MinHash affine-family constants, regenerated exactly like the operator's
@@ -162,15 +205,28 @@ MINHASH_LSH_SQL = f"""
     """
 
 
+def _lsh_display_from_bands(bands):
+    raw = dd.lsh_match_counts_from_bands(bands)
+    return raw.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("__matches") / F.lit(16.0), 4).alias("est_jaccard"),
+    ).orderBy("id_a", "id_b")
+
+
 @query("doc_minhash_lsh", MINHASH_LSH_SQL)
 def doc_minhash_lsh(spark, sf_dir):
     """MinHash(16) + LSH(4 bands × 4 rows) candidate pairs with estimated
     Jaccard — the one-md5 + affine-mix family (dedup.minhash_params) is
-    engine-portable, so the oracle is exact, not statistical."""
+    engine-portable, so the oracle is exact, not statistical.
+
+    r9: serves the bucketed band store BY DEFAULT when a fresh one exists
+    (signature CPU and both band self-join exchanges gone; the measured
+    135→6.5 s/1000× plan now answers the name users actually call).
+    ``SPARK_GRAFT_BAND_STORE=none`` opts out; store absent or stale →
+    identical-result raw recompute."""
     docs = load_table(spark, sf_dir, "documents")
-    return dd.minhash_lsh_pairs(docs, num_hashes=16, band_size=4, n=3).orderBy(
-        "id_a", "id_b"
-    )
+    return _lsh_pairs_default(spark, sf_dir, docs).orderBy("id_a", "id_b")
 
 
 @query("doc_minhash_lsh_stored", MINHASH_LSH_SQL)
@@ -185,12 +241,7 @@ def doc_minhash_lsh_stored(spark, sf_dir):
     from satsure_agri_datapipeline_spark.sources.band_store import ensure_band_store
 
     bands = ensure_band_store(spark, sf_dir, num_hashes=16, band_size=4, n=3)
-    raw = dd.lsh_match_counts_from_bands(bands)
-    return raw.select(
-        "id_a",
-        "id_b",
-        F.round(F.col("__matches") / F.lit(16.0), 4).alias("est_jaccard"),
-    ).orderBy("id_a", "id_b")
+    return _lsh_display_from_bands(bands)
 
 
 @query(
@@ -346,7 +397,7 @@ def doc_near_dup_clusters(spark, sf_dir):
     The oracle re-derives components with a recursive CTE — the iterative
     operator is still exactly SQL-checkable."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    pairs = _jaccard_pairs_default(spark, sf_dir, docs, threshold=0.5)
     return (
         dd.connected_components(pairs)
         .select(
@@ -385,7 +436,7 @@ def doc_dedup_canonical(spark, sf_dir):
     member (operators/dedup.py dedup_keep_canonical). The survivors' id set
     is the corpus a training run would actually consume."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    pairs = _jaccard_pairs_default(spark, sf_dir, docs, threshold=0.5)
     return dd.dedup_keep_canonical(docs, pairs).select("doc_id").orderBy("doc_id")
 
 
@@ -1170,7 +1221,7 @@ def doc_pair_edit_distance(spark, sf_dir):
     per-pair cost; the text join is two broadcast-able probes keyed by
     doc_id. Levenshtein is exact integer — engine-agnostic."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    pairs = _jaccard_pairs_default(spark, sf_dir, docs, threshold=0.5)
     prefix = docs.select("doc_id", F.substring("text", 1, 120).alias("prefix"))
     a = prefix.withColumnsRenamed({"doc_id": "id_a", "prefix": "pa"})
     b = prefix.withColumnsRenamed({"doc_id": "id_b", "prefix": "pb"})
@@ -1384,14 +1435,22 @@ def doc_curation_pipeline(spark, sf_dir):
     gate (score ≥ 0.5) → exact dedup keepers → near-dup canonical members
     (3-gram Jaccard ≥ 0.5 clusters) → drop docs sharing any 4-gram with
     the benchmark slice (doc_id % 97 = 0). One lazy lineage end to end —
-    the survivors' id set is what a training run would consume."""
+    the survivors' id set is what a training run would consume.
+
+    r9: the near-dup stage rides the bucketed shingle store BY DEFAULT
+    when a fresh one exists (same composition as
+    ``doc_curation_pipeline_stored``)."""
     from satsure_agri_datapipeline_spark.plans.curation import curate_corpus
+    from satsure_agri_datapipeline_spark.sources.shingle_store import (
+        shingle_store_or_none,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 97 == 0)
+    store = shingle_store_or_none(spark, sf_dir, n=3, unit="word", seed=0)
     kept = curate_corpus(
         docs, bench, min_quality_e4=5000, jaccard_threshold=0.5,
-        shingle_n=3, decon_n=4,
+        shingle_n=3, decon_n=4, shingle_store=store,
     )
     return kept.select("doc_id").orderBy("doc_id")
 
@@ -1719,7 +1778,7 @@ def doc_near_dup_crossmodal(spark, sf_dir):
     side and the full-corpus embedding table is never self-joined."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = dd.minhash_lsh_pairs(docs, num_hashes=16, band_size=4, n=3)
+    pairs = _lsh_pairs_default(spark, sf_dir, docs)
     ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
     eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
     cos = sim.cosine_similarity_col(F.col("__va"), F.col("__vb"))
@@ -1913,7 +1972,7 @@ def doc_dedup_best_quality(spark, sf_dir):
     re-derives clusters with a recursive CTE and picks winners by window
     rank; Spark picks them with a per-cluster max_by aggregate."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    pairs = _jaccard_pairs_default(spark, sf_dir, docs, threshold=0.5)
     return (
         dd.dedup_keep_best(docs, pairs, score_col="n_chars")
         .select("doc_id")
@@ -2118,7 +2177,7 @@ def doc_dup_triangles(spark, sf_dir):
     clique-density diagnostic for duplicate clusters (true dup groups are
     near-cliques; low triangle density flags chained false positives)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    pairs = _jaccard_pairs_default(spark, sf_dir, docs, threshold=0.5)
     return dd.triangle_count(pairs)
 
 
@@ -2434,8 +2493,29 @@ def doc_incremental_near_dup(spark, sf_dir):
     with history or a lower-id batch doc drops the doc (greedy one-pass
     within-batch rule — see the operator docstring). The oracle restates
     the whole chain: portable minhash family, banding, both collision
-    joins."""
+    joins.
+
+    r9: served from the bucketed band store BY DEFAULT when a fresh one
+    exists (same plan as ``doc_incremental_near_dup_stored``; the raw
+    recompute below otherwise)."""
+    from satsure_agri_datapipeline_spark.sources.band_store import band_store_or_none
+
     docs = load_table(spark, sf_dir, "documents")
+    store = band_store_or_none(spark, sf_dir, num_hashes=16, band_size=4, n=3)
+    if store is not None:
+        hist_bands = (
+            store.where(F.col("doc_id") % 5 < 2).select("band", "band_sig").distinct()
+        )
+        batch_bands = store.where(F.col("doc_id") % 5 >= 2).select(
+            "doc_id", "band", "band_sig"
+        )
+        batch = docs.where(F.col("doc_id") % 5 >= 2)
+        accepted, _ = dd.incremental_minhash_dedup(
+            batch, hist_bands, batch_bands=batch_bands
+        )
+        return accepted.select("doc_id", "lang", "source", "n_chars").orderBy(
+            "doc_id"
+        )
     hist_bands = dd.minhash_bands(docs.where(F.col("doc_id") % 5 < 2)).select(
         "band", "band_sig"
     ).distinct()

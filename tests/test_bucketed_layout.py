@@ -609,3 +609,63 @@ def test_store_or_none_serving_rules(spark, tmp_path):
     shutil.rmtree(
         layout_dir("shingles", src.resolve(), 3, "word", 0, 32), ignore_errors=True
     )
+
+
+def test_raw_names_serve_stores_by_default(spark):
+    """r9 verdict task 2: once a fresh store exists for an sf_dir, the RAW
+    catalog names (doc_minhash_lsh, doc_ngram_jaccard,
+    doc_incremental_near_dup, doc_curation_pipeline) serve it — plan reads
+    the bucketed store tables, the band/shingle self-join shuffles nothing
+    but the inherent pair groupBy — and return IDENTICAL rows to the
+    env-forced raw recompute."""
+    import re
+
+    from satsure_agri_datapipeline_spark.plans import catalog_llm  # noqa: F401
+    from satsure_agri_datapipeline_spark.plans.catalog import QUERIES
+    from satsure_agri_datapipeline_spark.sources import band_store as bs
+    from satsure_agri_datapipeline_spark.sources import shingle_store as ss
+
+    bs.ensure_band_store(spark, SF, num_hashes=16, band_size=4, n=3)
+    ss.ensure_shingle_store(spark, SF, n=3, unit="word", seed=0)
+
+    # doc_curation_pipeline's near-dup stage consumes the store during
+    # plan CONSTRUCTION (connected_components' size-gated driver
+    # union-find collects the pair relation eagerly), so its returned plan
+    # legitimately shows no store scan — result equality is the check.
+    for name, store_tbl in (
+        ("doc_minhash_lsh", "bkt_bands_h16b4n3"),
+        ("doc_ngram_jaccard", "bkt_shingles_w3_s0"),
+        ("doc_incremental_near_dup", "bkt_bands_h16b4n3"),
+        ("doc_curation_pipeline", None),
+    ):
+        served_df = QUERIES[name](spark, SF)
+        if store_tbl is not None:
+            assert store_tbl in _plan(served_df), f"{name} did not serve the store"
+        served = sorted(map(tuple, served_df.collect()))
+        os.environ[bs.ENV_KNOB] = "none"
+        os.environ[ss.ENV_KNOB] = "none"
+        try:
+            raw_df = QUERIES[name](spark, SF)
+            if store_tbl is not None:
+                assert store_tbl not in _plan(raw_df), (
+                    f"{name} ignored the escape hatch"
+                )
+            raw = sorted(map(tuple, raw_df.collect()))
+        finally:
+            del os.environ[bs.ENV_KNOB]
+            del os.environ[ss.ENV_KNOB]
+        assert served == raw and len(served) > 0, f"{name} store/raw mismatch"
+
+    # plan pin on the flagship: with AQE/broadcast off, the served
+    # doc_minhash_lsh plans exactly one hash exchange (the pair groupBy) —
+    # the band self-join itself shuffles nothing.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(QUERIES["doc_minhash_lsh"](spark, SF))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("Bucketed: true") == 2
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(exchanges) == 1 and "id_a" in exchanges[0] and "id_b" in exchanges[0]

@@ -290,7 +290,9 @@ def test_scale_aware_io_codec_selection(tmp_path):
     # exchanges zstd was winning on no longer exist)
     layout = bk.default_layout_dir(big)
     layout.mkdir(parents=True)
-    (layout / bk.MANIFEST_NAME).write_text(json.dumps({"tables": {}}))
+    (layout / bk.MANIFEST_NAME).write_text(
+        json.dumps({"sf_dir": str(big.resolve()), "tables": {}})
+    )
     now = time.time() + 5
     import os as _os
 
@@ -301,6 +303,26 @@ def test_scale_aware_io_codec_selection(tmp_path):
     _os.utime(f, (later, later))
     assert sess._pick_io_codec(big) == "zstd"
     shutil.rmtree(layout, ignore_errors=True)
+
+    # r9 (r8 ADVICE): a fresh layout named by SPARK_GRAFT_BUCKETED_LAYOUT
+    # counts exactly like the default one — but only if built from THIS
+    # data dir; a foreign layout never flips the codec.
+    env_layout = tmp_path / "env_layout"
+    env_layout.mkdir()
+    (env_layout / bk.MANIFEST_NAME).write_text(
+        json.dumps({"sf_dir": str(big.resolve()), "tables": {}})
+    )
+    _os.utime(env_layout / bk.MANIFEST_NAME, (later + 5, later + 5))
+    _os.environ["SPARK_GRAFT_BUCKETED_LAYOUT"] = str(env_layout)
+    try:
+        assert sess._pick_io_codec(big) == "lz4"
+        (env_layout / bk.MANIFEST_NAME).write_text(
+            json.dumps({"sf_dir": "/somewhere/else", "tables": {}})
+        )
+        _os.utime(env_layout / bk.MANIFEST_NAME, (later + 5, later + 5))
+        assert sess._pick_io_codec(big) == "zstd"
+    finally:
+        del _os.environ["SPARK_GRAFT_BUCKETED_LAYOUT"]
 
 
 def test_inverted_index_no_pair_distinct_exchange(spark, queries):

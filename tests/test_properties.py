@@ -474,3 +474,39 @@ def test_floor_cents_negative_midpoint_fence(spark, vals):
     # (b) floor form == half-up everywhere (and == ROUND iff non-negative
     # or not an exact negative midpoint)
     assert [r.c for r in got] == [math.floor(v * 100 + 0.5) for v in vals]
+
+
+def test_round_half_up_6_matches_spark_round_on_midpoints(spark):
+    """r8 ADVICE (similarity.py): the vectorized decontamination's 6-dp
+    rounding must match Spark's F.round (BigDecimal HALF_UP on the exact
+    binary double) bit-for-bit — including 6-dp midpoints, negatives,
+    signed zero, and values a half-ulp off a midpoint, where np.round's
+    half-to-even + scaling error used to diverge."""
+    import math
+
+    import numpy as np
+
+    from satsure_agri_datapipeline_spark.operators.similarity import (
+        _round_half_up_6,
+    )
+
+    vals = []
+    for k in range(-25, 26):
+        base = k / 1e6
+        mid = (2 * k + 1) / 2e6  # exact decimal midpoint (as a double)
+        vals += [base, mid, math.nextafter(mid, -2.0), math.nextafter(mid, 2.0)]
+    vals += [0.0, -0.0, 1.0, -1.0, 0.9999995, -0.9999995, 0.1234565,
+             -0.1234565, 2.5e-7, -2.5e-7, 123.4567895, -123.4567895]
+    rng = np.random.default_rng(7)
+    vals += [float(v) for v in rng.uniform(-1, 1, 500)]
+    vals += [float((2 * k + 1) / 2e6) for k in rng.integers(-10**6, 10**6, 200)]
+
+    got = _round_half_up_6(np.array(vals, dtype=np.float64))
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    want = [r.r for r in df.select(F.round("x", 6).alias("r")).collect()]
+    diffs = [
+        (v, g, w)
+        for v, g, w in zip(vals, got.tolist(), want)
+        if not (g == w and math.copysign(1, g) == math.copysign(1, w))
+    ]
+    assert not diffs, f"{len(diffs)} divergences, first 5: {diffs[:5]}"
