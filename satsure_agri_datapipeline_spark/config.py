@@ -55,6 +55,12 @@ class TransformationConfig(BaseModel):
 
 class ValidationConfig(BaseModel):
     max_missing_percentage: float = 20.0
+    # Driver-side report cap (r8 verdict task 5): validate() collects at
+    # most this many gap rows / coverage sensors. The default comfortably
+    # covers any human-readable report; at 10⁵–10⁶ sensors it bounds the
+    # driver materialization that used to be O(sensors). Totals and
+    # percentages stay exact — they are computed distributed.
+    report_top_n: int = 10_000
     max_anomaly_percentage: float = 10.0
     expected_frequency_hours: int = 1
     max_gap_hours: float = 1.0

@@ -402,24 +402,40 @@ def validate(df: DataFrame, config: PipelineConfig) -> ValidationResult:
 
     gap_agg, time_range = detect_time_gaps(df, v.expected_frequency_hours)
     tr = time_range.first()
-    gap_rows = gap_agg.collect()
-    total_gaps = sum(r["missing_hours"] for r in gap_rows)
+    # Bounded driver materialization (r8 verdict task 5): the total is a
+    # DISTRIBUTED sum and only the top report_top_n qualifying gaps (the
+    # relation is already report_sorted desc by missing_hours) reach the
+    # driver — at 10⁵–10⁶ sensors the report stays a report. The persist
+    # makes the two passes share one execution of the gap derivation.
+    from pyspark import StorageLevel as _SL
+
+    gap_agg = gap_agg.persist(_SL.MEMORY_AND_DISK)
+    try:
+        total_gaps = int(
+            gap_agg.agg(F.sum("missing_hours").alias("t")).first()["t"] or 0
+        )
+        gap_rows = (
+            gap_agg.where(F.col("missing_hours") >= v.max_gap_hours)
+            .limit(v.report_top_n)
+            .collect()
+        )
+    finally:
+        gap_agg.unpersist()
     significant = []
     for r in gap_rows:
-        if r["missing_hours"] >= v.max_gap_hours:
-            significant.append(
-                {
-                    "sensor_id": r["sensor_id"],
-                    "reading_type": r["reading_type"],
-                    "missing_hours": r["missing_hours"],
-                    "first_gap": str(r["first_gap"]),
-                    "last_gap": str(r["last_gap"]),
-                }
-            )
-            issues.append(
-                f"Sensor {r['sensor_id']} ({r['reading_type']}): {r['missing_hours']} hour gap "
-                f"from {r['first_gap']} to {r['last_gap']}"
-            )
+        significant.append(
+            {
+                "sensor_id": r["sensor_id"],
+                "reading_type": r["reading_type"],
+                "missing_hours": r["missing_hours"],
+                "first_gap": str(r["first_gap"]),
+                "last_gap": str(r["last_gap"]),
+            }
+        )
+        issues.append(
+            f"Sensor {r['sensor_id']} ({r['reading_type']}): {r['missing_hours']} hour gap "
+            f"from {r['first_gap']} to {r['last_gap']}"
+        )
     metrics.update(
         {
             "time_range_start": str(tr["min_time"]),
@@ -448,6 +464,16 @@ def validate(df: DataFrame, config: PipelineConfig) -> ValidationResult:
             }
             for r in profile_anomalies_by_type(df).collect()
         }
+    # Bounded (r8 verdict task 5): keep the report_top_n highest-volume
+    # sensors (deterministic tie-break on id), then restore the report's
+    # id order driver-side — O(report_top_n), never O(sensors).
+    coverage_rows = sorted(
+        profile_sensor_coverage(df)
+        .orderBy(F.desc("total_readings"), "sensor_id")
+        .limit(v.report_top_n)
+        .collect(),
+        key=lambda r: r["sensor_id"],
+    )
     metrics["sensor_coverage"] = {
         r["sensor_id"]: {
             "reading_types_count": r["reading_types_count"],
@@ -456,7 +482,7 @@ def validate(df: DataFrame, config: PipelineConfig) -> ValidationResult:
             "last_reading": str(r["last_reading"]),
             "avg_battery_level": r["avg_battery_level"],
         }
-        for r in profile_sensor_coverage(df).collect()
+        for r in coverage_rows
     }
     overall = profile_overall_stats(df).first()
     metrics["overall_statistics"] = {

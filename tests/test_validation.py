@@ -273,3 +273,51 @@ def test_check_expectations_detects_each_violation_kind(spark):
     # one scan for all row-local checks: a single aggregate over the source
     plan = check_expectations(child, not_null=["k"], in_range={"v": (0, 1)})
     assert plan._jdf.queryExecution().executedPlan().toString().count("Scan") == 1
+
+
+def test_report_top_n_bounds_driver_collect(spark):
+    """r8 verdict task 5: validate() must never materialize O(sensors) on
+    the driver — with report_top_n=2 only the 2 highest-volume sensors
+    reach sensor_coverage and at most 2 gap rows reach significant_gaps /
+    issues, while total_missing_hours stays EXACT (distributed sum over
+    all rows, not the capped sample)."""
+    from datetime import datetime, timedelta
+
+    from satsure_agri_datapipeline_spark.config import PipelineConfig
+    from satsure_agri_datapipeline_spark.operators.validation import validate
+
+    base = datetime(2023, 6, 1)
+    rows = []
+    # 5 sensors; sensor_k reads k+1 points spaced 3 hours -> every sensor
+    # has gaps; volumes differ so the top-2 pick is deterministic
+    for k in range(5):
+        for i in range(k + 2):
+            rows.append(
+                (f"s{k}", base + timedelta(hours=3 * i), "temperature",
+                 20.0, 90.0)
+            )
+    df = spark.createDataFrame(
+        rows,
+        "sensor_id string, timestamp timestamp, reading_type string, "
+        "value double, battery_level double",
+    )
+    cfg = PipelineConfig()
+    full = validate(df, cfg)
+
+    cfg2 = PipelineConfig()
+    cfg2.validation.report_top_n = 2
+    capped = validate(df, cfg2)
+
+    assert len(full.quality_metrics["sensor_coverage"]) == 5
+    assert set(capped.quality_metrics["sensor_coverage"]) == {"s4", "s3"}
+    assert len(capped.quality_metrics["significant_gaps"]) == 2
+    # the cap keeps the LARGEST gaps (relation is desc-sorted)
+    kept = [g["missing_hours"] for g in capped.quality_metrics["significant_gaps"]]
+    all_gaps = [g["missing_hours"] for g in full.quality_metrics["significant_gaps"]]
+    assert kept == sorted(all_gaps, reverse=True)[:2]
+    # totals stay exact despite the cap
+    assert (
+        capped.quality_metrics["total_missing_hours"]
+        == full.quality_metrics["total_missing_hours"]
+        > 0
+    )
