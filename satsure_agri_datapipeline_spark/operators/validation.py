@@ -19,6 +19,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -189,6 +190,7 @@ def detect_time_gaps(
     df: DataFrame,
     frequency_hours: int = 1,
     per_sensor_span: bool = False,
+    single_scan: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """G1 + J2 + J3 + A9 — expected-clock-grid gap detection
     (``validation.py:218-330``).
@@ -265,7 +267,34 @@ def detect_time_gaps(
     # Grid parameters as a broadcast 1-row relation: anchor hour, minute
     # offset (the grid carries min_t's sub-hour offset), number of steps.
     secs = 3600 * f
-    bounds = df.agg(
+    # Execution-form gate (r8 verdict task 6): the derivation below reads
+    # the input TWICE (bounds agg + observed projection). Measured r9: the
+    # two-scan form wins at EVERY locally-measurable scale — 0.55 s vs
+    # 1.27 s at sf0.1 (r5 race) and 42.4 s vs 93.6 s best-of-3 at 1000×
+    # (/tmp/sf100) — because the second column-pruned scan rides the page
+    # cache while the single-scan form pays a persist round-trip of the
+    # projection. So two-scan is the default at ALL sizes here; the
+    # single-scan form (persisted 3-column projection, oracle-equal) stays
+    # as the explicit knob for deployments where a re-scan pays real
+    # network/disk I/O the cache can't hide (S3/HDFS clusters):
+    # SPARK_GRAFT_GAP_SINGLE_SCAN=always|never or the parameter.
+    if single_scan is None:
+        knob = os.environ.get("SPARK_GRAFT_GAP_SINGLE_SCAN", "").lower()
+        single_scan = knob in ("always", "1", "on")
+    src = df.select("sensor_id", "reading_type", "timestamp")
+    if single_scan:
+        from pyspark import StorageLevel as _SL
+
+        src = src.persist(_SL.MEMORY_AND_DISK)
+        # re-derive the 1-row range from the persisted projection too —
+        # otherwise validate()'s time_range action is a third scan
+        time_range = src.agg(
+            F.min("timestamp").alias("min_time"),
+            F.max("timestamp").alias("max_time"),
+            F.countDistinct("sensor_id").alias("sensor_count"),
+        )
+
+    bounds = src.agg(
         F.min("timestamp").alias("min_t"), F.max("timestamp").alias("max_t")
     ).select(
         "min_t",
@@ -275,7 +304,7 @@ def detect_time_gaps(
         ).alias("n_steps"),
     )
 
-    observed = df.select(
+    observed = src.select(
         "sensor_id",
         "reading_type",
         F.date_trunc("hour", F.col("timestamp")).alias("observed_hour"),
@@ -340,6 +369,12 @@ def detect_time_gaps(
             F.unix_timestamp("min_t") + last_idx * F.lit(secs)
         ).alias("last_gap"),
     ).transform(report_sort, F.desc("missing_hours"), "sensor_id", "reading_type")
+    if single_scan:
+        # caller-owned lifecycle, same contract as the dedup operators:
+        # run the terminal action(s), then operators.dedup.release(gap_agg)
+        from satsure_agri_datapipeline_spark.operators.dedup import _register_cache
+
+        gap_agg = _register_cache(gap_agg, src)
     return gap_agg, time_range
 
 
@@ -421,6 +456,9 @@ def validate(df: DataFrame, config: PipelineConfig) -> ValidationResult:
         )
     finally:
         gap_agg.unpersist()
+        from satsure_agri_datapipeline_spark.operators.dedup import release
+
+        release(gap_agg)  # single-scan form's projection persist (no-op else)
     significant = []
     for r in gap_rows:
         significant.append(

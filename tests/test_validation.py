@@ -321,3 +321,44 @@ def test_report_top_n_bounds_driver_collect(spark):
         == full.quality_metrics["total_missing_hours"]
         > 0
     )
+
+
+def test_gap_detection_single_scan_form_oracle_equal(spark):
+    """r8 verdict task 6: the size-gated single-scan gap form (persisted
+    3-column projection) returns IDENTICAL rows to the default two-scan
+    form, scans the input exactly once (InMemoryTableScan feeds bounds and
+    observed), and the env override selects it."""
+    import os as _os
+
+    from satsure_agri_datapipeline_spark.operators import dedup as dd
+    from satsure_agri_datapipeline_spark.operators.validation import (
+        detect_time_gaps,
+    )
+
+    df = _frame(spark)
+    two, tr2 = detect_time_gaps(df, frequency_hours=1, single_scan=False)
+    one, tr1 = detect_time_gaps(df, frequency_hours=1, single_scan=True)
+    try:
+        assert sorted(map(tuple, one.collect())) == sorted(map(tuple, two.collect()))
+        assert tr1.first() == tr2.first()
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan  # bounds+observed ride the persist
+    finally:
+        dd.release(one)
+
+    # env override picks the single-scan form even for tiny input
+    _os.environ["SPARK_GRAFT_GAP_SINGLE_SCAN"] = "always"
+    try:
+        forced, _ = detect_time_gaps(df, frequency_hours=1)
+        plan = forced._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        dd.release(forced)
+    finally:
+        del _os.environ["SPARK_GRAFT_GAP_SINGLE_SCAN"]
+    # tiny local input defaults to the two-scan form (threshold not met)
+    default, _ = detect_time_gaps(df, frequency_hours=1)
+    assert "InMemoryTableScan" not in _plan_str(default)
+
+
+def _plan_str(df):
+    return df._jdf.queryExecution().executedPlan().toString()
