@@ -133,6 +133,11 @@ def _serve_attached(spark: SparkSession, layout: Path, manifest: dict) -> DataFr
     elif _table_location(spark, tbl) != _normalize_location(str(layout / tbl)):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         _attach(spark, layout, manifest)
+    from satsure_agri_datapipeline_spark.sources.store_util import (
+        refresh_if_rebuilt,
+    )
+
+    refresh_if_rebuilt(spark, tbl, layout / MANIFEST_NAME)
     return spark.table(tbl)
 
 

@@ -113,6 +113,29 @@ def discard_retired(aside: Path | None) -> None:
         shutil.rmtree(aside, ignore_errors=True)
 
 
+# (app_id, table) -> last-seen manifest mtime_ns; a change means another
+# process rebuilt the layout under the SAME path, so this session's cached
+# file index for the table lists deleted files and must be refreshed.
+_REFRESH_SEEN: dict[tuple[str, str], int] = {}
+
+
+def refresh_if_rebuilt(spark, tbl: str, manifest_path: Path) -> None:
+    """Invalidate a served table's cached file listing when its layout was
+    rebuilt in place by ANOTHER process (manifest mtime moved since this
+    session last attached). Without this, a session that attached before a
+    concurrent rebuild keeps a file index of renamed-away files and every
+    later scan dies with FAILED_READ_FILE until a manual REFRESH TABLE."""
+    try:
+        m = manifest_path.stat().st_mtime_ns
+    except OSError:
+        return
+    key = (spark.sparkContext.applicationId, tbl)
+    prev = _REFRESH_SEEN.get(key)
+    if prev is not None and prev != m and spark.catalog.tableExists(tbl):
+        spark.sql(f"REFRESH TABLE {tbl}")
+    _REFRESH_SEEN[key] = m
+
+
 def atomic_swap(scratch: Path, layout: Path) -> None:
     """Move a completed build into place. If another process completed a
     build first (its layout already sits at the final path, manifest

@@ -669,3 +669,93 @@ def test_raw_names_serve_stores_by_default(spark):
     assert plan.count("Bucketed: true") == 2
     exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert len(exchanges) == 1 and "id_a" in exchanges[0] and "id_b" in exchanges[0]
+
+
+def test_concurrent_rebuild_never_serves_torn_data(spark, tmp_path):
+    """r9 verdict task 7: one session REBUILDS a store (source mutated)
+    while another session concurrently serves it. The atomic-swap +
+    rename-aside + location-verify + refresh-on-manifest-change discipline
+    must yield only OLD-COMPLETE or NEW-COMPLETE counts in the reader —
+    never a torn mix — with transient read failures allowed only as clean,
+    retried errors."""
+    import json
+    import shutil
+    import subprocess
+    import sys
+    import textwrap
+    import time
+
+    from satsure_agri_datapipeline_spark.sources import band_store as bs
+    from satsure_agri_datapipeline_spark.sources.store_util import layout_dir
+
+    src = tmp_path / "sfrace"
+    docs_dir = src / "documents.parquet"
+    src.mkdir()
+    docs = load_table(spark, SF, "documents").limit(30).cache()
+    _write_single_part(docs, docs_dir, "base-000.parquet")
+
+    v1 = bs.ensure_band_store(spark, src).count()
+    stop_file = tmp_path / "stop"
+    reader_code = textwrap.dedent(f"""
+        import sys, time
+        from pathlib import Path
+        sys.path.insert(0, "/root/repo")
+        from satsure_agri_datapipeline_spark.session import get_spark
+        from satsure_agri_datapipeline_spark.sources import band_store as bs
+        spark = get_spark(app_name="race_reader", master="local[4]",
+                          shuffle_partitions=4)
+        stop = Path({str(stop_file)!r})
+        t_end = time.time() + 120
+        while not stop.exists() and time.time() < t_end:
+            try:
+                c = bs.ensure_band_store(spark, {str(src)!r}).count()
+                print("COUNT", c, flush=True)
+            except Exception as e:
+                print("RETRY", type(e).__name__, flush=True)
+                time.sleep(0.2)
+        spark.stop()
+    """)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", reader_code],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    try:
+        # wait for the reader's first successful serve
+        first = None
+        t0 = time.time()
+        lines = []
+        while time.time() - t0 < 110:
+            line = proc.stdout.readline()
+            if not line:
+                break
+            lines.append(line.strip())
+            if line.startswith("COUNT"):
+                first = int(line.split()[1])
+                break
+        assert first == v1, f"reader never served v1: {lines[-3:]}"
+
+        # mutate the source and rebuild from THIS session while the
+        # reader keeps serving
+        _write_single_part(docs.limit(12), docs_dir, "base-000.parquet")
+        v2 = bs.ensure_band_store(spark, src).count()
+        assert v2 != v1
+        time.sleep(3)  # let the reader observe the swapped layout
+        stop_file.touch()
+        out, _ = proc.communicate(timeout=120)
+        lines += out.strip().splitlines()
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    counts = [int(l.split()[1]) for l in lines if l.startswith("COUNT")]
+    retries = [l for l in lines if l.startswith("RETRY")]
+    assert counts, f"no successful reads: {lines[-5:]}"
+    torn = [c for c in counts if c not in (v1, v2)]
+    assert not torn, f"TORN reads {torn} (v1={v1}, v2={v2})"
+    assert counts[-1] == v2, f"reader never converged to v2: {counts[-8:]}"
+    # failures may only be transient: bounded, and never the tail state
+    assert len(retries) <= len(counts), f"reader mostly failing: {retries[:5]}"
+
+    docs.unpersist()
+    spark.sql("DROP TABLE IF EXISTS bkt_bands_h16b4n3")
+    shutil.rmtree(layout_dir("bands", src.resolve(), 16, 4, 3, 32),
+                  ignore_errors=True)
