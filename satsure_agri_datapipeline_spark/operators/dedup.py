@@ -566,6 +566,8 @@ def lsh_dedup_eval(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    exact_pairs: DataFrame | None = None,
+    band_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Measure-don't-guess harness for approximate dedup: precision/recall
     of the MinHash-LSH pairs (``est_jaccard >= threshold``) against EXACT
@@ -590,22 +592,27 @@ def lsh_dedup_eval(
     ``est_jaccard``, which for num_hashes like 32 (1/32 = 0.03125 →
     0.0313) could flip the compare relative to the oracle.
     """
-    exact = (
-        ngram_jaccard_pairs(
+    # ``exact_pairs`` / ``band_rows`` (r9): pre-built relations — e.g. the
+    # bucketed shingle/band stores — replace the per-run ground-truth
+    # shingle join and the signature recompute; the caller owns parameter
+    # consistency (n/threshold and num_hashes/band_size must match).
+    if exact_pairs is None:
+        exact_pairs = ngram_jaccard_pairs(
             df, n=n, threshold=threshold, text_col=text_col, id_col=id_col
         )
-        .select("id_a", "id_b")
-        .withColumn("__e", F.lit(1))
-    )
-    raw, sig = _minhash_lsh_match_counts(
-        df,
-        num_hashes=num_hashes,
-        band_size=band_size,
-        n=n,
-        text_col=text_col,
-        id_col=id_col,
-    )
-    _register_cache(raw, sig)
+    exact = exact_pairs.select("id_a", "id_b").withColumn("__e", F.lit(1))
+    if band_rows is not None:
+        raw = lsh_match_counts_from_bands(band_rows, id_col)
+    else:
+        raw, sig = _minhash_lsh_match_counts(
+            df,
+            num_hashes=num_hashes,
+            band_size=band_size,
+            n=n,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        _register_cache(raw, sig)
     lsh = (
         raw.where(
             F.col("__matches") / F.lit(float(num_hashes)) >= F.lit(threshold)
@@ -1006,6 +1013,7 @@ def containment_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     unit: str = "word",
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by max-containment: ``inter / min(|A|, |B|)`` —
     the asymmetric-duplication detector symmetric Jaccard misses: a short
@@ -1018,16 +1026,23 @@ def containment_pairs(
     score is kept in exact integer basis points (``inter * 1e4 div min``),
     so thresholds and outputs are engine-exact. Returns
     (id_a, id_b, inter, n_a, n_b, containment_e4), id_a < id_b.
+
+    ``exploded`` (r9): a pre-built ``(id, n_sh, sh)`` relation — the
+    bucketed shingle store — replaces the per-run shingling AND both
+    self-join exchanges (the caller owns parameter consistency).
     """
-    arr = shingle_hash_arrays(
-        df, n=n, seed=0, text_col=text_col, id_col=id_col, unit=unit
-    )
-    arr = arr.persist(StorageLevel.MEMORY_AND_DISK)
-    sh = arr.select(
-        F.col(id_col),
-        F.size("shs").alias("n_sh"),
-        F.explode("shs").alias("sh"),
-    )
+    if exploded is not None:
+        arr = None
+        sh = exploded.select(F.col(id_col), "n_sh", "sh")
+    else:
+        arr = shingle_hash_arrays(
+            df, n=n, seed=0, text_col=text_col, id_col=id_col, unit=unit
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        sh = arr.select(
+            F.col(id_col),
+            F.size("shs").alias("n_sh"),
+            F.explode("shs").alias("sh"),
+        )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "sh")
     inter = (
@@ -1044,7 +1059,7 @@ def containment_pairs(
         "containment_e4",
         F.expr("inter * 10000L div least(n_a, n_b)"),
     ).where(F.col("containment_e4") >= threshold_e4)
-    return _register_cache(out, arr)
+    return _register_cache(out, arr) if arr is not None else out
 
 
 def rare_term_pairs(
@@ -1106,7 +1121,15 @@ def triangle_count(
     low→high id, then two hash-joins find wedges (a→b, b→c) and close them
     against a→c — join fan-out is bounded by per-node degree, never
     all-pairs, and only the (distinct, oriented) edge relation shuffles.
-    Returns one row: (n_edges, n_wedges, n_triangles)."""
+    Returns one row: (n_edges, n_wedges, n_triangles).
+
+    The oriented edge relation is PERSISTED (r9): the plan consumes it
+    five times (ab/bc/ac projections + the edge count + the wedge join's
+    both sides), and when ``pairs`` is an expensive derivation (the
+    3-gram Jaccard self-join) each un-cached consumption re-executes it —
+    the r9 1000× sweep measured the uncached form at 153 s/100× with the
+    pair pipeline as the whole cost. O(near-dup pairs) rows, tiny vs the
+    corpus; caller releases via ``release()``/bench rearm registry."""
     e = (
         pairs.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("u"),
@@ -1114,16 +1137,18 @@ def triangle_count(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
     wedges = ab.join(bc, "b").where(F.col("a") < F.col("c"))
     ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
     tri = wedges.join(ac, ["a", "c"])
-    return (
+    return _register_cache(
         e.agg(F.count(F.lit(1)).alias("n_edges"))
         .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
-        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles"))),
+        e,
     )
 
 

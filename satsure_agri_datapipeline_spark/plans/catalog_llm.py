@@ -294,9 +294,23 @@ def doc_lsh_eval(spark, sf_dir):
     """Approximate-dedup quality report (operators/dedup.py lsh_dedup_eval):
     precision/recall of MinHash-LSH pairs vs exact 3-gram Jaccard ground
     truth at threshold 0.5 — the measure-don't-guess gate before trusting
-    the approximate path on a corpus."""
+    the approximate path on a corpus.
+
+    r9: BOTH legs ride the stores when fresh ones exist — ground truth
+    from the shingle store, match counts from the band store — so the
+    tuning-loop query costs only the two pair joins."""
+    from satsure_agri_datapipeline_spark.sources.band_store import band_store_or_none
+
     docs = load_table(spark, sf_dir, "documents")
-    return dd.lsh_dedup_eval(docs, threshold=0.5, num_hashes=16, band_size=4, n=3)
+    return dd.lsh_dedup_eval(
+        docs,
+        threshold=0.5,
+        num_hashes=16,
+        band_size=4,
+        n=3,
+        exact_pairs=_jaccard_pairs_default(spark, sf_dir, docs, 0.5),
+        band_rows=band_store_or_none(spark, sf_dir, num_hashes=16, band_size=4, n=3),
+    )
 
 
 @query(
@@ -2006,11 +2020,20 @@ def doc_dedup_best_quality(spark, sf_dir):
 def doc_containment_pairs(spark, sf_dir):
     """Max-containment near-dup pairs (dedup.containment_pairs): catches a
     short doc embedded in a long one, which symmetric Jaccard misses; score
-    in exact integer basis points."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dd.containment_pairs(docs, n=3, threshold_e4=8000).orderBy(
-        "id_a", "id_b"
+    in exact integer basis points.
+
+    r9: served from the bucketed shingle store when a fresh one exists —
+    same (n=3, word, seed=0) shingling, so the pre-exploded relation
+    replaces the per-run hashing and both self-join exchanges."""
+    from satsure_agri_datapipeline_spark.sources.shingle_store import (
+        shingle_store_or_none,
     )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = shingle_store_or_none(spark, sf_dir, n=3, unit="word", seed=0)
+    return dd.containment_pairs(
+        docs, n=3, threshold_e4=8000, exploded=store
+    ).orderBy("id_a", "id_b")
 
 
 @query(

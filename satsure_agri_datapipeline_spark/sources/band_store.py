@@ -25,6 +25,16 @@ parameters is never served, and rebuilds go through a process-unique
 scratch dir + atomic rename (``store_util``) so concurrent builders never
 interleave.
 
+r9 maintenance model: the manifest records a per-file source fingerprint.
+A data drop (directory source gaining files) triggers an APPEND DELTA —
+band rows for just the new files, appended into the standing bucketed
+table (multi-file buckets keep HashPartitioning, so the zero-Exchange
+join plans survive; probe-verified) — cost ∝ batch, never corpus. Any
+mutation still forces a full rebuild through a rename-aside (concurrent
+readers of the old layout finish their scans). ``band_store_or_none``
+serves a FRESH store under the RAW catalog names by default
+(``SPARK_GRAFT_BAND_STORE=none`` opts out) and never builds implicitly.
+
 Reference shape: the reference's near-dup pass is a single-process pandas
 re-shingle per run (no storage-layout concept); this is the Spark-native
 ingest-time answer at 100 TB, where the signature pass alone is hours of

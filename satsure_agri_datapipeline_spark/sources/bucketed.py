@@ -82,8 +82,14 @@ def build_bucketed_layout(
         "n_buckets": n_buckets,
         "tables": {},
     }
+    from .store_util import source_fingerprint
+
     for name in tables or list(BUCKET_SPECS):
         bucket_cols, sort_cols = BUCKET_SPECS[name]
+        # fingerprint BEFORE the read (same discipline as the dedup
+        # stores): a file landing mid-build stays unrecorded and is
+        # picked up as an append delta next ensure
+        files = source_fingerprint(Path(sf_dir).resolve() / f"{name}.parquet")
         df = load_table(spark, sf_dir, name)
         tbl = _table_name(name)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
@@ -99,6 +105,8 @@ def build_bucketed_layout(
         manifest["tables"][name] = {
             "bucket_cols": bucket_cols,
             "sort_cols": sort_cols,
+            "files": files,
+            "deltas": [],
             "ddl_schema": ", ".join(
                 f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
             ),
@@ -139,6 +147,8 @@ def register_bucketed_layout(spark: SparkSession, layout_dir: str | Path) -> dic
     drops and recreates the stale table instead of silently serving the old
     layout's data (the module invariant: correctness can never depend on the
     env var)."""
+    from .store_util import refresh_if_rebuilt
+
     layout = Path(layout_dir).resolve()
     manifest = json.loads((layout / MANIFEST_NAME).read_text())
     n = manifest["n_buckets"]
@@ -149,6 +159,9 @@ def register_bucketed_layout(spark: SparkSession, layout_dir: str | Path) -> dic
             raise ValueError(f"bucketed layout path contains a quote: {location}")
         if spark.catalog.tableExists(tbl):
             if _table_location(spark, tbl) == _normalize_location(str(location)):
+                # another process may have appended a delta or rebuilt in
+                # place since this session cached the file listing
+                refresh_if_rebuilt(spark, tbl, layout / MANIFEST_NAME)
                 continue
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         bucket_cols = ", ".join(spec["bucket_cols"])
@@ -171,6 +184,71 @@ def register_bucketed_layout(spark: SparkSession, layout_dir: str | Path) -> dic
     return manifest
 
 
+def _classify_table(
+    manifest: dict, sf_resolved: Path, name: str
+) -> tuple[str, list[str]]:
+    """fresh|append|rebuild for ONE layout table vs the current source
+    (per-file fingerprint; pre-fingerprint manifests and pending deltas
+    classify as rebuild — same contract as the dedup stores)."""
+    from .store_util import classify_source_change, source_fingerprint
+
+    spec = manifest["tables"].get(name)
+    if spec is None:
+        return ("rebuild", [])
+    if "pending_delta" in spec:
+        return ("rebuild", [])
+    current = source_fingerprint(sf_resolved / f"{name}.parquet")
+    return classify_source_change(spec.get("files"), current)
+
+
+def append_table_delta(
+    spark: SparkSession,
+    layout: Path,
+    manifest: dict,
+    name: str,
+    new_files: list[str],
+) -> dict:
+    """Append-delta maintenance for one fact table: bucket ONLY the new
+    source part files into the standing ``bkt_<name>`` table — cost ∝ the
+    data drop, never the table (multi-file buckets keep HashPartitioning,
+    so the exchange-free join plans survive). Same pending_delta crash
+    discipline as the dedup stores: marker set before the insert, cleared
+    with updated lineage after; an ambiguous crash forces a rebuild."""
+    from .store_util import source_fingerprint
+    from .tables import load_parquet_files
+
+    manifest_path = layout / MANIFEST_NAME
+    spec = manifest["tables"][name]
+    src = Path(manifest["sf_dir"]) / f"{name}.parquet"
+    current = source_fingerprint(src)
+    read_files = {f: current[f] for f in new_files if f in current}
+    if set(read_files) != set(new_files):
+        raise FileNotFoundError(
+            f"bucketed-layout delta: new source file of {name} vanished"
+        )
+    register_bucketed_layout(spark, layout)  # attach before insert
+    pending = json.loads(json.dumps(manifest))
+    pending["tables"][name]["pending_delta"] = sorted(new_files)
+    manifest_path.write_text(json.dumps(pending, indent=2))
+
+    df = load_parquet_files(spark, [src / f for f in sorted(new_files)])
+    (
+        df.repartition(manifest["n_buckets"], *spec["bucket_cols"])
+        .write.format("parquet")
+        .mode("append")
+        .bucketBy(manifest["n_buckets"], *spec["bucket_cols"])
+        .sortBy(*spec["sort_cols"])
+        .saveAsTable(_table_name(name))
+    )
+    done = json.loads(json.dumps(manifest))
+    done["tables"][name]["files"] = {**spec.get("files", {}), **read_files}
+    done["tables"][name]["deltas"] = list(spec.get("deltas", [])) + [
+        sorted(new_files)
+    ]
+    manifest_path.write_text(json.dumps(done, indent=2))
+    return done
+
+
 def ensure_bucketed_layout(
     spark: SparkSession,
     sf_dir: str | Path,
@@ -181,43 +259,57 @@ def ensure_bucketed_layout(
     rather than opting in via the env var: a deterministic per-``sf_dir``
     layout directory (keyed by the resolved path's digest) is rebuilt when
     missing, built from a different source, missing a requested table, or
-    older than the source parquet — then registered in this session. The
-    self-check/correctness gate uses this so the configuration carrying the
-    headline join numbers is itself oracle-hash-pinned."""
-    import shutil
-
-    from .store_util import atomic_swap, build_scratch_dir
+    stale vs the source — then registered in this session. Maintenance is
+    fingerprint-driven per table (r9, same model as the dedup stores):
+    unchanged sources serve as-is; a source that only GAINED part files
+    gets an append delta over just those files; any mutation rebuilds the
+    whole layout through a scratch dir + atomic rename, with the stale
+    layout renamed aside so concurrent readers finish. The
+    self-check/correctness gate uses this so the configuration carrying
+    the headline join numbers is itself oracle-hash-pinned."""
+    from .store_util import (
+        atomic_swap,
+        build_scratch_dir,
+        discard_retired,
+        retire_layout,
+    )
 
     tables = tables or list(BUCKET_SPECS)
     sf_resolved = Path(sf_dir).resolve()
     layout = default_layout_dir(sf_resolved, n_buckets)
     manifest_path = layout / MANIFEST_NAME
+
     needs_build = True
+    appends: dict[str, list[str]] = {}
     if manifest_path.exists():
         manifest = json.loads(manifest_path.read_text())
-        src_mtimes = [
-            (sf_resolved / f"{t}.parquet").stat().st_mtime_ns
-            for t in tables
-            if (sf_resolved / f"{t}.parquet").exists()
-        ]
-        if (
-            manifest["sf_dir"] == str(sf_resolved)
-            and set(tables) <= set(manifest["tables"])
-            and (not src_mtimes or manifest_path.stat().st_mtime_ns > max(src_mtimes))
+        if manifest["sf_dir"] == str(sf_resolved) and set(tables) <= set(
+            manifest["tables"]
         ):
-            needs_build = False
-        elif manifest["sf_dir"] == str(sf_resolved):
+            states = {t: _classify_table(manifest, sf_resolved, t) for t in tables}
+            if all(s in ("fresh", "append") for s, _ in states.values()):
+                needs_build = False
+                appends = {
+                    t: new for t, (s, new) in states.items() if s == "append"
+                }
+        if needs_build and manifest["sf_dir"] == str(sf_resolved):
             # Rebuild keeps tables a previous caller already placed here
             # (build_bucketed_layout rewrites the whole manifest).
             tables = sorted(set(tables) | set(manifest["tables"]))
+    if not needs_build and appends:
+        try:
+            for t, new_files in sorted(appends.items()):
+                manifest = append_table_delta(spark, layout, manifest, t, new_files)
+        except Exception:
+            needs_build = True  # pending_delta marker forces it anyway
     if needs_build:
-        if layout.exists():  # stale layout must not survive under the path
-            shutil.rmtree(layout, ignore_errors=True)
+        aside = retire_layout(layout)
         scratch = build_scratch_dir(layout)
         build_bucketed_layout(
             spark, sf_resolved, scratch, n_buckets=n_buckets, tables=tables
         )
         atomic_swap(scratch, layout)
+        discard_retired(aside)
     register_bucketed_layout(spark, layout)
     return layout
 
@@ -267,8 +359,6 @@ def bucketed_table_or_none(
         return None
     sf_resolved = Path(sf_dir).resolve()
     src = sf_resolved / f"{name}.parquet"
-    if src.exists() and src.stat().st_mtime_ns >= mtime:
-        return None  # layout predates (or ties) the current source data
     tbl = _table_name(name)
     cache_key = (spark.sparkContext.applicationId, str(layout))
     cached = _REGISTRATION_CACHE.get(cache_key)
@@ -285,10 +375,29 @@ def bucketed_table_or_none(
         manifest = cached[1]
     else:
         manifest = json.loads(manifest_path.read_text())
+        if manifest["sf_dir"] != str(sf_resolved):
+            return None  # never register a foreign layout's tables
         register_bucketed_layout(spark, layout)
         _REGISTRATION_CACHE[cache_key] = (mtime, manifest)
     if manifest["sf_dir"] != str(sf_resolved):
         return None
-    if name not in manifest["tables"]:
+    spec = manifest["tables"].get(name)
+    if spec is None:
         return None
+    # Staleness (r9): fingerprint-exact when the manifest carries one — an
+    # in-place part-file rewrite that doesn't bump the directory mtime is
+    # still caught, and a source that gained files (append pending) is not
+    # served until ensure applies the delta. Pre-fingerprint manifests
+    # keep the mtime rule.
+    files = spec.get("files")
+    if files is not None:
+        from .store_util import classify_source_change, source_fingerprint
+
+        if "pending_delta" in spec:
+            return None
+        state, _ = classify_source_change(files, source_fingerprint(src))
+        if state != "fresh":
+            return None
+    elif src.exists() and src.stat().st_mtime_ns >= mtime:
+        return None  # layout predates (or ties) the current source data
     return spark.table(tbl)

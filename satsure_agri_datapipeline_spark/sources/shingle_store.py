@@ -24,6 +24,12 @@ Reference shape: the reference's pandas near-dup pass re-shingles the full
 corpus per run (single process, no storage layout concept); this is the
 Spark-native ingest-time answer at 100 TB, where the exploded relation is
 tens of TB and its exchange dominates the query.
+
+r9 maintenance model (see band_store for details): per-file source
+fingerprint in the manifest; data drops append-delta (shingle rows for
+just the new files — per-doc rows need no reconciliation), mutations
+rebuild via rename-aside; ``shingle_store_or_none`` serves fresh stores
+under the raw catalog names by default.
 """
 
 from __future__ import annotations

@@ -759,3 +759,57 @@ def test_concurrent_rebuild_never_serves_torn_data(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS bkt_bands_h16b4n3")
     shutil.rmtree(layout_dir("bands", src.resolve(), 16, 4, 3, 32),
                   ignore_errors=True)
+
+
+def test_fact_layout_append_delta(spark, tmp_path):
+    """r9: the bucketed FACT layout gets the same append-delta maintenance
+    as the dedup stores — a new part file dropped into orders.parquet/
+    triggers a per-table delta (standing bucket files untouched, lineage
+    recorded), served rows match raw exactly, zero-exchange groupBy on the
+    bucket key survives the append, and a mutation forces a full rebuild."""
+    import json
+    import shutil
+
+    from satsure_agri_datapipeline_spark.sources import bucketed as bk
+
+    src = tmp_path / "sffact"
+    src.mkdir()
+    orders = load_table(spark, SF, "orders").cache()
+    base = orders.where(F.col("o_orderkey") % 3 != 0)
+    drop = orders.where(F.col("o_orderkey") % 3 == 0)
+    _write_single_part(base, src / "orders.parquet", "base-000.parquet")
+
+    layout = bk.ensure_bucketed_layout(spark, src, tables=["orders"])
+    manifest_path = layout / bk.MANIFEST_NAME
+    n1 = spark.table("bkt_orders").count()
+    files_before = set((layout / "orders").glob("part-*"))
+
+    # or_none refuses to serve while the delta is pending...
+    _write_single_part(drop, src / "orders.parquet", "drop-001.parquet")
+    assert bk.bucketed_table_or_none(spark, src, "orders") is None
+    # ...ensure applies it: delta, not rebuild
+    layout2 = bk.ensure_bucketed_layout(spark, src, tables=["orders"])
+    assert layout2 == layout
+    man = json.loads(manifest_path.read_text())
+    assert man["tables"]["orders"]["deltas"] == [["drop-001.parquet"]]
+    assert files_before < set((layout / "orders").glob("part-*"))
+
+    served = bk.bucketed_table_or_none(spark, src, "orders")
+    assert served is not None
+    raw_rows = sorted(map(tuple, load_table(spark, SF, "orders").collect()))
+    assert sorted(map(tuple, served.collect())) == raw_rows
+    assert served.count() > n1
+    # bucketing intact across the appended files
+    assert "Exchange hashpartitioning" not in _plan(
+        served.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    # mutation -> full rebuild, lineage resets
+    _write_single_part(base.limit(50), src / "orders.parquet", "base-000.parquet")
+    bk.ensure_bucketed_layout(spark, src, tables=["orders"])
+    man2 = json.loads(manifest_path.read_text())
+    assert man2["tables"]["orders"]["deltas"] == []
+
+    orders.unpersist()
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    shutil.rmtree(layout, ignore_errors=True)

@@ -41,22 +41,44 @@ def run_spark(sf_dir: str, names: list[str], n_runs: int) -> dict:
 
     run(queries["sensor_global_stats"](spark, sf_dir))  # warmup
 
+    # Queries whose plan CONSTRUCTION executes work (iterative
+    # localCheckpoint rounds, size-gated driver union-find): time
+    # construction + execution together each run, or the number is only
+    # the post-collect tail (r9 sweep caught events_pagerank at a bogus
+    # 0.08 s this way).
+    eager = {
+        "events_pagerank",
+        "doc_curation_pipeline",
+        "doc_curation_pipeline_stored",
+        "doc_near_dup_clusters",
+        "doc_dedup_canonical",
+        "doc_dedup_best_quality",
+    }
     out = {}
     for name in names:
-        _dedup.CACHE_REGISTRY.clear()
-        df = queries[name](spark, sf_dir)
-        deps = list(_dedup.CACHE_REGISTRY)
         per = []
-        for _ in range(n_runs):
-            t0 = time.time()
-            run(df)
-            per.append(round(time.time() - t0, 2))
+        if name in eager:
+            for _ in range(n_runs):
+                _dedup.CACHE_REGISTRY.clear()
+                t0 = time.time()
+                run(queries[name](spark, sf_dir))
+                per.append(round(time.time() - t0, 2))
+                for dep in _dedup.CACHE_REGISTRY:
+                    dep.unpersist(blocking=True)
+        else:
+            _dedup.CACHE_REGISTRY.clear()
+            df = queries[name](spark, sf_dir)
+            deps = list(_dedup.CACHE_REGISTRY)
+            for _ in range(n_runs):
+                t0 = time.time()
+                run(df)
+                per.append(round(time.time() - t0, 2))
+                for dep in deps:
+                    level = dep.storageLevel
+                    dep.unpersist(blocking=True)
+                    dep.persist(level)
             for dep in deps:
-                level = dep.storageLevel
                 dep.unpersist(blocking=True)
-                dep.persist(level)
-        for dep in deps:
-            dep.unpersist(blocking=True)
         out[name] = min(per)
         print(f"# spark {name}: best {min(per)}s of {per}", file=sys.stderr, flush=True)
     return out
