@@ -190,7 +190,7 @@ def _classify_table(
     """fresh|append|rebuild for ONE layout table vs the current source
     (per-file fingerprint; pre-fingerprint manifests and pending deltas
     classify as rebuild — same contract as the dedup stores)."""
-    from .store_util import classify_source_change, source_fingerprint
+    from .store_util import classify_source_change, max_deltas, source_fingerprint
 
     spec = manifest["tables"].get(name)
     if spec is None:
@@ -198,7 +198,10 @@ def _classify_table(
     if "pending_delta" in spec:
         return ("rebuild", [])
     current = source_fingerprint(sf_resolved / f"{name}.parquet")
-    return classify_source_change(spec.get("files"), current)
+    state, new_files = classify_source_change(spec.get("files"), current)
+    if state == "append" and len(spec.get("deltas", [])) >= max_deltas():
+        return ("rebuild", [])  # compact the delta chain
+    return (state, new_files)
 
 
 def append_table_delta(

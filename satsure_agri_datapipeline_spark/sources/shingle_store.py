@@ -47,6 +47,7 @@ from satsure_agri_datapipeline_spark.sources.store_util import (
     classify_source_change,
     discard_retired,
     layout_dir,
+    max_deltas,
     retire_layout,
     source_fingerprint,
 )
@@ -166,6 +167,8 @@ def _classify(
         return ("rebuild", [], manifest)
     current = source_fingerprint(sf_resolved / "documents.parquet")
     state, new_files = classify_source_change(manifest.get("files"), current)
+    if state == "append" and len(manifest.get("deltas", [])) >= max_deltas():
+        return ("rebuild", [], manifest)  # compact the delta chain
     return (state, new_files, manifest)
 
 

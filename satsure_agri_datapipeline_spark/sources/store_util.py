@@ -88,6 +88,20 @@ def classify_source_change(
     return ("rebuild", [])
 
 
+def max_deltas() -> int:
+    """Delta-chain compaction bound: after this many append deltas a store
+    rebuilds instead of appending again. Each delta adds one parquet file
+    per bucket (Spark reads multi-file buckets fine, but file-count grows
+    linearly with drops and small files erode scan efficiency); a bound of
+    16 caps files-per-bucket at 17 while still amortizing the full
+    signature/shingle pass across 16 drops.
+    ``SPARK_GRAFT_STORE_MAX_DELTAS`` overrides."""
+    try:
+        return int(os.environ.get("SPARK_GRAFT_STORE_MAX_DELTAS", "16"))
+    except ValueError:
+        return 16
+
+
 def retire_layout(layout: Path) -> Path | None:
     """Atomically rename a stale layout ASIDE (instead of rmtree-in-place)
     so a concurrent session already scanning tables registered over the old

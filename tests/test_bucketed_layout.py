@@ -813,3 +813,50 @@ def test_fact_layout_append_delta(spark, tmp_path):
     orders.unpersist()
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
     shutil.rmtree(layout, ignore_errors=True)
+
+
+def test_delta_chain_compaction_bound(spark, tmp_path):
+    """r9: the delta chain is bounded — after SPARK_GRAFT_STORE_MAX_DELTAS
+    appends the next drop triggers a full rebuild (compaction: deltas
+    lineage resets, per-bucket file count shrinks back), keeping
+    files-per-bucket capped for long-lived stores under continuous
+    drops."""
+    import json
+    import shutil
+
+    from satsure_agri_datapipeline_spark.sources import band_store as bs
+    from satsure_agri_datapipeline_spark.sources.store_util import layout_dir
+
+    src = tmp_path / "sfchain"
+    docs_dir = src / "documents.parquet"
+    src.mkdir()
+    docs = load_table(spark, SF, "documents").limit(24).cache()
+    _write_single_part(docs.where(F.col("doc_id") % 4 == 0), docs_dir, "d0.parquet")
+
+    os.environ["SPARK_GRAFT_STORE_MAX_DELTAS"] = "2"
+    layout = layout_dir("bands", src.resolve(), 16, 4, 3, 32)
+    try:
+        bs.ensure_band_store(spark, src)
+        for i in (1, 2):
+            _write_single_part(
+                docs.where(F.col("doc_id") % 4 == i), docs_dir, f"d{i}.parquet"
+            )
+            bs.ensure_band_store(spark, src)
+        man = json.loads((layout / bs.MANIFEST_NAME).read_text())
+        assert len(man["deltas"]) == 2
+        n_files_before = len(list((layout / man["table"]).glob("part-*")))
+
+        # third drop hits the bound -> rebuild, not a third append
+        _write_single_part(docs.where(F.col("doc_id") % 4 == 3), docs_dir, "d3.parquet")
+        b = bs.ensure_band_store(spark, src)
+        man2 = json.loads((layout / bs.MANIFEST_NAME).read_text())
+        assert man2["deltas"] == []
+        assert set(man2["files"]) == {f"d{i}.parquet" for i in range(4)}
+        n_files_after = len(list((layout / man2["table"]).glob("part-*")))
+        assert n_files_after < n_files_before
+        assert b.count() > 0
+    finally:
+        del os.environ["SPARK_GRAFT_STORE_MAX_DELTAS"]
+        docs.unpersist()
+        spark.sql("DROP TABLE IF EXISTS bkt_bands_h16b4n3")
+        shutil.rmtree(layout, ignore_errors=True)
