@@ -113,19 +113,35 @@ def _curate_staged(
     )
     kept = mark(kept.join(keepers, id_col, "left_semi"), "after_exact")
 
+    # Materialize the quality+exact survivor IDS once (r9): the near-dup
+    # stage's pair derivation executes during plan CONSTRUCTION (the
+    # connected-components collect), and the final action used to
+    # re-execute the whole quality+exact lineage a second time. Persisting
+    # the id set (8 bytes/doc) and rebuilding the survivor rows as
+    # docs ⋉ ids makes both consumers share ONE execution of the scoring
+    # stages; the observe markers ride the ids' lineage, so staged
+    # counters still fire on the final action. Caller releases via
+    # ``operators.dedup.release`` / the bench rearm registry.
+    from pyspark import StorageLevel
+
+    kept_ids = kept.select(id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    survivors = docs.join(kept_ids, id_col, "left_semi")
+
     if shingle_store is not None:
         surviving = shingle_store.join(
-            F.broadcast(kept.select(id_col)), id_col, "left_semi"
+            F.broadcast(kept_ids), id_col, "left_semi"
         )
         pairs = dd.jaccard_pairs_from_exploded(
             surviving, jaccard_threshold, id_col=id_col
         )
     else:
         pairs = dd.ngram_jaccard_pairs(
-            kept, n=shingle_n, threshold=jaccard_threshold,
+            survivors, n=shingle_n, threshold=jaccard_threshold,
             text_col=text_col, id_col=id_col,
         )
-    kept = mark(dd.dedup_keep_canonical(kept, pairs, id_col=id_col), "after_near_dup")
+    kept = mark(
+        dd.dedup_keep_canonical(survivors, pairs, id_col=id_col), "after_near_dup"
+    )
 
     if benchmark is not None:
         contaminated = tx.decontaminate(
@@ -134,7 +150,7 @@ def _curate_staged(
         kept = mark(
             kept.join(contaminated, id_col, "left_anti"), "after_decontaminate"
         )
-    return kept, observations
+    return dd._register_cache(kept, kept_ids), observations
 
 
 def curate_with_observed_counters(
