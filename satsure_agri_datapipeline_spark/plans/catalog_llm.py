@@ -2406,12 +2406,22 @@ def doc_char_jaccard(spark, sf_dir):
     bench scale; with the operator's ``max_shingle_df=200`` stop-shingle
     cap the identical corpus completes in 18 s. Production char-unit runs
     must set the cap (it changes results by definition, so this
-    oracle-pinned query stays uncapped at its small SF)."""
+    oracle-pinned query stays uncapped at its small SF).
+
+    r9: serves a char-unit shingle store when one exists (params are
+    store-keyed, so a corpus ingested with
+    ``ensure_shingle_store(n=5, unit="char")`` gets the zero-Exchange
+    plan under this raw name too); raw recompute otherwise."""
+    from satsure_agri_datapipeline_spark.sources.shingle_store import (
+        shingle_store_or_none,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_store_or_none(spark, sf_dir, n=5, unit="char", seed=0)
+    if sh is not None:
+        return _jaccard_display(dd.jaccard_pairs_from_exploded(sh, threshold=0.6))
     pairs = dd.ngram_jaccard_pairs(docs, n=5, threshold=0.6, unit="char")
-    return pairs.select(
-        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
-    ).orderBy("id_a", "id_b")
+    return _jaccard_display(pairs)
 
 
 @query(
