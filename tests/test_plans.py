@@ -256,11 +256,23 @@ def test_bench_regression_guard_flags_and_unwraps_driver_artifacts():
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     from bench import regression_guard
 
+    from bench import _unwrap_artifact
+
     prev = regression_guard({"sensor_daily_avg": 99.0, "doc_simhash": 0.01}, 0.1)
     assert prev is not None and prev["baseline_artifact"].startswith("BENCH_r")
     assert "sensor_daily_avg" in prev["flagged"]
     assert "doc_simhash" not in prev["flagged"]  # faster is never flagged
     assert regression_guard({"sensor_daily_avg": 99.0}, 31337.0) is None
+
+    # r9 regression: the driver's 2000-char tail cap can truncate the bench
+    # line, leaving an artifact with "parsed": null (BENCH_r09.json). The
+    # guard must fall back to the wrapper, never crash on None.get.
+    assert _unwrap_artifact({"parsed": None, "sf": 0.1}) == {
+        "parsed": None, "sf": 0.1}
+    assert _unwrap_artifact({"parsed": {"sf": 0.1}}) == {"sf": 0.1}
+    assert _unwrap_artifact(["not", "a", "dict"]) is None
+    assert _unwrap_artifact({"parsed": "truncated-garbage"}) == {
+        "parsed": "truncated-garbage"}
 
 
 def test_scale_aware_io_codec_selection(tmp_path):
