@@ -52,12 +52,18 @@ from pyspark.sql import DataFrame, SparkSession
 from satsure_agri_datapipeline_spark.sources.store_util import (
     atomic_swap,
     build_scratch_dir,
+    cached_source_fingerprint,
+    claim_append,
     classify_source_change,
     discard_retired,
     layout_dir,
+    log_store_fallback,
     max_deltas,
+    read_manifest_or_none,
+    release_append,
     retire_layout,
     source_fingerprint,
+    write_manifest,
 )
 
 MANIFEST_NAME = "_band_manifest.json"
@@ -122,7 +128,7 @@ def build_band_store(
             f"`{f.name}` {f.dataType.simpleString()}" for f in bands.schema.fields
         ),
     }
-    (layout / MANIFEST_NAME).write_text(json.dumps(manifest, indent=2))
+    write_manifest(layout / MANIFEST_NAME, manifest)
     return manifest
 
 
@@ -166,15 +172,18 @@ def _classify(
     manifest_path: Path,
     sf_resolved: Path,
     params: tuple,
+    cached: bool = False,
 ) -> tuple[str, list[str], dict | None]:
     """(state, new_files, manifest) where state ∈ fresh|append|rebuild.
-    A manifest from other params/source, a pre-fingerprint manifest, or one
-    carrying a ``pending_delta`` marker (a delta append that may or may not
-    have committed before a crash — indistinguishable, so never trusted)
-    all classify as rebuild."""
-    if not manifest_path.exists():
+    A manifest from other params/source, a pre-fingerprint manifest, an
+    unreadable/unparseable one, or one carrying a ``pending_delta`` marker
+    (a delta append that may or may not have committed before a crash —
+    indistinguishable, so never trusted) all classify as rebuild. With
+    ``cached=True`` (the hot serving hooks) the source fingerprint comes
+    from the dir-mtime-keyed cache salted by the manifest mtime."""
+    manifest = read_manifest_or_none(manifest_path)
+    if manifest is None:
         return ("rebuild", [], None)
-    manifest = json.loads(manifest_path.read_text())
     if manifest.get("sf_dir") != str(sf_resolved) or (
         manifest.get("num_hashes"),
         manifest.get("band_size"),
@@ -184,7 +193,15 @@ def _classify(
         return ("rebuild", [], manifest)
     if "pending_delta" in manifest:
         return ("rebuild", [], manifest)
-    current = source_fingerprint(sf_resolved / "documents.parquet")
+    src = sf_resolved / "documents.parquet"
+    if cached:
+        try:
+            salt = manifest_path.stat().st_mtime_ns
+        except OSError:
+            salt = 0
+        current = cached_source_fingerprint(src, salt)
+    else:
+        current = source_fingerprint(src)
     state, new_files = classify_source_change(manifest.get("files"), current)
     if state == "append" and len(manifest.get("deltas", [])) >= max_deltas():
         return ("rebuild", [], manifest)  # compact the delta chain
@@ -208,7 +225,9 @@ def append_band_delta(
     Crash discipline: the manifest is stamped ``pending_delta`` BEFORE the
     insert and finalized after — a crash between the two leaves a marker
     that forces a full rebuild next ensure (a committed-but-unrecorded
-    append is indistinguishable from an uncommitted one)."""
+    append is indistinguishable from an uncommitted one). Writer mutual
+    exclusion (two sessions classifying the same drop as 'append') is the
+    caller's job via ``store_util.claim_append``."""
     from satsure_agri_datapipeline_spark.operators.dedup import (
         _band_rows,
         minhash_signature_arrays,
@@ -218,7 +237,7 @@ def append_band_delta(
     manifest_path = layout / MANIFEST_NAME
     _serve_attached(spark, layout, manifest)
     pending = dict(manifest, pending_delta=sorted(new_files))
-    manifest_path.write_text(json.dumps(pending, indent=2))
+    write_manifest(manifest_path, pending)
 
     src = Path(manifest["sf_dir"]) / "documents.parquet"
     # Fingerprint before the read, and record ONLY the files this delta
@@ -248,7 +267,7 @@ def append_band_delta(
     done = dict(manifest)
     done["files"] = {**manifest.get("files", {}), **read_files}
     done["deltas"] = list(manifest.get("deltas", [])) + [sorted(new_files)]
-    manifest_path.write_text(json.dumps(done, indent=2))
+    write_manifest(manifest_path, done)
     return done
 
 
@@ -277,11 +296,28 @@ def ensure_band_store(
     manifest_path = layout / MANIFEST_NAME
     state, new_files, manifest = _classify(manifest_path, sf_resolved, params)
     if state == "append":
-        try:
-            manifest = append_band_delta(spark, layout, manifest, new_files)
-            return _serve_attached(spark, layout, manifest)
-        except Exception:
-            state = "rebuild"  # pending_delta marker forces it anyway
+        if claim_append(layout):
+            try:
+                manifest = append_band_delta(spark, layout, manifest, new_files)
+                return _serve_attached(spark, layout, manifest)
+            except Exception as exc:
+                log_store_fallback("band-store append delta", exc)
+                state = "rebuild"  # pending_delta marker forces it anyway
+            finally:
+                release_append(layout)
+        else:
+            # Another session claimed this delta (ADVICE r9 high: without
+            # the claim, both would insert the new rows and silently
+            # corrupt every downstream aggregate). Re-classify: if the
+            # winner finished, serve its result; anything else (winner
+            # in-flight or crashed) degrades to a rebuild, which is
+            # serialized via scratch-dir + atomic_swap.
+            state, new_files, manifest = _classify(
+                manifest_path, sf_resolved, params
+            )
+            if state == "fresh":
+                return _serve_attached(spark, layout, manifest)
+            state = "rebuild"
     if state == "rebuild":
         aside = retire_layout(layout)
         scratch = build_scratch_dir(layout)
@@ -324,10 +360,14 @@ def band_store_or_none(
     layout = layout_dir(
         "bands", sf_resolved, num_hashes, band_size, n, n_buckets
     )
-    state, _, manifest = _classify(layout / MANIFEST_NAME, sf_resolved, params)
+    state, _, manifest = _classify(
+        layout / MANIFEST_NAME, sf_resolved, params, cached=True
+    )
     if state != "fresh":
         return None
     try:
         return _serve_attached(spark, layout, manifest)
-    except Exception:
-        return None  # racing rebuild retired the layout mid-attach: raw path
+    except Exception as exc:
+        # racing rebuild retired the layout mid-attach: raw path
+        log_store_fallback("band-store attach", exc)
+        return None

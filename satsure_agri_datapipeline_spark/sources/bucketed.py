@@ -111,7 +111,9 @@ def build_bucketed_layout(
                 f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
             ),
         }
-    (layout / MANIFEST_NAME).write_text(json.dumps(manifest, indent=2))
+    from .store_util import write_manifest
+
+    write_manifest(layout / MANIFEST_NAME, manifest)
     # saveAsTable re-pointed the global bkt_* names at this layout: every
     # other layout's warm registration cache is stale now.
     app_id = spark.sparkContext.applicationId
@@ -217,7 +219,7 @@ def append_table_delta(
     so the exchange-free join plans survive). Same pending_delta crash
     discipline as the dedup stores: marker set before the insert, cleared
     with updated lineage after; an ambiguous crash forces a rebuild."""
-    from .store_util import source_fingerprint
+    from .store_util import source_fingerprint, write_manifest
     from .tables import load_parquet_files
 
     manifest_path = layout / MANIFEST_NAME
@@ -232,7 +234,7 @@ def append_table_delta(
     register_bucketed_layout(spark, layout)  # attach before insert
     pending = json.loads(json.dumps(manifest))
     pending["tables"][name]["pending_delta"] = sorted(new_files)
-    manifest_path.write_text(json.dumps(pending, indent=2))
+    write_manifest(manifest_path, pending)
 
     df = load_parquet_files(spark, [src / f for f in sorted(new_files)])
     (
@@ -248,7 +250,7 @@ def append_table_delta(
     done["tables"][name]["deltas"] = list(spec.get("deltas", [])) + [
         sorted(new_files)
     ]
-    manifest_path.write_text(json.dumps(done, indent=2))
+    write_manifest(manifest_path, done)
     return done
 
 
@@ -273,7 +275,11 @@ def ensure_bucketed_layout(
     from .store_util import (
         atomic_swap,
         build_scratch_dir,
+        claim_append,
         discard_retired,
+        log_store_fallback,
+        read_manifest_or_none,
+        release_append,
         retire_layout,
     )
 
@@ -284,8 +290,8 @@ def ensure_bucketed_layout(
 
     needs_build = True
     appends: dict[str, list[str]] = {}
-    if manifest_path.exists():
-        manifest = json.loads(manifest_path.read_text())
+    manifest = read_manifest_or_none(manifest_path)
+    if manifest is not None and "sf_dir" in manifest and "tables" in manifest:
         if manifest["sf_dir"] == str(sf_resolved) and set(tables) <= set(
             manifest["tables"]
         ):
@@ -300,11 +306,31 @@ def ensure_bucketed_layout(
             # (build_bucketed_layout rewrites the whole manifest).
             tables = sorted(set(tables) | set(manifest["tables"]))
     if not needs_build and appends:
-        try:
-            for t, new_files in sorted(appends.items()):
-                manifest = append_table_delta(spark, layout, manifest, t, new_files)
-        except Exception:
-            needs_build = True  # pending_delta marker forces it anyway
+        # Writer mutual exclusion (ADVICE r9 high, same as the dedup
+        # stores): exactly one session applies a given drop's deltas; a
+        # loser serves the winner's result if it finished, else rebuilds.
+        if claim_append(layout):
+            try:
+                for t, new_files in sorted(appends.items()):
+                    manifest = append_table_delta(
+                        spark, layout, manifest, t, new_files
+                    )
+            except Exception as exc:
+                log_store_fallback("bucketed-layout append delta", exc)
+                needs_build = True  # pending_delta marker forces it anyway
+            finally:
+                release_append(layout)
+        else:
+            # Re-read: the winner may have finalized its deltas already.
+            manifest = read_manifest_or_none(manifest_path)
+            if manifest is None or manifest.get("sf_dir") != str(sf_resolved):
+                needs_build = True
+            else:
+                states = {
+                    t: _classify_table(manifest, sf_resolved, t) for t in tables
+                }
+                if not all(s == "fresh" for s, _ in states.values()):
+                    needs_build = True
     if needs_build:
         aside = retire_layout(layout)
         scratch = build_scratch_dir(layout)
@@ -377,7 +403,11 @@ def bucketed_table_or_none(
     ):
         manifest = cached[1]
     else:
-        manifest = json.loads(manifest_path.read_text())
+        from .store_util import read_manifest_or_none
+
+        manifest = read_manifest_or_none(manifest_path)
+        if manifest is None or "sf_dir" not in manifest or "tables" not in manifest:
+            return None  # torn/corrupt manifest: raw path, never a crash
         if manifest["sf_dir"] != str(sf_resolved):
             return None  # never register a foreign layout's tables
         register_bucketed_layout(spark, layout)
@@ -387,18 +417,23 @@ def bucketed_table_or_none(
     spec = manifest["tables"].get(name)
     if spec is None:
         return None
-    # Staleness (r9): fingerprint-exact when the manifest carries one — an
-    # in-place part-file rewrite that doesn't bump the directory mtime is
-    # still caught, and a source that gained files (append pending) is not
-    # served until ensure applies the delta. Pre-fingerprint manifests
-    # keep the mtime rule.
+    # Staleness (r9): fingerprint-checked when the manifest carries one —
+    # a source that gained files (append pending) is not served until
+    # ensure applies the delta. r10 (ADVICE): this hook runs per table per
+    # query, so the fingerprint rides the dir-mtime-keyed cache salted by
+    # the manifest mtime instead of a full rglob+stat per call; an
+    # in-place part-file overwrite that bypasses a rename is only caught
+    # by ensure's exact fingerprint (or SPARK_GRAFT_FP_CACHE=off).
+    # Pre-fingerprint manifests keep the mtime rule.
     files = spec.get("files")
     if files is not None:
-        from .store_util import classify_source_change, source_fingerprint
+        from .store_util import cached_source_fingerprint, classify_source_change
 
         if "pending_delta" in spec:
             return None
-        state, _ = classify_source_change(files, source_fingerprint(src))
+        state, _ = classify_source_change(
+            files, cached_source_fingerprint(src, mtime)
+        )
         if state != "fresh":
             return None
     elif src.exists() and src.stat().st_mtime_ns >= mtime:

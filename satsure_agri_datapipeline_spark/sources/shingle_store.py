@@ -44,12 +44,18 @@ from pyspark.sql import functions as F
 from satsure_agri_datapipeline_spark.sources.store_util import (
     atomic_swap,
     build_scratch_dir,
+    cached_source_fingerprint,
+    claim_append,
     classify_source_change,
     discard_retired,
     layout_dir,
+    log_store_fallback,
     max_deltas,
+    read_manifest_or_none,
+    release_append,
     retire_layout,
     source_fingerprint,
+    write_manifest,
 )
 
 MANIFEST_NAME = "_shingle_manifest.json"
@@ -111,7 +117,7 @@ def build_shingle_store(
             f"`{f.name}` {f.dataType.simpleString()}" for f in sh.schema.fields
         ),
     }
-    (layout / MANIFEST_NAME).write_text(json.dumps(manifest, indent=2))
+    write_manifest(layout / MANIFEST_NAME, manifest)
     return manifest
 
 
@@ -149,13 +155,14 @@ def _serve_attached(spark: SparkSession, layout: Path, manifest: dict) -> DataFr
 
 
 def _classify(
-    manifest_path: Path, sf_resolved: Path, params: tuple
+    manifest_path: Path, sf_resolved: Path, params: tuple, cached: bool = False
 ) -> tuple[str, list[str], dict | None]:
     """(state, new_files, manifest); state ∈ fresh|append|rebuild — same
-    contract as band_store._classify (pending_delta ⇒ rebuild)."""
-    if not manifest_path.exists():
+    contract as band_store._classify (pending_delta or an unreadable
+    manifest ⇒ rebuild; ``cached=True`` for the hot serving hooks)."""
+    manifest = read_manifest_or_none(manifest_path)
+    if manifest is None:
         return ("rebuild", [], None)
-    manifest = json.loads(manifest_path.read_text())
     if manifest.get("sf_dir") != str(sf_resolved) or (
         manifest.get("n"),
         manifest.get("unit"),
@@ -165,7 +172,15 @@ def _classify(
         return ("rebuild", [], manifest)
     if "pending_delta" in manifest:
         return ("rebuild", [], manifest)
-    current = source_fingerprint(sf_resolved / "documents.parquet")
+    src = sf_resolved / "documents.parquet"
+    if cached:
+        try:
+            salt = manifest_path.stat().st_mtime_ns
+        except OSError:
+            salt = 0
+        current = cached_source_fingerprint(src, salt)
+    else:
+        current = source_fingerprint(src)
     state, new_files = classify_source_change(manifest.get("files"), current)
     if state == "append" and len(manifest.get("deltas", [])) >= max_deltas():
         return ("rebuild", [], manifest)  # compact the delta chain
@@ -190,7 +205,7 @@ def append_shingle_delta(
     manifest_path = layout / MANIFEST_NAME
     _serve_attached(spark, layout, manifest)
     pending = dict(manifest, pending_delta=sorted(new_files))
-    manifest_path.write_text(json.dumps(pending, indent=2))
+    write_manifest(manifest_path, pending)
 
     src = Path(manifest["sf_dir"]) / "documents.parquet"
     # Record ONLY the files this delta actually read (see band_store).
@@ -219,7 +234,7 @@ def append_shingle_delta(
     done = dict(manifest)
     done["files"] = {**manifest.get("files", {}), **read_files}
     done["deltas"] = list(manifest.get("deltas", [])) + [sorted(new_files)]
-    manifest_path.write_text(json.dumps(done, indent=2))
+    write_manifest(manifest_path, done)
     return done
 
 
@@ -245,11 +260,24 @@ def ensure_shingle_store(
     manifest_path = layout / MANIFEST_NAME
     state, new_files, manifest = _classify(manifest_path, sf_resolved, params)
     if state == "append":
-        try:
-            manifest = append_shingle_delta(spark, layout, manifest, new_files)
-            return _serve_attached(spark, layout, manifest)
-        except Exception:
-            state = "rebuild"  # pending_delta marker forces it anyway
+        if claim_append(layout):
+            try:
+                manifest = append_shingle_delta(spark, layout, manifest, new_files)
+                return _serve_attached(spark, layout, manifest)
+            except Exception as exc:
+                log_store_fallback("shingle-store append delta", exc)
+                state = "rebuild"  # pending_delta marker forces it anyway
+            finally:
+                release_append(layout)
+        else:
+            # Another session claimed this delta (see band_store): serve
+            # the winner's result if it finished, else rebuild.
+            state, new_files, manifest = _classify(
+                manifest_path, sf_resolved, params
+            )
+            if state == "fresh":
+                return _serve_attached(spark, layout, manifest)
+            state = "rebuild"
     if state == "rebuild":
         aside = retire_layout(layout)
         scratch = build_scratch_dir(layout)
@@ -281,10 +309,14 @@ def shingle_store_or_none(
     sf_resolved = Path(sf_dir).resolve()
     params = (n, unit, seed, n_buckets)
     layout = layout_dir("shingles", sf_resolved, n, unit, seed, n_buckets)
-    state, _, manifest = _classify(layout / MANIFEST_NAME, sf_resolved, params)
+    state, _, manifest = _classify(
+        layout / MANIFEST_NAME, sf_resolved, params, cached=True
+    )
     if state != "fresh":
         return None
     try:
         return _serve_attached(spark, layout, manifest)
-    except Exception:
-        return None  # racing rebuild retired the layout mid-attach: raw path
+    except Exception as exc:
+        # racing rebuild retired the layout mid-attach: raw path
+        log_store_fallback("shingle-store attach", exc)
+        return None

@@ -24,10 +24,14 @@ from __future__ import annotations
 
 import hashlib
 import itertools
+import json
+import logging
 import os
 import shutil
 import tempfile
 from pathlib import Path
+
+_LOG = logging.getLogger("satsure_agri_datapipeline_spark.stores")
 
 # Process-local uniquifier for retire_layout aside names: two retires of the
 # same layout within one process (test loops) must not collide on the pid.
@@ -65,6 +69,118 @@ def source_fingerprint(src: Path) -> dict[str, list[int]]:
             st = f.stat()
             out[str(f.relative_to(src))] = [st.st_mtime_ns, st.st_size]
     return out
+
+
+def write_manifest(path: Path, obj: dict) -> None:
+    """Atomic manifest write (ADVICE r9, medium): JSON to a temp file in the
+    same directory + ``os.replace`` over the manifest, so a concurrent
+    session's read can never observe a truncated file. Plain ``write_text``
+    on the live manifest raced ``_classify``/serving readers into
+    JSONDecodeError crashes on default-served raw queries."""
+    tmp = path.parent / f"{path.name}.tmp{os.getpid()}"
+    tmp.write_text(json.dumps(obj, indent=2))
+    os.replace(tmp, path)
+
+
+def read_manifest_or_none(path: Path) -> dict | None:
+    """Tolerant manifest read: missing, unreadable, or unparseable (plain
+    corruption, or a torn write from a pre-``write_manifest`` version) all
+    mean 'no usable manifest' — the caller classifies as rebuild / refuses
+    to serve, instead of an exception escaping a default-serving hook."""
+    try:
+        m = json.loads(path.read_text())
+    except (OSError, json.JSONDecodeError):
+        return None
+    return m if isinstance(m, dict) else None
+
+
+_DELTA_LOCK_NAME = "_delta.lock"
+
+
+def claim_append(layout: Path) -> bool:
+    """Writer mutual exclusion for the append-delta path (ADVICE r9, high):
+    two sessions can both classify the same data drop as 'append' before
+    either writes the ``pending_delta`` marker — without a claim, both
+    would insert the new files' rows and silently corrupt every downstream
+    jaccard/containment/fact aggregate while the final manifest records
+    the store as fresh. ``os.open(O_CREAT|O_EXCL)`` on a lock file inside
+    the layout dir; exactly one claimant wins, losers re-classify after
+    the winner's manifest update (or fall back to a rebuild, which is
+    serialized separately via scratch-dir + atomic_swap).
+
+    The lock is liveness-only, never the consistency mechanism: a claimant
+    that crashes leaves either (a) no pending marker — the next ensure
+    fails the claim and degrades to a rebuild, which renames the layout
+    (lock included) aside — or (b) a pending marker, which forces a
+    rebuild by itself. No unlock-on-crash protocol is needed."""
+    try:
+        fd = os.open(
+            layout / _DELTA_LOCK_NAME, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+        )
+    except OSError:
+        return False
+    with os.fdopen(fd, "w") as f:
+        f.write(str(os.getpid()))
+    return True
+
+
+def release_append(layout: Path) -> None:
+    """Best-effort unlock of :func:`claim_append` (the layout may have been
+    renamed aside by a racing rebuild; that copy of the lock dies with the
+    aside dir)."""
+    try:
+        os.unlink(layout / _DELTA_LOCK_NAME)
+    except OSError:
+        pass
+
+
+def log_store_fallback(what: str, exc: Exception) -> None:
+    """ADVICE r9, low: the ensure/serve paths convert ANY failure into a
+    full rebuild or a raw-compute fallback by design (availability over
+    latency) — but a SILENT conversion masks genuine code/config bugs as
+    repeated rebuild cost. Log the cause at warning before falling back."""
+    _LOG.warning("%s failed; falling back (rebuild/raw): %r", what, exc)
+
+
+# (src path, salt) -> (top-level dir mtime_ns, fingerprint). See
+# cached_source_fingerprint for the exact staleness contract.
+_FP_CACHE: dict[tuple[str, int], tuple[int, dict[str, list[int]]]] = {}
+
+
+def cached_source_fingerprint(
+    src: Path, salt: int = 0
+) -> dict[str, list[int]]:
+    """``source_fingerprint`` behind a directory-mtime-keyed cache, for the
+    HOT serving hooks only (``*_or_none`` runs on every ``load_table`` call
+    per table per query; a full rglob+stat of a many-part source on each is
+    real overhead at scale — ADVICE r9, low). ``ensure_*`` maintenance
+    paths keep the exact uncached fingerprint.
+
+    Invalidates on: the source's top-level directory mtime (any file
+    add/remove/rename in a flat part-file layout touches it) or a change
+    of ``salt`` (callers pass the store manifest's mtime_ns, so every
+    ensure-driven rebuild/append refreshes the cache). The accepted
+    escape: an IN-PLACE overwrite of an existing part file in a nested
+    subdirectory, or one that never goes through a rename — not how any
+    parquet committer writes. Single-file sources bypass the cache (one
+    stat). ``SPARK_GRAFT_FP_CACHE=off|0|none`` disables."""
+    if os.environ.get("SPARK_GRAFT_FP_CACHE", "").lower() in (
+        "off", "0", "none",
+    ):
+        return source_fingerprint(src)
+    try:
+        if not src.is_dir():
+            return source_fingerprint(src)
+        dir_mtime = src.stat().st_mtime_ns
+    except OSError:
+        return source_fingerprint(src)
+    key = (str(src), salt)
+    hit = _FP_CACHE.get(key)
+    if hit is not None and hit[0] == dir_mtime:
+        return hit[1]
+    fp = source_fingerprint(src)
+    _FP_CACHE[key] = (dir_mtime, fp)
+    return fp
 
 
 def classify_source_change(
