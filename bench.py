@@ -69,6 +69,8 @@ HEADLINE = [
     "doc_minhash_lsh",
     "doc_minhash_lsh_stored",
     "doc_simhash",
+    "doc_simhash_pairs",
+    "doc_simhash_pairs_stored",
     "doc_quality_score",
     "emb_cosine_topk",
     "emb_centroid_norms",
@@ -77,6 +79,8 @@ HEADLINE = [
     # surface here as a timing flag
     "doc_incremental_near_dup",
     "doc_incremental_near_dup_stored",
+    "doc_incremental_dedup",
+    "doc_incremental_dedup_stored",
     "doc_curation_pipeline",
     "doc_curation_pipeline_stored",
 ]
@@ -131,12 +135,24 @@ def main():
     # band/shingle relations by default (r9) — the numbers below are the
     # default-configuration numbers.
     from satsure_agri_datapipeline_spark.sources.band_store import ensure_band_store
+    from satsure_agri_datapipeline_spark.sources.digest_store import (
+        ensure_digest_store,
+    )
     from satsure_agri_datapipeline_spark.sources.shingle_store import (
         ensure_shingle_store,
+    )
+    from satsure_agri_datapipeline_spark.sources.simhash_store import (
+        ensure_simhash_store,
     )
 
     ensure_band_store(spark, sf_dir, num_hashes=16, band_size=4, n=3)
     ensure_shingle_store(spark, sf_dir, n=3, unit="word", seed=0)
+    from satsure_agri_datapipeline_spark.plans.catalog_llm import (
+        INCR_HISTORY_SUBSET,
+    )
+
+    ensure_simhash_store(spark, sf_dir, bits=32, n_bands=4)
+    ensure_digest_store(spark, sf_dir, subset=INCR_HISTORY_SUBSET)
 
     from satsure_agri_datapipeline_spark.operators import dedup as _dedup
 

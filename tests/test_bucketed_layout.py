@@ -1144,7 +1144,8 @@ def test_simhash_store_append_delta_and_serving_rules(spark, tmp_path):
         _write_single_part(drop, docs_dir, "drop-001.parquet")
         assert sh.simhash_store_or_none(spark, src) is None
         b2 = sh.ensure_simhash_store(spark, src, bits=32, n_bands=4)
-        assert b2.count() > n1
+        n2 = b2.count()
+        assert n2 > n1
         man = json.loads((layout / sh.MANIFEST_NAME).read_text())
         assert man["deltas"] == [["drop-001.parquet"]]
         assert "pending_delta" not in man
@@ -1162,7 +1163,7 @@ def test_simhash_store_append_delta_and_serving_rules(spark, tmp_path):
         b3 = sh.ensure_simhash_store(spark, src, bits=32, n_bands=4)
         man2 = json.loads((layout / sh.MANIFEST_NAME).read_text())
         assert man2["deltas"] == []
-        assert b3.count() < b2.count()
+        assert b3.count() < n2
     finally:
         docs.unpersist()
         spark.sql("DROP TABLE IF EXISTS bkt_simhash_b32x4")
@@ -1193,3 +1194,93 @@ def test_simhash_raw_names_serve_store_by_default(spark):
             assert served == raw and len(raw) > 0
     finally:
         pass  # store over shared SF testdata stays for other tests to reuse
+
+
+def test_digest_store_lifecycle_and_default_serving(spark, tmp_path):
+    """r10 (r9 verdict task 4): the incremental exact-dedup digest history
+    gets the full store lifecycle. ensure builds a bucketed digest table;
+    a data drop appends ONLY the drop's history digests (delta ∝ batch,
+    distinguishable from mutation); or_none refuses stale/knob-disabled;
+    and the anti-join consumer gets identical survivors through the store
+    as through the recompute, with the store side scanned bucketed."""
+    import json
+    import shutil
+
+    from satsure_agri_datapipeline_spark.operators import dedup as dd
+    from satsure_agri_datapipeline_spark.sources import digest_store as ds
+    from satsure_agri_datapipeline_spark.sources.store_util import layout_dir
+
+    subset = "doc_id % 5 < 2"
+    src = tmp_path / "sfdig"
+    docs_dir = src / "documents.parquet"
+    src.mkdir()
+    docs = load_table(spark, SF, "documents").limit(40).cache()
+    base = docs.where(F.col("doc_id") % 4 != 0)
+    drop = docs.where(F.col("doc_id") % 4 == 0)
+    _write_single_part(base, docs_dir, "base-000.parquet")
+    layout = layout_dir("digests", src.resolve(), subset, 32)
+    tbl = ds._table_name(subset)
+    try:
+        assert ds.digest_store_or_none(spark, src, subset=subset) is None
+
+        h1 = ds.ensure_digest_store(spark, src, subset=subset)
+        n1 = h1.count()
+        assert ds.digest_store_or_none(spark, src, subset=subset) is not None
+        # a different history definition is a DIFFERENT store
+        assert ds.digest_store_or_none(spark, src, subset="doc_id % 7 < 3") is None
+
+        os.environ[ds.ENV_KNOB] = "none"
+        try:
+            assert ds.digest_store_or_none(spark, src, subset=subset) is None
+        finally:
+            del os.environ[ds.ENV_KNOB]
+
+        # ---- data drop: delta ∝ batch; or_none refuses append-stale ----
+        _write_single_part(drop, docs_dir, "drop-001.parquet")
+        assert ds.digest_store_or_none(spark, src, subset=subset) is None
+        h2 = ds.ensure_digest_store(spark, src, subset=subset)
+        n2 = h2.count()
+        assert n2 > n1
+        man = json.loads((layout / ds.MANIFEST_NAME).read_text())
+        assert man["deltas"] == [["drop-001.parquet"]]
+
+        # identical survivors through the store as through the recompute
+        full = load_table(spark, src, "documents")
+        batch = full.where(F.col("doc_id") % 5 >= 2)
+        raw_hist = (
+            full.where(F.expr(subset))
+            .select(F.sha2(F.col("text"), 256).alias("digest"))
+            .distinct()
+        )
+        want, _ = dd.incremental_exact_dedup(batch, raw_hist)
+        got, _ = dd.incremental_exact_dedup(batch, h2)
+        want_rows = sorted(map(tuple, want.select("doc_id").collect()))
+        got_rows = sorted(map(tuple, got.select("doc_id").collect()))
+        assert got_rows == want_rows and len(got_rows) > 0
+
+        # the standing (huge) side is a bucketed scan — no exchange on it
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            plan = (
+                got._jdf.queryExecution().executedPlan().toString()
+            )
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        assert "Bucketed: true" in plan and tbl in plan
+
+        # ---- mutation → rebuild (also the delta-compaction path) ----
+        _write_single_part(base.limit(10), docs_dir, "base-000.parquet")
+        h3 = ds.ensure_digest_store(spark, src, subset=subset)
+        man2 = json.loads((layout / ds.MANIFEST_NAME).read_text())
+        assert man2["deltas"] == []
+        assert h3.count() < n2
+    finally:
+        docs.unpersist()
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(layout, ignore_errors=True)
+        shutil.rmtree(
+            layout_dir("digests", src.resolve(), "doc_id % 7 < 3", 32),
+            ignore_errors=True,
+        )
