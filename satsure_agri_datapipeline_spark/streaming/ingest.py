@@ -583,3 +583,104 @@ def run_streaming_running_stats(
     if once:
         return writer.trigger(availableNow=True).start()
     return writer.start()
+
+
+def run_streaming_document_ingest(
+    spark: SparkSession,
+    incoming_dir: str | Path,
+    corpus_dir: str | Path,
+    checkpoint_dir: str | Path,
+    once: bool = True,
+    max_files_per_trigger: int = 10,
+    maintain_stores: tuple[str, ...] = ("bands", "shingles"),
+):
+    """Continuous document ingest COMPOSED with standing-store maintenance
+    (r9 verdict task 5): the two r9/r10 stories — streaming micro-batches
+    and fingerprint-driven append-delta stores — wired together.
+
+    A file-source stream watches ``incoming_dir`` for new document parquet
+    drops; each micro-batch (a) lands its rows as NEW part files in the
+    corpus directory (``corpus_dir/documents.parquet/`` — exactly the
+    "data drop into a directory source" shape the store fingerprints
+    classify as an append), then (b) drives the requested stores' ensure
+    paths, which apply an append delta ∝ the batch under the writer lock.
+    After every committed micro-batch the standing band/shingle/simhash/
+    digest stores are FRESH: the raw near-dup query names keep serving
+    them, and ``incremental_minhash_dedup`` probes a store that already
+    contains everything ingested — no stale-store window between a drop
+    and the next manual ensure.
+
+    At 100 TB this is the production shape of a continuously-crawling
+    corpus: per-batch cost is (batch transform) + (batch signature pass) +
+    (per-bucket appends); nothing rescans the corpus. Spark's streaming
+    checkpoint provides exactly-once file tracking on the INCOMING side;
+    the stores' own manifest/lock/pending-marker discipline guarantees the
+    delta either commits once or forces a rebuild (never double-applies —
+    see sources/store_util.claim_append).
+
+    ``maintain_stores`` ⊆ {"bands", "shingles", "simhash", "digests"}.
+    Returns the streaming query; ``once=True`` drains available files then
+    stops (micro-batch catch-up mode).
+
+    Reference shape: the reference's incremental mode re-checkpoints raw
+    sensor files per run (src/components/ingestion.py:143-201) and has no
+    near-dup store concept; this is the Spark-native composition.
+    """
+    incoming = Path(incoming_dir).resolve()
+    corpus = Path(corpus_dir).resolve()
+    docs_dir = corpus / "documents.parquet"
+    docs_dir.mkdir(parents=True, exist_ok=True)
+
+    # Streaming schemas are declared, never inferred: probe one existing
+    # file's footer (incoming drops must share the documents schema).
+    sample = next(iter(sorted(incoming.glob("*.parquet"))), None)
+    if sample is None:
+        raise FileNotFoundError(f"no parquet drops to stream in {incoming}")
+    struct = spark.read.parquet(str(sample)).schema
+
+    stream = (
+        spark.readStream.schema(struct)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(str(incoming))
+    )
+
+    def _process(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # (a) land the batch as new part files — an append-classified drop.
+        # mode=append never touches standing part files, so the stores'
+        # fingerprint diff is exactly {new files}.
+        batch_df.write.mode("append").parquet(str(docs_dir))
+        # (b) store maintenance: each ensure classifies the drop as an
+        # append and applies a delta ∝ this batch (writer-locked).
+        if "bands" in maintain_stores:
+            from satsure_agri_datapipeline_spark.sources.band_store import (
+                ensure_band_store,
+            )
+
+            ensure_band_store(spark, corpus, num_hashes=16, band_size=4, n=3)
+        if "shingles" in maintain_stores:
+            from satsure_agri_datapipeline_spark.sources.shingle_store import (
+                ensure_shingle_store,
+            )
+
+            ensure_shingle_store(spark, corpus, n=3, unit="word", seed=0)
+        if "simhash" in maintain_stores:
+            from satsure_agri_datapipeline_spark.sources.simhash_store import (
+                ensure_simhash_store,
+            )
+
+            ensure_simhash_store(spark, corpus, bits=32, n_bands=4)
+        if "digests" in maintain_stores:
+            from satsure_agri_datapipeline_spark.sources.digest_store import (
+                ensure_digest_store,
+            )
+
+            ensure_digest_store(spark, corpus, subset="true")
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", str(checkpoint_dir)
+    )
+    if once:
+        return writer.trigger(availableNow=True).start()
+    return writer.start()

@@ -565,3 +565,98 @@ def test_transform_with_state_running_stats(spark, tmp_path):
     assert latest.n_readings == batch.n == 48
     assert latest.mean_value == pytest.approx(batch.m)
     assert latest.min_value == batch.lo and latest.max_value == batch.hi
+
+
+def test_streaming_document_ingest_maintains_stores(spark, tmp_path):
+    """r10 (r9 verdict task 5): streaming micro-batches COMPOSED with
+    standing-store maintenance. Each availableNow drain lands new corpus
+    part files and drives the band/shingle append deltas, so after every
+    batch (a) the manifests record delta lineage (append, never rebuild),
+    (b) incremental near-dup served from the standing store hash-matches
+    a from-scratch recompute on the grown corpus, and (c) the raw catalog
+    names keep serving a FRESH store (no stale window)."""
+    import json
+    import shutil
+
+    from satsure_agri_datapipeline_spark.operators import dedup as dd
+    from satsure_agri_datapipeline_spark.sources import band_store as bs
+    from satsure_agri_datapipeline_spark.sources import shingle_store as ss
+    from satsure_agri_datapipeline_spark.sources.store_util import layout_dir
+    from satsure_agri_datapipeline_spark.sources.tables import load_table
+    from satsure_agri_datapipeline_spark.streaming.ingest import (
+        run_streaming_document_ingest,
+    )
+
+    SFD = "/root/testdata/sf0.001"
+    docs = load_table(spark, SFD, "documents").limit(36).cache()
+    corpus = tmp_path / "corpus"
+    docs_dir = corpus / "documents.parquet"
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    docs_dir.mkdir(parents=True)
+
+    def _one_part(df, dest, name):
+        stage = tmp_path / f"stage_{name}"
+        df.repartition(1).write.mode("overwrite").parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        shutil.copy(part, dest / name)
+        shutil.rmtree(stage, ignore_errors=True)
+
+    # standing corpus + stores built once at "ingest time"
+    _one_part(docs.where(F.col("doc_id") % 3 == 0), docs_dir, "base-000.parquet")
+    bs.ensure_band_store(spark, corpus)
+    ss.ensure_shingle_store(spark, corpus)
+    band_layout = layout_dir("bands", corpus.resolve(), 16, 4, 3, 32)
+    sh_layout = layout_dir("shingles", corpus.resolve(), 3, "word", 0, 32)
+
+    try:
+        # ---- two streamed drops, drained one after the other ----
+        for i, residue in enumerate((1, 2), start=1):
+            _one_part(
+                docs.where(F.col("doc_id") % 3 == residue),
+                incoming,
+                f"drop-{i:03d}.parquet",
+            )
+            q = run_streaming_document_ingest(
+                spark, incoming, corpus, tmp_path / "ckpt", once=True
+            )
+            q.awaitTermination(180)
+
+            bman = json.loads((band_layout / bs.MANIFEST_NAME).read_text())
+            assert len(bman["deltas"]) == i  # append per batch, no rebuild
+            assert "pending_delta" not in bman
+            sman = json.loads((sh_layout / ss.MANIFEST_NAME).read_text())
+            assert len(sman["deltas"]) == i
+
+            # store serves fresh immediately: raw-name hook is non-None
+            assert bs.band_store_or_none(spark, corpus) is not None
+            assert ss.shingle_store_or_none(spark, corpus) is not None
+
+        # ---- the standing store == from-scratch on the grown corpus ----
+        store = bs.band_store_or_none(spark, corpus)
+        grown = load_table(spark, corpus, "documents")
+        want = sorted(
+            map(
+                tuple,
+                dd.minhash_bands(grown).select("doc_id", "band", "band_sig").collect(),
+            )
+        )
+        got = sorted(
+            map(tuple, store.select("doc_id", "band", "band_sig").collect())
+        )
+        assert got == want and len(want) > 0
+
+        # incremental near-dup probing the maintained store: identical
+        # survivors to probing a freshly recomputed store
+        batch = docs.limit(6).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        acc_stored, _ = dd.incremental_minhash_dedup(batch, store)
+        acc_fresh, _ = dd.incremental_minhash_dedup(batch, dd.minhash_bands(grown))
+        assert sorted(map(tuple, acc_stored.select("doc_id").collect())) == sorted(
+            map(tuple, acc_fresh.select("doc_id").collect())
+        )
+    finally:
+        docs.unpersist()
+        for tbl in ("bkt_bands_h16b4n3", "bkt_shingles_w3_s0"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(band_layout, ignore_errors=True)
+        shutil.rmtree(sh_layout, ignore_errors=True)
