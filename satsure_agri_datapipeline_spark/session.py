@@ -19,6 +19,44 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # compression (see the inline note at the conf site for the measurements).
 ZSTD_VOLUME_THRESHOLD = 8 * 1024**3
 
+# Source-parquet volume above which the session launches with 4×-core
+# initial shuffle partitions (see _pick_shuffle_partitions).
+BIG_SHUFFLE_VOLUME_THRESHOLD = 8 * 1024**3
+
+
+def _pick_shuffle_partitions(data_dir: str | os.PathLike | None) -> int:
+    """Scale-aware initial shuffle partitions (r10 spill accounting,
+    PERF.md): at 1000× the pair-counting family's aggregation state spills
+    >20× its shuffle volume on 32 fat partitions; 4× more initial
+    partitions cuts per-task state 4× and measured −25%/−18% wall on
+    stored containment/triangles with spilled bytes unchanged
+    (volume-inherent). AQE coalescing (parallelismFirst=true) folds the
+    extra partitions back to core count wherever state is small — the
+    1000× neutrality race showed identical effective stage layouts for
+    the multiway join / daily-avg / minhash — so the higher initial count
+    only persists where it pays. Declared input ≥ 8 GiB → 4× cores; small
+    or undeclared inputs keep 1× cores (the sub-second sf0.1 floor
+    queries would otherwise pay pure scheduling).
+    ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` overrides outright."""
+    from pathlib import Path
+
+    env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if env:
+        try:
+            return int(env)
+        except ValueError:
+            pass
+    d = data_dir or os.environ.get("SPARK_GRAFT_SF_DIR")
+    if not d:
+        return DEFAULT_SHUFFLE_PARTITIONS
+    try:
+        total = sum(f.stat().st_size for f in Path(d).glob("**/*.parquet"))
+    except OSError:
+        return DEFAULT_SHUFFLE_PARTITIONS
+    if total >= BIG_SHUFFLE_VOLUME_THRESHOLD:
+        return 4 * DEFAULT_SHUFFLE_PARTITIONS
+    return DEFAULT_SHUFFLE_PARTITIONS
+
 
 def _pick_io_codec(data_dir: str | os.PathLike | None) -> str:
     """Scale- AND layout-aware shuffle codec (r8 matrix at 1000×,
@@ -89,7 +127,7 @@ def get_spark(
     master = master or os.environ.get(
         "SPARK_GRAFT_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
     )
-    n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    n_shuffle = shuffle_partitions or _pick_shuffle_partitions(data_dir)
     # Python worker daemon with numpy/pandas/pyarrow PRE-IMPORTED: a fresh
     # fork otherwise pays those imports inside the first Arrow-UDF task it
     # runs (~0.3-0.8 s straggler batches; see python_daemon.py). The package

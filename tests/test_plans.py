@@ -348,3 +348,32 @@ def test_inverted_index_no_pair_distinct_exchange(spark, queries):
 
     for cols in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert not ("doc_id" in cols and "tok" in cols), cols
+
+
+def test_scale_aware_shuffle_partitions(tmp_path, monkeypatch):
+    """r10: _pick_shuffle_partitions launches big-input sessions with
+    4x-core initial shuffle partitions (the measured -25%/-18% on the
+    1000x spill-bound pair-counting family; AQE coalesces the rest back);
+    small inputs, no declared dir, and the env override behave."""
+    from satsure_agri_datapipeline_spark import session as sess
+
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)
+    base = sess.DEFAULT_SHUFFLE_PARTITIONS
+    assert sess._pick_shuffle_partitions(None) == base
+
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "a.parquet").write_bytes(b"x" * 1024)
+    assert sess._pick_shuffle_partitions(small) == base
+
+    big = tmp_path / "big"
+    big.mkdir()
+    f = big / "b.parquet"
+    with f.open("wb") as fh:  # sparse: size without the disk cost
+        fh.seek(sess.BIG_SHUFFLE_VOLUME_THRESHOLD)
+        fh.write(b"\0")
+    assert sess._pick_shuffle_partitions(big) == 4 * base
+
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "17")
+    assert sess._pick_shuffle_partitions(big) == 17
+    assert sess._pick_shuffle_partitions(small) == 17

@@ -79,6 +79,12 @@ def main() -> None:
     stage_tasks: dict[int, int] = {}
     stage_names: dict[int, str] = {}
     job_rows = []
+    # per-stage spill/shuffle sums from TaskEnd metrics — ground truth for
+    # "is this super-linearity memory pressure?" (VERDICT r9 task 3)
+    stage_spill_mem: dict[int, int] = {}
+    stage_spill_disk: dict[int, int] = {}
+    stage_shuffle_write: dict[int, int] = {}
+    stage_shuffle_read: dict[int, int] = {}
     for f in evfiles:
         for line in f.read_text().splitlines():
             try:
@@ -94,24 +100,58 @@ def main() -> None:
                 group = (ev.get("Properties") or {}).get("spark.jobGroup.id", "?")
                 sids = [s["Stage ID"] for s in ev.get("Stage Infos", [])]
                 job_rows.append((group, ev["Job ID"], sids))
+            elif e == "SparkListenerTaskEnd":
+                sid = ev.get("Stage ID")
+                tm = ev.get("Task Metrics") or {}
+                stage_spill_mem[sid] = stage_spill_mem.get(sid, 0) + tm.get(
+                    "Memory Bytes Spilled", 0
+                )
+                stage_spill_disk[sid] = stage_spill_disk.get(sid, 0) + tm.get(
+                    "Disk Bytes Spilled", 0
+                )
+                sw = tm.get("Shuffle Write Metrics") or {}
+                stage_shuffle_write[sid] = stage_shuffle_write.get(sid, 0) + sw.get(
+                    "Shuffle Bytes Written", 0
+                )
+                sr = tm.get("Shuffle Read Metrics") or {}
+                stage_shuffle_read[sid] = (
+                    stage_shuffle_read.get(sid, 0)
+                    + sr.get("Local Bytes Read", 0)
+                    + sr.get("Remote Bytes Read", 0)
+                )
 
     per_group: dict[str, dict] = {}
     for group, jid, sids in job_rows:
-        g = per_group.setdefault(group, {"jobs": 0, "stages": 0, "tasks": 0, "detail": []})
+        g = per_group.setdefault(
+            group,
+            {
+                "jobs": 0, "stages": 0, "tasks": 0, "detail": [],
+                "spill_mem": 0, "spill_disk": 0, "shw": 0, "shr": 0,
+            },
+        )
         g["jobs"] += 1
         # AQE submits stages lazily; count only stages that actually ran
         ran = [s for s in sids if s in stage_tasks]
         g["stages"] += len(ran)
         for s in ran:
             g["tasks"] += stage_tasks[s]
+            g["spill_mem"] += stage_spill_mem.get(s, 0)
+            g["spill_disk"] += stage_spill_disk.get(s, 0)
+            g["shw"] += stage_shuffle_write.get(s, 0)
+            g["shr"] += stage_shuffle_read.get(s, 0)
             g["detail"].append(f"{stage_names.get(s,'?')}:{stage_tasks[s]}")
 
+    gib = 1024**3
     for name in names:
         for r in range(runs):
             g = per_group.get(f"{name}#{r}", {})
             print(
                 f"{name} run{r}: {times[name][r]:.3f}s jobs={g.get('jobs',0)} "
                 f"stages={g.get('stages',0)} tasks={g.get('tasks',0)} "
+                f"spill_mem={g.get('spill_mem',0)/gib:.2f}GiB "
+                f"spill_disk={g.get('spill_disk',0)/gib:.2f}GiB "
+                f"shuffle_w={g.get('shw',0)/gib:.2f}GiB "
+                f"shuffle_r={g.get('shr',0)/gib:.2f}GiB "
                 f"[{' '.join(g.get('detail',[]))}]"
             )
 
