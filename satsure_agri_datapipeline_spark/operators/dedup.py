@@ -667,6 +667,23 @@ def simhash(
         # (signs>=0)<<j assembly wraps negative); the relational 2**j form
         # differs at 63 too — keep the supported range explicit.
         raise ValueError(f"simhash bits must be in [1, 62], got {bits}")
+    # Token-hash width must COVER the fingerprint width: with the 8-hex
+    # (32-bit) md5 prefix, hash bits 32..61 are constant zero, so every
+    # fingerprint bit ≥ 32 collapses to 0 and any band over those bits puts
+    # the WHOLE corpus in one bucket (caught at 100× scale: the 60-bit
+    # banded join's probe volume measured 313 B vs ~130 M with a real hash —
+    # one straggler task ran 30+ min before the r10 fix). bits ≤ 32 keeps
+    # the 8-hex prefix (the DuckDB-portable form the doc_simhash oracles
+    # pin); bits ≤ 60 takes the 15-hex prefix (60 bits — the same
+    # BIGINT-safe convention as the MinHash oracle family); 61-62 need the
+    # 16-hex prefix masked into the non-negative int64 range (no portable
+    # oracle — DuckDB BIGINT can't hold 64 hex bits).
+    if bits <= 32:
+        hex_chars, hash_mask = 8, (1 << 32) - 1
+    elif bits <= 60:
+        hex_chars, hash_mask = 15, (1 << 60) - 1
+    else:
+        hex_chars, hash_mask = 16, (1 << 62) - 1
 
     @pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
@@ -684,7 +701,11 @@ def simhash(
         if not flat:
             return pd.Series([None] * len(sets), dtype=object)
         hs = np.fromiter(
-            (int(hashlib.md5(x.encode()).hexdigest()[:8], 16) for x in flat),
+            (
+                int(hashlib.md5(x.encode()).hexdigest()[:hex_chars], 16)
+                & hash_mask
+                for x in flat
+            ),
             dtype=np.int64,
             count=len(flat),
         )

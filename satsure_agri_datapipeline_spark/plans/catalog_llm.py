@@ -383,6 +383,43 @@ def doc_simhash_stored(spark, sf_dir):
     )
 
 
+@query(
+    "doc_simhash_wide",
+    """
+    WITH toks AS (
+        SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        FROM toks WHERE tok <> ''
+    ),
+    bits AS (
+        SELECT doc_id, UNNEST(generate_series(0, 59)) AS j, h FROM hashed
+    ),
+    sums AS (
+        SELECT doc_id, j,
+               SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM bits GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+    FROM sums GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_simhash_wide(spark, sf_dir):
+    """60-bit SimHash — the SCALE operating point for the banded Hamming
+    join. 8-bit band keys (the 32-bit form) stop partitioning once the
+    corpus outgrows ~256 keys/band: at 100× (500 k docs) the measured
+    candidate probe volume is 5.7 B at 32/4 vs ~130 M at 60/4 (15-bit
+    keys), and the r10 scale sweep caught the wide form producing
+    constant-zero high bits from a 32-bit token hash (313 B probe volume,
+    one straggler task >30 min) — fixed in dedup.simhash and pinned here
+    with a 15-hex (BIGINT-safe, MinHash-convention) oracle. Band keys must
+    grow with corpus size exactly like LSH band tuning."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash(docs, bits=60)
+
+
 SIMHASH_PAIRS_SQL = """
     WITH toks AS (
         SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents

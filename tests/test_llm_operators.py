@@ -200,6 +200,20 @@ def test_simhash_bits_guard(docs):
         dd.simhash(docs, bits=63)
 
 
+def test_simhash_wide_fingerprints_not_degenerate(docs):
+    """r10 scale-test regression: with the 8-hex (32-bit) md5 token prefix,
+    fingerprint bits >= 32 were constant ZERO, so a 60-bit banded join put
+    the whole corpus in one bucket (313 B probe volume measured at 100x).
+    Wide fingerprints must populate their high bits; the <=32-bit form
+    keeps the oracle-pinned 8-hex hash exactly."""
+    fp60 = [r.simhash for r in dd.simhash(docs, bits=60).collect()]
+    assert any(f >> 32 for f in fp60)  # high bits vary
+    assert all(0 <= f < (1 << 60) for f in fp60)
+    # identical token sets still collide at any width
+    by_id = {r.doc_id: r.simhash for r in dd.simhash(docs, bits=60).collect()}
+    assert by_id[0] == by_id[3]
+
+
 def test_simhash_near_dup_pairs(docs):
     pairs = {(r.id_a, r.id_b): r.hamming for r in dd.simhash_near_dup_pairs(docs).collect()}
     assert pairs[(0, 3)] == 0  # identical token sets
