@@ -660,17 +660,22 @@ def inverted_index(
     the operator's dominant cost and its super-linear wall once the
     shuffle outgrew memory: 5.3 s → 88.4 s across 100×→1000×) is gone.
     The remaining shuffles are the map-side-combined df count and the
-    two bounded windows.
+    bounded posting window.
+
+    r10: the top-N token selection is ``orderBy(...).limit(n)`` — Spark
+    plans TakeOrderedAndProject, a DISTRIBUTED per-partition top-N +
+    driver merge of n-row heaps. The previous unpartitioned
+    ``row_number`` window funneled the ENTIRE vocabulary through one
+    task (a web-scale corpus has billions of distinct tokens; the df
+    aggregate's output is vocabulary-sized even though this query's
+    answer is 50 rows).
     """
     toks = F.array_distinct(
         F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     )
     pairs = df.select(F.col(id_col), F.explode(toks).alias("tok"))
     dfreq = pairs.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    w_top = Window.orderBy(F.col("df").desc(), F.col("tok"))
-    top = dfreq.withColumn("__r", F.row_number().over(w_top)).where(
-        F.col("__r") <= top_tokens
-    )
+    top = dfreq.orderBy(F.col("df").desc(), F.col("tok")).limit(top_tokens)
     w_post = Window.partitionBy("tok").orderBy(F.col(id_col))
     ranked = (
         pairs.join(F.broadcast(top.select("tok", "df")), "tok")

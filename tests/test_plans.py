@@ -348,6 +348,10 @@ def test_inverted_index_no_pair_distinct_exchange(spark, queries):
 
     for cols in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert not ("doc_id" in cols and "tok" in cols), cols
+    # r10: top-N token selection is TakeOrderedAndProject (distributed
+    # per-partition heaps), never an unpartitioned row_number window that
+    # funnels the whole vocabulary through one task.
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_scale_aware_shuffle_partitions(tmp_path, monkeypatch):
