@@ -71,6 +71,14 @@ HEADLINE = [
     "doc_simhash",
     "doc_simhash_pairs",
     "doc_simhash_pairs_stored",
+    # scale operating points (r11 guard): the 60-bit band variant and the
+    # df-capped char-shingle variant are the forms production runs at scale;
+    # a regression here (e.g. the r10 wide-hash degeneracy) must flag even
+    # while the 32-bit / uncapped oracle forms stay green
+    "doc_simhash_wide",
+    "doc_char_jaccard_capped",
+    # composed production dedup order (r11): exact-first → banded Hamming
+    "doc_simhash_pairs_deduped",
     "doc_quality_score",
     "emb_cosine_topk",
     "emb_centroid_norms",

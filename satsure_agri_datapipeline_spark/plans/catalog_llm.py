@@ -490,6 +490,86 @@ def doc_simhash_pairs_stored(spark, sf_dir):
     return pairs_from_store(store, max_hamming=3).orderBy("id_a", "id_b")
 
 
+# The production dedup ORDER, pinned as a composed query (r11): exact dedup
+# first, THEN banded Hamming over the survivors. PERF.md's 100×/1000× sweeps
+# showed the pairs cost at scale is dominated by identical-fingerprint
+# megaclusters (≥12.3 M hamming-0 pairs at 100×) — candidate volume quadratic
+# in cluster mass that no band split can divide, and that exact dedup removes
+# for free. The oracle restates both steps: keep MIN(doc_id) per sha256(text),
+# then the identical banded-Hamming pipeline over the kept rows.
+SIMHASH_PAIRS_DEDUPED_SQL = """
+    WITH keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+    ),
+    toks AS (
+        SELECT DISTINCT d.doc_id, UNNEST(string_split(d.text, ' ')) AS tok
+        FROM documents d JOIN keep USING (doc_id)
+    ),
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+        FROM toks WHERE tok <> ''
+    ),
+    bits AS (
+        SELECT doc_id, UNNEST(generate_series(0, 31)) AS j, h FROM hashed
+    ),
+    sums AS (
+        SELECT doc_id, j,
+               SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM bits GROUP BY doc_id, j
+    ),
+    sh AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+        FROM sums GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS band_key
+        FROM sh, UNNEST(generate_series(0, 3)) AS t(band)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 3
+    ORDER BY id_a, id_b
+    """
+
+
+@query("doc_simhash_pairs_deduped", SIMHASH_PAIRS_DEDUPED_SQL)
+def doc_simhash_pairs_deduped(spark, sf_dir):
+    """Composed production dedup order: exact dedup (lowest-doc_id survivor
+    per sha256(text) group) THEN banded Hamming pairs among survivors —
+    the order PERF.md derives from the 100×/1000× sweeps, where
+    identical-text megaclusters make raw simhash-pairs cost quadratic in
+    cluster mass. The banded-join side serves the bucketed simhash store
+    by default (full-corpus band rows, semi-filtered to survivors with a
+    BROADCAST hint so the zero-Exchange (band, band_key) self-join plan
+    survives the filter); the survivor set itself is one linear
+    sha256+groupBy pass — it cannot come from the digest store, whose
+    digest-only layout serves existence anti-joins, not per-digest
+    representative selection. At 100 TB the broadcast becomes a shuffled
+    semi-join (survivors outgrow the driver) and remains ∝ corpus — noise
+    against the quadratic pair volume it removes."""
+    from satsure_agri_datapipeline_spark.sources.simhash_store import (
+        pairs_from_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("digest"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    store = _simhash_store_default(spark, sf_dir)
+    if store is not None:
+        bands = store.join(F.broadcast(survivors), "doc_id", "left_semi")
+        return pairs_from_store(bands, max_hamming=3).orderBy("id_a", "id_b")
+    deduped = docs.join(F.broadcast(survivors), "doc_id", "left_semi")
+    return dd.simhash_near_dup_pairs(
+        deduped, bits=32, n_bands=4, max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
 @query(
     "doc_near_dup_clusters",
     f"""
