@@ -79,6 +79,9 @@ HEADLINE = [
     "doc_char_jaccard_capped",
     # composed production dedup order (r11): exact-first → banded Hamming
     "doc_simhash_pairs_deduped",
+    # fingerprint-canonical pairs (r11): the form that deletes the
+    # hamming-0 quadratic cluster mass — 3.65 s vs 51.1 s all-pairs at 100×
+    "doc_simhash_rep_pairs",
     "doc_quality_score",
     "emb_cosine_topk",
     "emb_centroid_norms",

@@ -748,6 +748,26 @@ def simhash_near_dup_pairs(
     a (band_key, fingerprint) pair per band copy — 8 B × n_bands per doc —
     and only fingerprints sharing a band meet; no all-pairs stage exists.
     """
+    sh = simhash(df, bits=bits, text_col=text_col, id_col=id_col)
+    return hamming_pairs_from_fingerprints(
+        sh, bits=bits, n_bands=n_bands, max_hamming=max_hamming, id_col=id_col
+    )
+
+
+def hamming_pairs_from_fingerprints(
+    sh: DataFrame,
+    bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The banded Hamming self-join over an EXISTING fingerprint relation
+    ``(id_col, simhash)`` — the candidate-generation core of
+    ``simhash_near_dup_pairs``, factored out (r11) so callers can feed it
+    derived fingerprint sets: store-served fingerprints, exact-dedup
+    survivors, or fingerprint-cluster representatives (one row per
+    DISTINCT fingerprint — the form that deletes the hamming-0 quadratic
+    cluster mass from the join entirely)."""
     if bits % n_bands != 0:
         raise ValueError(f"bits={bits} must be divisible by n_bands={n_bands}")
     if max_hamming >= n_bands:
@@ -757,7 +777,6 @@ def simhash_near_dup_pairs(
         )
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
-    sh = simhash(df, bits=bits, text_col=text_col, id_col=id_col)
     bands = sh.select(
         F.col(id_col),
         "simhash",
@@ -765,6 +784,15 @@ def simhash_near_dup_pairs(
     ).withColumn(
         "band_key", F.expr(f"shiftright(simhash, band * {band_bits}) & {mask}")
     )
+    # Pin the join's parallelism with an EXPLICIT repartition on the join
+    # keys (AQE honors user repartition(n)): the band relation is tiny in
+    # BYTES (≤12 B/row) but the self-join is QUADRATIC in CPU, and AQE's
+    # size-based coalescing collapsed the post-aggregation exchange to ~3
+    # partitions at 100× — 749 M probes on 3 cores, 91 s for a 13 s job
+    # (r11 stage_probe measurement; same failure mode as the r6
+    # parallelismFirst finding: size is the wrong proxy for dense compute).
+    n_part = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    bands = bands.repartition(n_part, "band", "band_key")
     a = bands.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "band", "band_key"
     )
@@ -1200,21 +1228,25 @@ def incremental_exact_dedup(
       store; next batch's cost is again ∝ batch size, not corpus size
       (the same contract as ``maintenance.merge_upsert``).
 
-    Scale shape: one digest groupBy over the batch, one anti-join of batch
-    digests against the store (shuffle on the 32-byte digest; AQE
-    broadcasts the batch side when it is small — the common case of a
-    small batch vs a huge store). The documents' text never joins
-    anything.
+    Scale shape (r11 rewrite): ALL dedup logic runs on the narrow
+    ``(id, digest)`` projection — one ~72 B/row shuffle for the
+    within-batch groupBy, one anti-join against the store on the digest —
+    and the batch's text re-enters only as the FINAL map-side semi-join
+    filter on the id set (AQE broadcasts it: the surviving ids of a batch
+    are 8 B each). The r11 100× probe caught the previous form shuffling
+    the full text rows through the within-batch semi-join — ~60× the
+    bytes for the same answer. The documents' text never shuffles.
     """
-    d = new_docs.withColumn(digest_col, F.sha2(F.col(text_col), 256))
-    keep = d.groupBy(digest_col).agg(F.min(id_col).alias(id_col))
-    survivors = d.join(keep, [digest_col, id_col], "left_semi")
+    ids = new_docs.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias(digest_col)
+    )
+    keep = ids.groupBy(digest_col).agg(F.min(id_col).alias(id_col))
     if history_digests is not None:
-        survivors = survivors.join(
+        keep = keep.join(
             history_digests.select(digest_col), digest_col, "left_anti"
         )
-    accepted = survivors.drop(digest_col)
-    new_digests = survivors.select(digest_col)
+    accepted = new_docs.join(keep.select(id_col), id_col, "left_semi")
+    new_digests = keep.select(digest_col)
     return accepted, new_digests
 
 

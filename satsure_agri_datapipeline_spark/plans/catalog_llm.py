@@ -570,6 +570,80 @@ def doc_simhash_pairs_deduped(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+# Fingerprint-cluster REPRESENTATIVE pairs — the composed form that actually
+# removes the quadratic cluster mass on THIS corpus (r11 measurement):
+# exact-text dedup is a no-op here by construction (4992/5000 distinct texts
+# at sf0.1; make_scaled_sf word-suffixes every copy, so scaling adds ZERO
+# byte dups), and the ≥12.3 M hamming-0 pairs at 100× come from
+# byte-DISTINCT texts with EQUAL fingerprints. Collapsing each distinct
+# fingerprint to its lowest-doc_id representative before the band join
+# deletes the hamming-0 component entirely (equal fingerprints can't cross
+# representatives), leaving pairs with hamming ∈ [1, max_hamming] among
+# cluster representatives — the fingerprint-granularity dedup shape a
+# production pipeline runs. Membership (doc → representative) is the
+# store's fingerprint relation grouped by simhash; it needs no join here.
+SIMHASH_REP_PAIRS_SQL = """
+    WITH toks AS (
+        SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+        FROM toks WHERE tok <> ''
+    ),
+    bits AS (
+        SELECT doc_id, UNNEST(generate_series(0, 31)) AS j, h FROM hashed
+    ),
+    sums AS (
+        SELECT doc_id, j,
+               SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM bits GROUP BY doc_id, j
+    ),
+    sh AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+        FROM sums GROUP BY doc_id
+    ),
+    rep AS (SELECT simhash, MIN(doc_id) AS doc_id FROM sh GROUP BY simhash),
+    bands AS (
+        SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS band_key
+        FROM rep, UNNEST(generate_series(0, 3)) AS t(band)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 3
+    ORDER BY id_a, id_b
+    """
+
+
+@query("doc_simhash_rep_pairs", SIMHASH_REP_PAIRS_SQL)
+def doc_simhash_rep_pairs(spark, sf_dir):
+    """SimHash near-dup pairs at FINGERPRINT granularity: one lowest-doc_id
+    representative per distinct fingerprint, then the banded Hamming join
+    among representatives (hamming-0 pairs are eliminated by definition —
+    equal fingerprints share a representative). Serves the simhash store
+    by default: representatives come from one band-pruned bucketed scan
+    (``band = 0``) + a groupBy on the fingerprint — the text is never
+    touched. This is the scale path when identical-fingerprint clusters
+    dominate pair volume (this corpus: ≥12.3 M hamming-0 pairs at 100×,
+    all intra-cluster, all gone here)."""
+    from satsure_agri_datapipeline_spark.sources.simhash_store import (
+        fingerprints_from_store,
+    )
+
+    store = _simhash_store_default(spark, sf_dir)
+    if store is not None:
+        sh = fingerprints_from_store(store)
+    else:
+        docs = load_table(spark, sf_dir, "documents")
+        sh = dd.simhash(docs, bits=32)
+    reps = sh.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
+    return dd.hamming_pairs_from_fingerprints(
+        reps, bits=32, n_bands=4, max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
 @query(
     "doc_near_dup_clusters",
     f"""

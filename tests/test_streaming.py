@@ -660,3 +660,134 @@ def test_streaming_document_ingest_maintains_stores(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(band_layout, ignore_errors=True)
         shutil.rmtree(sh_layout, ignore_errors=True)
+
+
+def test_streaming_ingest_maintains_all_four_stores(spark, tmp_path):
+    """r11 (r10 verdict task 3): the composed streaming ingest drives ALL
+    FOUR standing stores — bands, shingles, simhash, digests — per
+    micro-batch. Each drained drop must append a delta (never rebuild) to
+    every manifest, and the grown simhash + digest stores must serve
+    answers identical to a from-scratch recompute on the grown corpus:
+    banded Hamming pairs from the simhash store, and incremental exact
+    dedup anti-joined against the digest store."""
+    import json
+    import shutil
+
+    from satsure_agri_datapipeline_spark.operators import dedup as dd
+    from satsure_agri_datapipeline_spark.sources import band_store as bs
+    from satsure_agri_datapipeline_spark.sources import digest_store as gs
+    from satsure_agri_datapipeline_spark.sources import shingle_store as ss
+    from satsure_agri_datapipeline_spark.sources import simhash_store as hs
+    from satsure_agri_datapipeline_spark.sources.simhash_store import (
+        pairs_from_store,
+    )
+    from satsure_agri_datapipeline_spark.sources.store_util import layout_dir
+    from satsure_agri_datapipeline_spark.sources.tables import load_table
+    from satsure_agri_datapipeline_spark.streaming.ingest import (
+        run_streaming_document_ingest,
+    )
+
+    SFD = "/root/testdata/sf0.001"
+    docs = load_table(spark, SFD, "documents").limit(36).cache()
+    corpus = tmp_path / "corpus"
+    docs_dir = corpus / "documents.parquet"
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    docs_dir.mkdir(parents=True)
+
+    def _one_part(df, dest, name):
+        stage = tmp_path / f"stage_{name}"
+        df.repartition(1).write.mode("overwrite").parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        shutil.copy(part, dest / name)
+        shutil.rmtree(stage, ignore_errors=True)
+
+    ALL = ("bands", "shingles", "simhash", "digests")
+    # standing corpus + all four stores built once at "ingest time"
+    _one_part(docs.where(F.col("doc_id") % 3 == 0), docs_dir, "base-000.parquet")
+    bs.ensure_band_store(spark, corpus)
+    ss.ensure_shingle_store(spark, corpus)
+    hs.ensure_simhash_store(spark, corpus)
+    gs.ensure_digest_store(spark, corpus)
+    layouts = {
+        "bands": (layout_dir("bands", corpus.resolve(), 16, 4, 3, 32), bs),
+        "shingles": (layout_dir("shingles", corpus.resolve(), 3, "word", 0, 32), ss),
+        "simhash": (layout_dir("simhash", corpus.resolve(), 32, 4, 32), hs),
+        "digests": (layout_dir("digests", corpus.resolve(), "true", 32), gs),
+    }
+
+    try:
+        for i, residue in enumerate((1, 2), start=1):
+            _one_part(
+                docs.where(F.col("doc_id") % 3 == residue),
+                incoming,
+                f"drop-{i:03d}.parquet",
+            )
+            q = run_streaming_document_ingest(
+                spark,
+                incoming,
+                corpus,
+                tmp_path / "ckpt",
+                once=True,
+                maintain_stores=ALL,
+            )
+            q.awaitTermination(180)
+
+            # every store appended a delta for this drop — never rebuilt
+            for kind in ALL:
+                layout, mod = layouts[kind]
+                man = json.loads((layout / mod.MANIFEST_NAME).read_text())
+                assert len(man["deltas"]) == i, (kind, man["deltas"])
+                assert "pending_delta" not in man, kind
+
+        grown = load_table(spark, corpus, "documents")
+
+        # ---- simhash pairs served from the maintained store == recompute
+        sim_store = hs.simhash_store_or_none(spark, corpus)
+        assert sim_store is not None  # fresh immediately after the drain
+        got = sorted(
+            map(tuple, pairs_from_store(sim_store, max_hamming=3).collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                dd.simhash_near_dup_pairs(
+                    grown, bits=32, n_bands=4, max_hamming=3
+                ).collect(),
+            )
+        )
+        assert got == want and len(want) > 0
+
+        # ---- incremental exact dedup vs the maintained digest store:
+        # 3 replayed texts (must drop) + 3 genuinely new texts (must keep)
+        dig_store = gs.digest_store_or_none(spark, corpus)
+        assert dig_store is not None
+        replay = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        fresh = (
+            docs.limit(3)
+            .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" UNSEEN-TOKEN")))
+        )
+        batch = replay.unionByName(fresh)
+        acc_stored, _ = dd.incremental_exact_dedup(batch, dig_store)
+        hist_fresh = (
+            grown.select(F.sha2(F.col("text"), 256).alias("digest")).distinct()
+        )
+        acc_fresh, _ = dd.incremental_exact_dedup(batch, hist_fresh)
+        got_ids = sorted(r.doc_id for r in acc_stored.select("doc_id").collect())
+        assert got_ids == sorted(
+            r.doc_id for r in acc_fresh.select("doc_id").collect()
+        )
+        # the replayed texts were anti-joined away; the unseen ones kept
+        assert all(i >= 2_000_000 for i in got_ids) and len(got_ids) == 3
+    finally:
+        docs.unpersist()
+        for tbl, mod_args in (
+            ("bkt_bands_h16b4n3", None),
+            ("bkt_shingles_w3_s0", None),
+            (hs._table_name(32, 4), None),
+            (gs._table_name("true"), None),
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        for layout, _ in layouts.values():
+            shutil.rmtree(layout, ignore_errors=True)

@@ -9,10 +9,18 @@ per stage.
 
 Usage:
     python tools/stage_probe.py sensor_impute_median sensor_zscore_anomalies
+    python tools/stage_probe.py --json doc_containment_pairs_stored
 Env:
     SPARK_GRAFT_SF_DIR  data dir (default /root/testdata/sf0.1)
     PROBE_CONF          JSON dict of extra spark conf
     PROBE_RUNS          runs per query (default 3; last run is reported)
+
+``--json`` additionally emits one machine-readable line per query
+(``PROBE_JSON {"query": ..., "wall_sec": ..., "spill_mem_gib": ...}``,
+last run) — the interface the spill-regression guard
+(tests/test_spill_guard.py, r10 verdict task 8) parses, so the
+measurement that caught the r10 wide-simhash degeneracy and demonstrated
+the 1000× spill cliff runs on demand, not once.
 """
 
 from __future__ import annotations
@@ -30,7 +38,8 @@ EVDIR = "/tmp/spark-events-probe"
 
 
 def main() -> None:
-    names = sys.argv[1:]
+    emit_json = "--json" in sys.argv[1:]
+    names = [a for a in sys.argv[1:] if a != "--json"]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     extra = json.loads(os.environ.get("PROBE_CONF", "{}"))
     runs = int(os.environ.get("PROBE_RUNS", "3"))
@@ -53,6 +62,37 @@ def main() -> None:
     spark = get_spark(app_name="stage_probe", timezone="UTC", extra_conf=conf)
     sc = spark.sparkContext
     qs = entry_mod.queries()
+
+    # PROBE_ENSURE=shingles,simhash,bands,digests — pre-ensure standing
+    # stores (catalog default params) so the probed queries serve them
+    # deterministically; ensure-time is NOT part of any measured group.
+    for kind in filter(None, os.environ.get("PROBE_ENSURE", "").split(",")):
+        if kind == "shingles":
+            from satsure_agri_datapipeline_spark.sources.shingle_store import (
+                ensure_shingle_store,
+            )
+
+            ensure_shingle_store(spark, sf_dir, n=3, unit="word", seed=0)
+        elif kind == "bands":
+            from satsure_agri_datapipeline_spark.sources.band_store import (
+                ensure_band_store,
+            )
+
+            ensure_band_store(spark, sf_dir, num_hashes=16, band_size=4, n=3)
+        elif kind == "simhash":
+            from satsure_agri_datapipeline_spark.sources.simhash_store import (
+                ensure_simhash_store,
+            )
+
+            ensure_simhash_store(spark, sf_dir, bits=32, n_bands=4)
+        elif kind == "digests":
+            from satsure_agri_datapipeline_spark.sources.digest_store import (
+                ensure_digest_store,
+            )
+
+            ensure_digest_store(spark, sf_dir, subset="true")
+        else:
+            raise SystemExit(f"unknown PROBE_ENSURE kind: {kind}")
 
     # warm up codegen/workers outside any measured group
     qs["sensor_global_stats"](spark, sf_dir).write.format("noop").mode(
@@ -153,6 +193,23 @@ def main() -> None:
                 f"shuffle_w={g.get('shw',0)/gib:.2f}GiB "
                 f"shuffle_r={g.get('shr',0)/gib:.2f}GiB "
                 f"[{' '.join(g.get('detail',[]))}]"
+            )
+        if emit_json:
+            g = per_group.get(f"{name}#{runs - 1}", {})
+            print(
+                "PROBE_JSON "
+                + json.dumps(
+                    {
+                        "query": name,
+                        "wall_sec": round(times[name][runs - 1], 3),
+                        "spill_mem_gib": round(g.get("spill_mem", 0) / gib, 3),
+                        "spill_disk_gib": round(g.get("spill_disk", 0) / gib, 3),
+                        "shuffle_w_gib": round(g.get("shw", 0) / gib, 3),
+                        "shuffle_r_gib": round(g.get("shr", 0) / gib, 3),
+                        "tasks": g.get("tasks", 0),
+                    }
+                ),
+                flush=True,
             )
 
 
