@@ -31,14 +31,16 @@ REPO = Path(__file__).resolve().parents[1]
 SF100X = Path("/tmp/sf10")
 
 # Recorded r11 band for doc_containment_pairs at /tmp/sf10 (100×, 500 k
-# docs), shingle store serving, PROBE_RUNS=2 (second run reported).
-# Byte volumes are data-determined, not machine-determined: the shuffle
-# write is the candidate-pair relation's exchange and the memory spill is
-# the pair-counting hash state — both move only if the PLAN or the
-# candidate volume moves, which is exactly what this guards.
+# docs), shingle store serving, PROBE_RUNS=2 (second run reported):
+# wall 10.7 s, shuffle_w 2.27 GiB, shuffle_r 4.54 GiB, spill 0 (the spill
+# cliff is a 1000× phenomenon — at 100× the pair state fits, so ANY
+# material spill here is itself a regression). Byte volumes are
+# data-determined, not machine-determined: the shuffle write is the
+# candidate-pair exchange — it moves only if the PLAN or the candidate
+# volume moves, which is exactly what this guards.
 RECORDED = {
-    "shuffle_w_gib": 1.71,
-    "spill_mem_gib": 17.1,
+    "shuffle_w_gib": 2.27,
+    "spill_mem_gib": 0.0,
 }
 
 
@@ -79,5 +81,6 @@ def test_containment_pair_spill_band_100x():
     # ...and must not silently vanish either (a filter pushed too far /
     # an accidentally-empty store would report near-zero volume).
     assert m["shuffle_w_gib"] >= RECORDED["shuffle_w_gib"] * 0.4, m
-    # Pair-counting hash state: same one-sided blowup guard.
-    assert m["spill_mem_gib"] <= RECORDED["spill_mem_gib"] * 2.0, m
+    # At 100× the pair-counting state FITS in memory (recorded spill = 0);
+    # material spill at this scale is a regression in its own right.
+    assert m["spill_mem_gib"] <= 8.0, m
