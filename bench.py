@@ -82,6 +82,9 @@ HEADLINE = [
     # fingerprint-canonical pairs (r11): the form that deletes the
     # hamming-0 quadratic cluster mass — 3.65 s vs 51.1 s all-pairs at 100×
     "doc_simhash_rep_pairs",
+    # the full production configuration (60-bit keys + canonical reps):
+    # 9.09 s at 1000× where all-pairs takes 57.1 s and DuckDB OOM-DNFs
+    "doc_simhash_rep_pairs_wide",
     "doc_quality_score",
     "emb_cosine_topk",
     "emb_centroid_norms",
@@ -163,6 +166,9 @@ def main():
     )
 
     ensure_simhash_store(spark, sf_dir, bits=32, n_bands=4)
+    # the 60-bit scale operating point (r11): doc_simhash_wide and
+    # doc_simhash_rep_pairs_wide serve this store by default
+    ensure_simhash_store(spark, sf_dir, bits=60, n_bands=4)
     ensure_digest_store(spark, sf_dir, subset=INCR_HISTORY_SUBSET)
 
     from satsure_agri_datapipeline_spark.operators import dedup as _dedup

@@ -415,7 +415,18 @@ def doc_simhash_wide(spark, sf_dir):
     constant-zero high bits from a 32-bit token hash (313 B probe volume,
     one straggler task >30 min) — fixed in dedup.simhash and pinned here
     with a 15-hex (BIGINT-safe, MinHash-convention) oracle. Band keys must
-    grow with corpus size exactly like LSH band tuning."""
+    grow with corpus size exactly like LSH band tuning.
+
+    r11: serves the 60-bit simhash store by default when a fresh one
+    exists (same hook as the 32-bit family; the bench pre-ensures it)."""
+    from satsure_agri_datapipeline_spark.sources.simhash_store import (
+        fingerprints_from_store,
+        simhash_store_or_none,
+    )
+
+    store = simhash_store_or_none(spark, sf_dir, bits=60, n_bands=4)
+    if store is not None:
+        return fingerprints_from_store(store)
     docs = load_table(spark, sf_dir, "documents")
     return dd.simhash(docs, bits=60)
 
@@ -641,6 +652,67 @@ def doc_simhash_rep_pairs(spark, sf_dir):
     reps = sh.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
     return dd.hamming_pairs_from_fingerprints(
         reps, bits=32, n_bands=4, max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "doc_simhash_rep_pairs_wide",
+    """
+    WITH toks AS (
+        SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        FROM toks WHERE tok <> ''
+    ),
+    bits AS (
+        SELECT doc_id, UNNEST(generate_series(0, 59)) AS j, h FROM hashed
+    ),
+    sums AS (
+        SELECT doc_id, j,
+               SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM bits GROUP BY doc_id, j
+    ),
+    sh AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+        FROM sums GROUP BY doc_id
+    ),
+    rep AS (SELECT simhash, MIN(doc_id) AS doc_id FROM sh GROUP BY simhash),
+    bands AS (
+        SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS band_key
+        FROM rep, UNNEST(generate_series(0, 3)) AS t(band)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def doc_simhash_rep_pairs_wide(spark, sf_dir):
+    """The PRODUCTION near-dup pair configuration at the 100-TB design
+    point: 60-bit fingerprints (15-bit band keys — keys that keep
+    partitioning past ~256 fingerprints/band), fingerprint-canonical
+    representatives (hamming-0 cluster mass deleted), banded Hamming ≤ 3.
+    Serves the 60-bit simhash store by default. This exact composition
+    measured 9.09 s at 1000× (5 M docs) where the all-pairs form takes
+    57.1 s and DuckDB is kernel-OOM-killed (PERF.md r11)."""
+    from satsure_agri_datapipeline_spark.sources.simhash_store import (
+        fingerprints_from_store,
+        simhash_store_or_none,
+    )
+
+    store = simhash_store_or_none(spark, sf_dir, bits=60, n_bands=4)
+    if store is not None:
+        sh = fingerprints_from_store(store)
+    else:
+        docs = load_table(spark, sf_dir, "documents")
+        sh = dd.simhash(docs, bits=60)
+    reps = sh.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
+    return dd.hamming_pairs_from_fingerprints(
+        reps, bits=60, n_bands=4, max_hamming=3
     ).orderBy("id_a", "id_b")
 
 
