@@ -1261,3 +1261,78 @@ def test_curation_pipeline_store_fed_matches_raw(spark, tmp_path):
         .collect()
     )
     assert fed == raw and len(raw) > 0
+
+
+def test_hamming_pairs_from_fingerprints_exhaustive_vs_bruteforce(spark):
+    """r11: the factored banded join is EXACT (pigeonhole: max_hamming <
+    n_bands) — assert it against a driver-side brute force over an
+    adversarial fingerprint set: identical-fingerprint clusters (the
+    hamming-0 mass), 1..4-bit perturbations, and random fingerprints,
+    at both the 32/4 and 60/4 operating points."""
+    import itertools
+    import random
+
+    rng = random.Random(11)
+
+    for bits in (32, 60):
+        fps = []
+        base = rng.getrandbits(bits)
+        fps += [base] * 4  # identical cluster
+        for k in (1, 2, 3, 4):  # k-bit perturbations (4 must NOT pair w/ base)
+            v = base
+            for j in rng.sample(range(bits), k):
+                v ^= 1 << j
+            fps.append(v)
+        fps += [rng.getrandbits(bits) for _ in range(120)]
+        rows = [(i, fp) for i, fp in enumerate(fps)]
+        sh = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in dd.hamming_pairs_from_fingerprints(
+                sh, bits=bits, n_bands=4, max_hamming=3
+            ).collect()
+        }
+        want = {}
+        for (ia, fa), (ib, fb) in itertools.combinations(rows, 2):
+            h = bin(fa ^ fb).count("1")
+            if h <= 3:
+                want[(min(ia, ib), max(ia, ib))] = h
+        assert got == want, f"bits={bits}: {len(got)} vs {len(want)}"
+
+
+def test_rep_pairs_equals_pairs_among_representatives(spark):
+    """r11: fingerprint-canonical pairs == the banded join over the
+    min-doc_id representative of each DISTINCT fingerprint, and the
+    result contains NO hamming-0 edge (equal fingerprints share a
+    representative by construction)."""
+    import random
+
+    rng = random.Random(7)
+    fps = []
+    for _ in range(40):  # heavy identical-fingerprint clusters
+        v = rng.getrandbits(32)
+        fps += [v] * rng.randint(1, 6)
+    rows = [(i, fp) for i, fp in enumerate(fps)]
+    sh = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    reps = {}
+    for i, fp in rows:
+        reps[fp] = min(reps.get(fp, i), i)
+    rep_rows = [(i, fp) for fp, i in reps.items()]
+    naive = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dd.hamming_pairs_from_fingerprints(
+            spark.createDataFrame(rep_rows, "doc_id long, simhash long"),
+            bits=32, n_bands=4, max_hamming=3,
+        ).collect()
+    }
+    via_group = sh.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dd.hamming_pairs_from_fingerprints(
+            via_group, bits=32, n_bands=4, max_hamming=3
+        ).collect()
+    }
+    assert got == naive
+    assert all(h >= 1 for h in got.values())
