@@ -593,6 +593,8 @@ def run_streaming_document_ingest(
     once: bool = True,
     max_files_per_trigger: int = 10,
     maintain_stores: tuple[str, ...] = ("bands", "shingles"),
+    simhash_bits: int = 32,
+    simhash_n_bands: int = 4,
 ):
     """Continuous document ingest COMPOSED with standing-store maintenance
     (r9 verdict task 5): the two r9/r10 stories — streaming micro-batches
@@ -670,7 +672,11 @@ def run_streaming_document_ingest(
                 ensure_simhash_store,
             )
 
-            ensure_simhash_store(spark, corpus, bits=32, n_bands=4)
+            # ``simhash_bits=60`` maintains the SCALE operating point store
+            # (15-bit band keys — the r10 rule: keys must grow with corpus)
+            ensure_simhash_store(
+                spark, corpus, bits=simhash_bits, n_bands=simhash_n_bands
+            )
         if "digests" in maintain_stores:
             from satsure_agri_datapipeline_spark.sources.digest_store import (
                 ensure_digest_store,
