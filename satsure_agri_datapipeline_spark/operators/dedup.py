@@ -40,6 +40,7 @@ shuffle) followed by one shuffle per self-join; skewed shingles
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 import numpy as np
@@ -799,14 +800,32 @@ def hamming_pairs_from_fingerprints(
     b = bands.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "band", "band_key"
     )
+    # A close pair agreeing on several bands meets once per agreeing band.
+    # Dedup by emitting each pair ONLY from its LOWEST agreeing band — a
+    # per-row bitwise predicate (for every band j < this one, the two
+    # fingerprints' j-th band keys must differ), which is n_bands−1 shift/
+    # mask comparisons inside whole-stage codegen. This replaces the
+    # previous groupBy(id_a, id_b) dedup, whose exchange shuffled the
+    # ENTIRE close-pair relation (≥12.3 M hamming-0 pairs × agreeing-band
+    # multiplicity at 100× on this corpus) just to drop duplicates.
+    lowest_band = functools.reduce(
+        lambda acc, j: acc
+        & F.when(
+            F.col("band") > j,
+            F.expr(
+                f"(shiftright(sim_a, {j * band_bits}) & {mask}) != "
+                f"(shiftright(sim_b, {j * band_bits}) & {mask})"
+            ),
+        ).otherwise(F.lit(True)),
+        range(n_bands - 1),
+        F.lit(True),
+    )
     return (
         a.join(b, ["band", "band_key"])
         .where(F.col("id_a") < F.col("id_b"))
+        .where(lowest_band)
         .select("id_a", "id_b", F.expr("bit_count(sim_a ^ sim_b)").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
-        # a close pair agreeing on several bands appears once per agreeing band
-        .groupBy("id_a", "id_b")
-        .agg(F.first("hamming").alias("hamming"))
     )
 
 
@@ -1318,3 +1337,145 @@ def incremental_minhash_dedup(
         accepted.select(id_col), id_col, "left_semi"
     ).select("band", "band_sig")
     return _register_cache(accepted, bands), new_bands
+
+
+# ---------------------------------------------------------------------------
+# Exact substring duplication at span granularity (Lee et al. 2021 family)
+# ---------------------------------------------------------------------------
+
+
+def span_hash_arrays(
+    df: DataFrame,
+    span_words: int = 15,
+    stride: int = 1,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, spans array<long>) — distinct 64-bit hashes of every
+    ``span_words``-word window starting at token positions 1, 1+stride, …
+    The span-granularity sibling of :func:`shingle_hash_arrays`: entirely
+    JVM expressions (split → slice/concat → xxhash64 → array_distinct)
+    inside whole-stage codegen, map-only.
+
+    ``stride`` trades exactness for cost at scale: stride=1 is the exact
+    substring-dedup form (every window), stride=s cuts span volume s× and
+    still catches duplicated regions ≥ span_words+s-1 words. Hash values
+    never surface in consumer output (only per-doc counts do), so no
+    cross-engine hash twin is needed — the DuckDB oracle groups on the raw
+    span string and yields identical counts (64-bit collision odds ~1e-8
+    per corpus, same argument as shingle_hash_arrays).
+    """
+
+    def _spans(text: F.Column) -> F.Column:
+        toks = F.split(text, " ", -1)
+        k = F.size(toks) - (span_words - 1)
+        starts = F.sequence(F.lit(1), k, F.lit(stride))
+        hashed = F.array_distinct(
+            F.transform(
+                starts,
+                lambda i: F.xxhash64(
+                    F.lit(seed), F.concat_ws(" ", F.slice(toks, i, span_words))
+                ),
+            )
+        )
+        # k < 1 (too-short doc) must yield [] — sequence(1, k) would DESCEND.
+        return F.when(k >= 1, hashed).otherwise(F.array().cast("array<bigint>"))
+
+    return _repartitioned(df, id_col).select(
+        F.col(id_col), _spans(F.col(text_col)).alias("spans")
+    )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    span_words: int = 15,
+    stride: int = 1,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-span statistics — the detection half of
+    exact SUBSTRING dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better"): a span is duplicated when it appears in
+    ≥ ``min_docs`` distinct documents; each doc reports how much of it is
+    made of duplicated spans.
+
+    Output: (id, n_spans, n_dup_spans, dup_permyriad) for EVERY input doc
+    (short docs get zeros); dup_permyriad = n_dup_spans·10⁴ DIV n_spans —
+    integer floor division, exact in both engines (no float rounding
+    divergence).
+
+    Shape at scale: the span arrays are persisted once (O(docs) rows); the
+    exploded relation shuffles ONCE (groupBy span — map-side partial
+    aggregation absorbs hot boilerplate spans, unlike a window-over-span
+    formulation which would sort the whole hot partition in one task); the
+    duplicated-span set is small (∝ near-dup mass) so the flagging
+    semi-join broadcasts under AQE at moderate scale and reuses the
+    groupBy's exchange (identical subtree) beyond it; the per-doc rollup
+    shuffles only (id, count) pairs. Text never enters any shuffle.
+    """
+    arr = span_hash_arrays(
+        df, span_words=span_words, stride=stride, text_col=text_col, id_col=id_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    spans = arr.select(F.col(id_col), F.explode("spans").alias("sp"))
+    dupes = (
+        spans.groupBy("sp")
+        .agg(F.count(F.lit(1)).alias("ndocs"))  # per-doc distinct ⇒ count = #docs
+        .where(F.col("ndocs") >= min_docs)
+        .select("sp")
+    )
+    ndup = (
+        spans.join(dupes, "sp", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    out = (
+        arr.select(F.col(id_col), F.size("spans").cast("long").alias("n_spans"))
+        .join(ndup, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_spans"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0).cast("long")).alias(
+                "n_dup_spans"
+            ),
+        )
+        .withColumn(
+            "dup_permyriad",
+            F.when(
+                F.col("n_spans") > 0,
+                F.expr("n_dup_spans * 10000 DIV n_spans"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+    return _register_cache(out, arr)
+
+
+def span_dedup(
+    df: DataFrame,
+    max_permyriad: int = 2000,
+    span_words: int = 15,
+    stride: int = 1,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop documents whose duplicated-span share exceeds ``max_permyriad``
+    (default 20%) — the document-level removal policy over
+    :func:`duplicated_span_stats` (the RefinedWeb-style policy: rather than
+    cutting duplicated bytes out of documents, drop documents that are
+    mostly duplicated material). Returns survivors with original schema;
+    the anti-join's small side is the flagged-id set.
+    """
+    stats = duplicated_span_stats(
+        df,
+        span_words=span_words,
+        stride=stride,
+        min_docs=min_docs,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    bad = stats.where(F.col("dup_permyriad") > max_permyriad).select(id_col)
+    return df.join(bad, id_col, "left_anti")

@@ -3043,3 +3043,70 @@ def doc_incremental_curation(spark, sf_dir):
     batch = docs.where(F.col("doc_id") % 5 >= 2)
     accepted, _, _ = curate_incremental(batch, digest_store, band_store)
     return accepted.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+
+
+# Shared SQL fragment: per-doc duplicated-span statistics (15-word spans,
+# stride 1, duplicated = appears in >= 2 distinct docs). DuckDB groups on
+# the raw span STRING; the Spark side groups on xxhash64 of it — only
+# counts surface, so the hash function needs no cross-engine twin.
+DUP_SPAN_STATS_SQL = """
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    idx AS (
+        SELECT doc_id, w, UNNEST(generate_series(1, GREATEST(len(w) - 14, 0))) AS i
+        FROM words
+    ),
+    spans AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+14], ' ') AS span FROM idx),
+    cnt AS (SELECT span, COUNT(*) AS ndocs FROM spans GROUP BY span),
+    per_doc AS (
+        SELECT s.doc_id, COUNT(*) AS n_spans,
+               COUNT(*) FILTER (c.ndocs >= 2) AS n_dup_spans
+        FROM spans s JOIN cnt c ON s.span = c.span
+        GROUP BY s.doc_id
+    ),
+    span_stats AS (
+        SELECT d.doc_id,
+               COALESCE(p.n_spans, 0) AS n_spans,
+               COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+               COALESCE(p.n_dup_spans * 10000 // NULLIF(p.n_spans, 0), 0) AS dup_permyriad
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    )
+"""
+
+
+@query(
+    "doc_dup_spans",
+    f"""
+    WITH {DUP_SPAN_STATS_SQL}
+    SELECT doc_id, n_spans, n_dup_spans, dup_permyriad
+    FROM span_stats ORDER BY doc_id
+    """,
+)
+def doc_dup_spans(spark, sf_dir):
+    """Exact SUBSTRING duplication at span granularity (Lee et al. 2021):
+    per-doc count + permyriad share of 15-word spans that appear in >= 2
+    distinct documents (operators/dedup.py duplicated_span_stats — one
+    corpus shuffle on span hash, text never shuffled)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.duplicated_span_stats(docs, span_words=15).orderBy("doc_id")
+
+
+@query(
+    "doc_span_dedup",
+    f"""
+    WITH {DUP_SPAN_STATS_SQL}
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM span_stats WHERE dup_permyriad > 2000)
+    ORDER BY d.doc_id
+    """,
+)
+def doc_span_dedup(spark, sf_dir):
+    """Document-level removal policy over duplicated spans (RefinedWeb
+    style): drop docs whose duplicated-span share exceeds 20%
+    (operators/dedup.py span_dedup). Survivors, original schema."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dd.span_dedup(docs, max_permyriad=2000, span_words=15)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -1336,3 +1336,73 @@ def test_rep_pairs_equals_pairs_among_representatives(spark):
     }
     assert got == naive
     assert all(h >= 1 for h in got.values())
+
+
+def test_duplicated_span_stats_hand_computed(spark):
+    """4-word spans over a tiny corpus with one shared region: every count
+    verified by hand, incl. the short-doc zero row and within-doc repeats
+    collapsing via per-doc distinctness."""
+    from satsure_agri_datapipeline_spark.operators import dedup as dd
+
+    shared = "alpha beta gamma delta epsilon"  # 5 words -> two 4-word spans
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " zeta"),           # spans: 3 (positions 1..3)
+            (2, shared + " eta"),            # shares spans 1-2 with doc 1
+            (3, "one two three"),            # < 4 words -> zero spans
+            (4, "x y z w x y z w x y z w"),  # 12 words, 9 spans, 5 distinct, no cross-doc dups
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dd.duplicated_span_stats(docs, span_words=4).collect()
+    }
+    assert out[1] == {"doc_id": 1, "n_spans": 3, "n_dup_spans": 2,
+                      "dup_permyriad": 6666}
+    assert out[2] == {"doc_id": 2, "n_spans": 3, "n_dup_spans": 2,
+                      "dup_permyriad": 6666}
+    assert out[3] == {"doc_id": 3, "n_spans": 0, "n_dup_spans": 0,
+                      "dup_permyriad": 0}
+    # doc 4: spans at pos 1..9; distinct = the 4 rotations of (x y z w)
+    # appearing repeatedly -> array_distinct keeps 4... positions 1..9 of a
+    # period-4 sequence give 4 distinct spans; none shared cross-doc.
+    assert out[4]["n_dup_spans"] == 0
+    assert out[4]["n_spans"] == 4
+
+
+def test_span_dedup_drops_mostly_duplicated_docs(spark):
+    from satsure_agri_datapipeline_spark.operators import dedup as dd
+
+    base = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, base),                  # duplicated wholesale with doc 2
+            (2, base),
+            (3, base + " unique tail suffix of many extra words here now"),
+            (4, "entirely different content with no shared fifteen word windows at all in it whatsoever today"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dd.span_dedup(docs, max_permyriad=2000, span_words=15).collect()
+    )
+    # docs 1+2 are 100% duplicated spans; doc 3 contains the same 20-word
+    # prefix -> its leading 15-word windows are duplicated too (6 of 14
+    # spans = 42%) so it is dropped at the 20% cap; doc 4 survives.
+    assert kept == [4]
+
+
+def test_span_stride_reduces_volume_but_keeps_long_dups(spark):
+    from satsure_agri_datapipeline_spark.operators import dedup as dd
+
+    text = " ".join(f"t{i}" for i in range(40))
+    docs = spark.createDataFrame([(1, text), (2, text)], ["doc_id", "text"])
+    strided = {
+        r["doc_id"]: r
+        for r in dd.duplicated_span_stats(docs, span_words=15, stride=5).collect()
+    }
+    # starts at 1,6,11,16,21,26 -> 6 spans, all duplicated across the pair
+    assert strided[1]["n_spans"] == 6
+    assert strided[1]["dup_permyriad"] == 10000
