@@ -469,7 +469,7 @@ def _band_rows(sig: DataFrame, band_size: int, id_col: str) -> DataFrame:
 
 
 def lsh_match_counts_from_bands(
-    bands: DataFrame, id_col: str = "doc_id"
+    bands: DataFrame, id_col: str = "doc_id", band_size: int = 4
 ) -> DataFrame:
     """The pair-generation tail of the LSH pipeline, operating on an
     already-exploded band relation ``(id, sig, band, band_sig)``:
@@ -477,7 +477,14 @@ def lsh_match_counts_from_bands(
     per candidate pair. Factored out so the bucketed band store
     (``sources/band_store.py``) can feed it a relation whose bucketing
     makes BOTH self-join exchanges vanish — the Jaccard-store pattern
-    (``jaccard_pairs_from_exploded``) applied to MinHash."""
+    (``jaccard_pairs_from_exploded``) applied to MinHash.
+
+    Pair dedup (a pair agreeing on k bands meets k times) is the
+    lowest-agreeing-band predicate (r11, same as the simhash join): emit
+    only from the lowest band on which the signature slices agree —
+    per-row array compares in codegen instead of a groupBy(id_a, id_b)
+    exchange over the whole candidate-pair relation. ``band_size`` must
+    match the relation's banding (callers thread it through)."""
     a = bands.select(
         F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_sig"
     )
@@ -489,13 +496,19 @@ def lsh_match_counts_from_bands(
         F.lit(0),
         lambda acc, v: acc + v,
     )
+    # guard band == 0: sequence(0, -1) would DESCEND
+    lowest_band = F.when(F.col("band") == 0, F.lit(True)).otherwise(
+        F.forall(
+            F.sequence(F.lit(0), F.col("band") - 1),
+            lambda j: F.slice(F.col("sig_a"), j * band_size + 1, band_size)
+            != F.slice(F.col("sig_b"), j * band_size + 1, band_size),
+        )
+    )
     return (
         a.join(b, ["band", "band_sig"])
         .where(F.col("id_a") < F.col("id_b"))
+        .where(lowest_band)
         .select("id_a", "id_b", matches.alias("__matches"))
-        # a pair agreeing on k bands appears k times with identical count
-        .groupBy("id_a", "id_b")
-        .agg(F.first("__matches").alias("__matches"))
     )
 
 
@@ -516,7 +529,7 @@ def _minhash_lsh_match_counts(
         StorageLevel.MEMORY_AND_DISK
     )
     bands = _band_rows(sig, band_size, id_col)
-    return lsh_match_counts_from_bands(bands, id_col), sig
+    return lsh_match_counts_from_bands(bands, id_col, band_size=band_size), sig
 
 
 def minhash_lsh_pairs(
@@ -603,7 +616,7 @@ def lsh_dedup_eval(
         )
     exact = exact_pairs.select("id_a", "id_b").withColumn("__e", F.lit(1))
     if band_rows is not None:
-        raw = lsh_match_counts_from_bands(band_rows, id_col)
+        raw = lsh_match_counts_from_bands(band_rows, id_col, band_size=band_size)
     else:
         raw, sig = _minhash_lsh_match_counts(
             df,
@@ -808,7 +821,24 @@ def hamming_pairs_from_fingerprints(
     # previous groupBy(id_a, id_b) dedup, whose exchange shuffled the
     # ENTIRE close-pair relation (≥12.3 M hamming-0 pairs × agreeing-band
     # multiplicity at 100× on this corpus) just to drop duplicates.
-    lowest_band = functools.reduce(
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(lowest_agreeing_band_predicate(band_bits, n_bands))
+        .select("id_a", "id_b", F.expr("bit_count(sim_a ^ sim_b)").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def lowest_agreeing_band_predicate(band_bits: int, n_bands: int) -> F.Column:
+    """True iff the current ``band`` is the LOWEST band on which ``sim_a``
+    and ``sim_b`` agree — for every band j < band, their j-th band keys
+    must differ. n_bands−1 shift/mask comparisons in whole-stage codegen;
+    used by the banded Hamming joins (here and in the simhash store) to
+    emit each candidate pair exactly once WITHOUT a groupBy(id_a, id_b)
+    exchange over the full close-pair relation."""
+    mask = (1 << band_bits) - 1
+    return functools.reduce(
         lambda acc, j: acc
         & F.when(
             F.col("band") > j,
@@ -819,13 +849,6 @@ def hamming_pairs_from_fingerprints(
         ).otherwise(F.lit(True)),
         range(n_bands - 1),
         F.lit(True),
-    )
-    return (
-        a.join(b, ["band", "band_key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(lowest_band)
-        .select("id_a", "id_b", F.expr("bit_count(sim_a ^ sim_b)").alias("hamming"))
-        .where(F.col("hamming") <= max_hamming)
     )
 
 

@@ -334,12 +334,23 @@ def fingerprints_from_store(bands: DataFrame) -> DataFrame:
     return bands.where(F.col("band") == 0).select("doc_id", "simhash")
 
 
-def pairs_from_store(bands: DataFrame, max_hamming: int = 3) -> DataFrame:
+def pairs_from_store(
+    bands: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    n_bands: int = 4,
+) -> DataFrame:
     """``doc_simhash_pairs`` from the stored band relation: the banded
     Hamming self-join on (band, band_key) — both sides scan the SAME
-    bucketed table, so the plan has ZERO Exchange before the inherent
-    pair groupBy. Bit-identical to ``dedup.simhash_near_dup_pairs``
-    (exhaustive by pigeonhole for max_hamming < n_bands)."""
+    bucketed table, so the plan has ZERO Exchange. Bit-identical to
+    ``dedup.simhash_near_dup_pairs`` (exhaustive by pigeonhole for
+    max_hamming < n_bands). ``bits``/``n_bands`` must match the store's
+    manifest (defaults = the default store layout); pair dedup is the
+    lowest-agreeing-band predicate, not a groupBy exchange (r11)."""
+    from satsure_agri_datapipeline_spark.operators.dedup import (
+        lowest_agreeing_band_predicate,
+    )
+
     a = bands.select(
         F.col("doc_id").alias("id_a"),
         F.col("simhash").alias("sim_a"),
@@ -355,8 +366,7 @@ def pairs_from_store(bands: DataFrame, max_hamming: int = 3) -> DataFrame:
     return (
         a.join(b, ["band", "band_key"])
         .where(F.col("id_a") < F.col("id_b"))
+        .where(lowest_agreeing_band_predicate(bits // n_bands, n_bands))
         .select("id_a", "id_b", F.expr("bit_count(sim_a ^ sim_b)").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
-        .groupBy("id_a", "id_b")
-        .agg(F.first("hamming").alias("hamming"))
     )

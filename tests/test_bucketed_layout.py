@@ -1103,9 +1103,11 @@ def test_simhash_store_matches_direct_operator_and_plans_no_join_exchange(spark)
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert plan.count("Bucketed: true") == 2
-    # the ONLY exchange left is the inherent pair groupBy on (id_a, id_b)
+    # r11: pair dedup is the lowest-agreeing-band predicate, so even the
+    # former groupBy(id_a, id_b) exchange is gone — the stored pair join
+    # plans with ZERO exchanges
     exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
-    assert len(exchanges) == 1 and "id_a" in exchanges[0] and "id_b" in exchanges[0]
+    assert len(exchanges) == 0
 
 
 def test_simhash_store_append_delta_and_serving_rules(spark, tmp_path):
