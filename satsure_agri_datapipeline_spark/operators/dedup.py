@@ -1388,26 +1388,46 @@ def span_hash_arrays(
     cross-engine hash twin is needed — the DuckDB oracle groups on the raw
     span string and yields identical counts (64-bit collision odds ~1e-8
     per corpus, same argument as shingle_hash_arrays).
+
+    Formulation (r11 race at 100×, /tmp/sf10): hash each WORD once into a
+    per-doc long array, then each span hash is xxhash64 over span_words
+    ``element_at`` lookups — 3.2 s vs 17.5 s for the naive
+    split→slice→concat_ws-per-span form. Two effects, both measured:
+    (1) the inline ``split(text)`` subtree is re-evaluated per span inside
+    an interpreted higher-order lambda (materializing tokens in a prior
+    projection alone: 17.5→7.3 s — the same expression-tree-fanout killer
+    as the r5 per-(shingle, seed) md5 finding, module header); (2) hashing
+    span_words pre-hashed longs beats allocating+hashing a ~100-byte span
+    string per position (7.3→3.2 s). The word-hash and span arrays are
+    separate PROJECTIONS so CollapseProject cannot inline the word-hash
+    transform back into the per-span lambda (non-cheap expr referenced
+    many times — verified by the race timings).
     """
-
-    def _spans(text: F.Column) -> F.Column:
-        toks = F.split(text, " ", -1)
-        k = F.size(toks) - (span_words - 1)
-        starts = F.sequence(F.lit(1), k, F.lit(stride))
-        hashed = F.array_distinct(
+    toks = (
+        _repartitioned(df, id_col)
+        .select(F.col(id_col), F.split(F.col(text_col), " ", -1).alias("__toks"))
+        .select(
+            F.col(id_col),
             F.transform(
-                starts,
-                lambda i: F.xxhash64(
-                    F.lit(seed), F.concat_ws(" ", F.slice(toks, i, span_words))
-                ),
-            )
+                F.col("__toks"), lambda w: F.xxhash64(F.lit(seed), w)
+            ).alias("__wh"),
         )
-        # k < 1 (too-short doc) must yield [] — sequence(1, k) would DESCEND.
-        return F.when(k >= 1, hashed).otherwise(F.array().cast("array<bigint>"))
-
-    return _repartitioned(df, id_col).select(
-        F.col(id_col), _spans(F.col(text_col)).alias("spans")
+        .withColumn("__k", F.size("__wh") - (span_words - 1))
     )
+    starts = F.sequence(F.lit(1), F.col("__k"), F.lit(stride))
+    hashed = F.array_distinct(
+        F.transform(
+            starts,
+            lambda i: F.xxhash64(
+                *[F.element_at(F.col("__wh"), i + j) for j in range(span_words)]
+            ),
+        )
+    )
+    # __k < 1 (too-short doc) must yield [] — sequence(1, k) would DESCEND.
+    spans = F.when(F.col("__k") >= 1, hashed).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return toks.select(F.col(id_col), spans.alias("spans"))
 
 
 def duplicated_span_stats(
@@ -1429,36 +1449,52 @@ def duplicated_span_stats(
     integer floor division, exact in both engines (no float rounding
     divergence).
 
-    Shape at scale: the span arrays are persisted once (O(docs) rows); the
-    exploded relation shuffles ONCE (groupBy span — map-side partial
-    aggregation absorbs hot boilerplate spans, unlike a window-over-span
-    formulation which would sort the whole hot partition in one task); the
-    duplicated-span set is small (∝ near-dup mass) so the flagging
-    semi-join broadcasts under AQE at moderate scale and reuses the
-    groupBy's exchange (identical subtree) beyond it; the per-doc rollup
-    shuffles only (id, count) pairs. Text never enters any shuffle.
+    Shape at scale (r11 race, 100×): the exploded (id, span-hash) relation
+    is consumed ONCE — a count window over the span-hash partition flags
+    each row's corpus frequency in the same pass that feeds the per-doc
+    rollup (one wide shuffle on sp + one narrow on id; 10.8–12.7 s cold vs
+    16–24 s for groupBy-dupes + flag-join formulations, whose two
+    consumers either race to fill a cache or recompute the span hashing).
+    Skew note: a boilerplate span shared by M docs puts M rows in one
+    window group; the groupBy+broadcast-flag variant absorbs that with
+    map-side partial aggregation and is the fallback if a corpus has
+    pathological span frequencies — on near-dup-shaped corpora group sizes
+    are cluster-sized and the single-consumption win dominates. Text never
+    enters any shuffle.
+
+    explode_OUTER + post-generate null filter, NOT plain explode: plain
+    explode lets InferFiltersFromGenerate derive size(spans) > 0 and push
+    it below the repartition with the WHOLE span expression
+    alias-substituted — each of the span_words element_at args then
+    re-evaluates the full word-hash transform, O(W·n·W) per doc in the
+    scan stage (measured: a 100× run that never finishes vs ~4 s).
+    explode_outer infers nothing; the residual filter runs on the
+    GENERATED column, which cannot be pushed below the Generate.
     """
-    arr = span_hash_arrays(
-        df, span_words=span_words, stride=stride, text_col=text_col, id_col=id_col
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    spans = arr.select(F.col(id_col), F.explode("spans").alias("sp"))
-    dupes = (
-        spans.groupBy("sp")
-        .agg(F.count(F.lit(1)).alias("ndocs"))  # per-doc distinct ⇒ count = #docs
-        .where(F.col("ndocs") >= min_docs)
-        .select("sp")
+    spans = (
+        span_hash_arrays(
+            df, span_words=span_words, stride=stride, text_col=text_col,
+            id_col=id_col,
+        )
+        .select(F.col(id_col), F.explode_outer("spans").alias("sp"))
+        .where(F.col("sp").isNotNull())
     )
-    ndup = (
-        spans.join(dupes, "sp", "left_semi")
+    # per-doc distinct ⇒ window count over sp = #docs carrying the span
+    ndocs = F.count(F.lit(1)).over(Window.partitionBy("sp"))
+    per_doc = (
+        spans.withColumn("ndocs", ndocs)
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count_if(F.col("ndocs") >= min_docs).alias("n_dup_spans"),
+        )
     )
     out = (
-        arr.select(F.col(id_col), F.size("spans").cast("long").alias("n_spans"))
-        .join(ndup, id_col, "left")
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
         .select(
             F.col(id_col),
-            F.col("n_spans"),
+            F.coalesce(F.col("n_spans"), F.lit(0).cast("long")).alias("n_spans"),
             F.coalesce(F.col("n_dup_spans"), F.lit(0).cast("long")).alias(
                 "n_dup_spans"
             ),
@@ -1473,7 +1509,7 @@ def duplicated_span_stats(
             .cast("long"),
         )
     )
-    return _register_cache(out, arr)
+    return out
 
 
 def span_dedup(
