@@ -85,6 +85,10 @@ HEADLINE = [
     # the full production configuration (60-bit keys + canonical reps):
     # 9.09 s at 1000× where all-pairs takes 57.1 s and DuckDB OOM-DNFs
     "doc_simhash_rep_pairs_wide",
+    # span-granularity exact substring dedup (r11): window-count over span
+    # hashes — guards the explode_outer/InferFiltersFromGenerate fix (the
+    # plain-explode regression is a never-finishing scan at 100×)
+    "doc_dup_spans",
     "doc_quality_score",
     "emb_cosine_topk",
     "emb_centroid_norms",

@@ -292,10 +292,11 @@ def test_band_store_matches_direct_operator_and_plans_no_join_exchange(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert plan.count("Bucketed: true") == 2
-    # the ONLY exchange left is the inherent pair groupBy on (id_a, id_b);
-    # the band self-join itself shuffles nothing
+    # r11: pair dedup is the lowest-agreeing-band predicate, so even the
+    # former groupBy(id_a, id_b) exchange is gone — the band self-join
+    # plans with ZERO exchanges
     exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
-    assert len(exchanges) == 1 and "id_a" in exchanges[0] and "id_b" in exchanges[0]
+    assert len(exchanges) == 0
 
 
 def test_band_store_incremental_matches_raw_and_rebuild_keying(spark):
@@ -667,8 +668,9 @@ def test_raw_names_serve_stores_by_default(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert plan.count("Bucketed: true") == 2
+    # r11: lowest-agreeing-band pair dedup — zero exchanges left
     exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
-    assert len(exchanges) == 1 and "id_a" in exchanges[0] and "id_b" in exchanges[0]
+    assert len(exchanges) == 0
 
 
 def test_concurrent_rebuild_never_serves_torn_data(spark, tmp_path):

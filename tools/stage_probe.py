@@ -85,6 +85,12 @@ def main() -> None:
             )
 
             ensure_simhash_store(spark, sf_dir, bits=32, n_bands=4)
+        elif kind == "simhash60":
+            from satsure_agri_datapipeline_spark.sources.simhash_store import (
+                ensure_simhash_store,
+            )
+
+            ensure_simhash_store(spark, sf_dir, bits=60, n_bands=4)
         elif kind == "digests":
             from satsure_agri_datapipeline_spark.sources.digest_store import (
                 ensure_digest_store,
