@@ -223,34 +223,42 @@ def shingle_hash_arrays(
     cardinalities do (jaccard counts) — so the JVM hash function needs no
     cross-engine twin. Collision risk at 64 bits over 1e6 shingles:
     ~1e12/2^65 ≈ 3e-8 per corpus.
-    """
 
-    def _hashes(text: F.Column) -> F.Column:
-        if unit == "char":
-            k = F.length(text) - (n - 1)
-            grams = F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.substring(text, i, n),
-            )
-        else:
-            toks = F.split(text, " ", -1)  # keeps empty tokens, like str.split(' ')
-            k = F.size(toks) - (n - 1)
-            grams = F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
+    r11: the word path materializes ``split(text)`` in its OWN projection
+    before the gram transform — interpreted higher-order lambdas get no
+    common-subexpression elimination, so the inline form re-split the text
+    once per gram (the same fanout the span-hash race measured at 2.4×;
+    values are unchanged — same strings, same hashes).
+    """
+    base = _repartitioned(df, id_col)
+
+    def _gram_hashes(grams: F.Column, k: F.Column) -> F.Column:
         hashed = F.array_distinct(
             F.transform(grams, lambda g: F.xxhash64(F.lit(seed), g))
         )
         # k < 1 (too-short doc) must yield [] — sequence(1, k) would DESCEND.
         # NULL text likewise yields [] (the pandas form returned []).
-        return F.when(k >= 1, hashed).otherwise(
-            F.array().cast("array<bigint>")
-        )
+        return F.when(k >= 1, hashed).otherwise(F.array().cast("array<bigint>"))
 
-    return _repartitioned(df, id_col).select(
-        F.col(id_col), _hashes(F.col(text_col)).alias("shs")
+    if unit == "char":
+        text = F.col(text_col)  # plain attribute — nothing to materialize
+        k = F.length(text) - (n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), k), lambda i: F.substring(text, i, n)
+        )
+        return base.select(F.col(id_col), _gram_hashes(grams, k).alias("shs"))
+    toks_df = base.select(
+        F.col(id_col),
+        # keeps empty tokens, like str.split(' ')
+        F.split(F.col(text_col), " ", -1).alias("__toks"),
     )
+    toks = F.col("__toks")
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return toks_df.select(F.col(id_col), _gram_hashes(grams, k).alias("shs"))
 
 
 # ---------------------------------------------------------------------------

@@ -364,14 +364,20 @@ def decontaminate(
     """
     from satsure_agri_datapipeline_spark.operators.dedup import shingle_hash_arrays
 
+    # explode_OUTER + null filter, not plain explode: InferFiltersFromGenerate
+    # would push size(shs) > 0 below with the whole shingle expression
+    # alias-substituted, computing the n-gram arrays twice per row (the r11
+    # span-hash lesson; the filter on the GENERATED column cannot sink)
     train_sh = shingle_hash_arrays(train, n=n, text_col=text_col, id_col=id_col)
     bench_sh = (
         shingle_hash_arrays(benchmark, n=n, text_col=text_col, id_col=id_col)
-        .select(F.explode("shs").alias("sh"))
+        .select(F.explode_outer("shs").alias("sh"))
+        .where(F.col("sh").isNotNull())
         .distinct()
     )
     hits = (
-        train_sh.select(F.col(id_col), F.explode("shs").alias("sh"))
+        train_sh.select(F.col(id_col), F.explode_outer("shs").alias("sh"))
+        .where(F.col("sh").isNotNull())
         .join(bench_sh, "sh")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))

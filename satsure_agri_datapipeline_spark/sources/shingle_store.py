@@ -91,8 +91,11 @@ def build_shingle_store(
     sh = shingle_hash_arrays(docs, n=n, seed=seed, unit=unit).select(
         "doc_id",
         F.size("shs").alias("n_sh"),
-        F.explode("shs").alias("sh"),
-    )
+        # explode_outer + null filter: plain explode's inferred size>0
+        # filter would sink below with the shingle expression inlined,
+        # doubling the hash work at build/delta time (r11)
+        F.explode_outer("shs").alias("sh"),
+    ).where(F.col("sh").isNotNull())
     tbl = _table_name(n, unit, seed)
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     (
@@ -221,8 +224,11 @@ def append_shingle_delta(
     ).select(
         "doc_id",
         F.size("shs").alias("n_sh"),
-        F.explode("shs").alias("sh"),
-    )
+        # explode_outer + null filter: plain explode's inferred size>0
+        # filter would sink below with the shingle expression inlined,
+        # doubling the hash work at build/delta time (r11)
+        F.explode_outer("shs").alias("sh"),
+    ).where(F.col("sh").isNotNull())
     (
         sh.repartition(manifest["n_buckets"], "sh")
         .write.format("parquet")
