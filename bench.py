@@ -165,6 +165,9 @@ def main():
 
     ensure_band_store(spark, sf_dir, num_hashes=16, band_size=4, n=3)
     ensure_shingle_store(spark, sf_dir, n=3, unit="word", seed=0)
+    # span store (r11): doc_dup_spans serves the n=15 shingle store —
+    # a span IS a word shingle, so the family needs no new store code
+    ensure_shingle_store(spark, sf_dir, n=15, unit="word", seed=0)
     from satsure_agri_datapipeline_spark.plans.catalog_llm import (
         INCR_HISTORY_SUBSET,
     )

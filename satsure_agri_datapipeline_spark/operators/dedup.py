@@ -1445,6 +1445,7 @@ def duplicated_span_stats(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document duplicated-span statistics — the detection half of
     exact SUBSTRING dedup (Lee et al. 2021, "Deduplicating Training Data
@@ -1478,15 +1479,30 @@ def duplicated_span_stats(
     scan stage (measured: a 100× run that never finishes vs ~4 s).
     explode_outer infers nothing; the residual filter runs on the
     GENERATED column, which cannot be pushed below the Generate.
+
+    ``exploded`` (optional): a pre-exploded ``(id, n_sh, sh)`` span-hash
+    relation — a span IS a word shingle at n=span_words, so the bucketed
+    shingle store (``sources/shingle_store.py`` with ``n=span_words``)
+    serves this operator with ZERO new storage code: its distinct-per-doc
+    hashes yield identical counts (the hash function differs from the raw
+    path's word-hash composition, but hash values never surface — only
+    per-doc counts do), and its CLUSTERED BY (sh) bucketing feeds the
+    count window without re-hashing the corpus. Requires stride == 1
+    (the store explodes every position).
     """
-    spans = (
-        span_hash_arrays(
-            df, span_words=span_words, stride=stride, text_col=text_col,
-            id_col=id_col,
+    if exploded is not None:
+        if stride != 1:
+            raise ValueError("a span store serves stride=1 only")
+        spans = exploded.select(F.col(id_col), F.col("sh").alias("sp"))
+    else:
+        spans = (
+            span_hash_arrays(
+                df, span_words=span_words, stride=stride, text_col=text_col,
+                id_col=id_col,
+            )
+            .select(F.col(id_col), F.explode_outer("spans").alias("sp"))
+            .where(F.col("sp").isNotNull())
         )
-        .select(F.col(id_col), F.explode_outer("spans").alias("sp"))
-        .where(F.col("sp").isNotNull())
-    )
     # per-doc distinct ⇒ window count over sp = #docs carrying the span
     ndocs = F.count(F.lit(1)).over(Window.partitionBy("sp"))
     per_doc = (
@@ -1528,6 +1544,7 @@ def span_dedup(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     """Drop documents whose duplicated-span share exceeds ``max_permyriad``
     (default 20%) — the document-level removal policy over
@@ -1543,6 +1560,7 @@ def span_dedup(
         min_docs=min_docs,
         text_col=text_col,
         id_col=id_col,
+        exploded=exploded,
     )
     bad = stats.where(F.col("dup_permyriad") > max_permyriad).select(id_col)
     return df.join(bad, id_col, "left_anti")

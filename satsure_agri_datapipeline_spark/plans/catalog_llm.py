@@ -3085,9 +3085,22 @@ def doc_dup_spans(spark, sf_dir):
     """Exact SUBSTRING duplication at span granularity (Lee et al. 2021):
     per-doc count + permyriad share of 15-word spans that appear in >= 2
     distinct documents (operators/dedup.py duplicated_span_stats — one
-    corpus shuffle on span hash, text never shuffled)."""
+    corpus shuffle on span hash, text never shuffled).
+
+    r11: a span IS a word shingle at n=15, so a fresh bucketed shingle
+    store at n=15 serves this by default with zero new storage code —
+    the count window reads the CLUSTERED BY (sh) relation and the
+    per-run span hashing vanishes (SPARK_GRAFT_SHINGLE_STORE=none opts
+    out, same knob as every shingle consumer)."""
+    from satsure_agri_datapipeline_spark.sources.shingle_store import (
+        shingle_store_or_none,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    return dd.duplicated_span_stats(docs, span_words=15).orderBy("doc_id")
+    store = shingle_store_or_none(spark, sf_dir, n=15, unit="word", seed=0)
+    return dd.duplicated_span_stats(
+        docs, span_words=15, exploded=store
+    ).orderBy("doc_id")
 
 
 @query(
@@ -3103,10 +3116,16 @@ def doc_dup_spans(spark, sf_dir):
 def doc_span_dedup(spark, sf_dir):
     """Document-level removal policy over duplicated spans (RefinedWeb
     style): drop docs whose duplicated-span share exceeds 20%
-    (operators/dedup.py span_dedup). Survivors, original schema."""
+    (operators/dedup.py span_dedup). Survivors, original schema. Serves a
+    fresh n=15 shingle store by default (see doc_dup_spans)."""
+    from satsure_agri_datapipeline_spark.sources.shingle_store import (
+        shingle_store_or_none,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
+    store = shingle_store_or_none(spark, sf_dir, n=15, unit="word", seed=0)
     return (
-        dd.span_dedup(docs, max_permyriad=2000, span_words=15)
+        dd.span_dedup(docs, max_permyriad=2000, span_words=15, exploded=store)
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )

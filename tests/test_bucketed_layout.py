@@ -1288,3 +1288,42 @@ def test_digest_store_lifecycle_and_default_serving(spark, tmp_path):
             layout_dir("digests", src.resolve(), "doc_id % 7 < 3", 32),
             ignore_errors=True,
         )
+
+
+def test_span_stats_served_from_n15_shingle_store_matches_raw(spark, tmp_path):
+    """A span IS a word shingle at n=span_words: duplicated_span_stats fed
+    the bucketed n=15 shingle store must match the raw computation exactly
+    (counts only — the store's string-hash values differ from the raw
+    path's word-hash composition, which is the point of the counts-only
+    contract)."""
+    import shutil
+
+    from satsure_agri_datapipeline_spark.operators import dedup as dd
+    from satsure_agri_datapipeline_spark.sources.shingle_store import (
+        ensure_shingle_store,
+    )
+
+    src = tmp_path / "sf"
+    src.mkdir()
+    docs_pd = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    docs_pd.write.parquet(str(src / "documents.parquet"))
+    docs = spark.read.parquet(str(src / "documents.parquet"))
+
+    raw = sorted(
+        map(tuple, dd.duplicated_span_stats(docs, span_words=15).collect())
+    )
+    store = ensure_shingle_store(spark, str(src), n=15, unit="word", seed=0)
+    served = sorted(
+        map(
+            tuple,
+            dd.duplicated_span_stats(docs, span_words=15, exploded=store).collect(),
+        )
+    )
+    assert served == raw and len(raw) > 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        dd.duplicated_span_stats(docs, span_words=15, stride=5, exploded=store)
