@@ -620,7 +620,9 @@ def run_streaming_document_ingest(
     delta either commits once or forces a rebuild (never double-applies —
     see sources/store_util.claim_append).
 
-    ``maintain_stores`` ⊆ {"bands", "shingles", "simhash", "digests"}.
+    ``maintain_stores`` ⊆ {"bands", "shingles", "spans", "simhash",
+    "digests"} ("spans" = the n=15 shingle store serving doc_dup_spans /
+    doc_span_dedup — same machinery, span-width shingles).
     Returns the streaming query; ``once=True`` drains available files then
     stops (micro-batch catch-up mode).
 
@@ -667,6 +669,12 @@ def run_streaming_document_ingest(
             )
 
             ensure_shingle_store(spark, corpus, n=3, unit="word", seed=0)
+        if "spans" in maintain_stores:
+            from satsure_agri_datapipeline_spark.sources.shingle_store import (
+                ensure_shingle_store,
+            )
+
+            ensure_shingle_store(spark, corpus, n=15, unit="word", seed=0)
         if "simhash" in maintain_stores:
             from satsure_agri_datapipeline_spark.sources.simhash_store import (
                 ensure_simhash_store,

@@ -646,6 +646,22 @@ def test_streaming_document_ingest_maintains_stores(spark, tmp_path):
         )
         assert got == want and len(want) > 0
 
+        # ---- span stats served from the maintained n=15 store == recompute
+        span_store = ss.shingle_store_or_none(spark, corpus, n=15)
+        assert span_store is not None
+        got_spans = sorted(
+            map(
+                tuple,
+                dd.duplicated_span_stats(
+                    grown, span_words=15, exploded=span_store
+                ).collect(),
+            )
+        )
+        want_spans = sorted(
+            map(tuple, dd.duplicated_span_stats(grown, span_words=15).collect())
+        )
+        assert got_spans == want_spans and len(want_spans) > 0
+
         # incremental near-dup probing the maintained store: identical
         # survivors to probing a freshly recomputed store
         batch = docs.limit(6).withColumn("doc_id", F.col("doc_id") + 1_000_000)
@@ -702,16 +718,18 @@ def test_streaming_ingest_maintains_all_four_stores(spark, tmp_path):
         shutil.copy(part, dest / name)
         shutil.rmtree(stage, ignore_errors=True)
 
-    ALL = ("bands", "shingles", "simhash", "digests")
-    # standing corpus + all four stores built once at "ingest time"
+    ALL = ("bands", "shingles", "spans", "simhash", "digests")
+    # standing corpus + all five stores built once at "ingest time"
     _one_part(docs.where(F.col("doc_id") % 3 == 0), docs_dir, "base-000.parquet")
     bs.ensure_band_store(spark, corpus)
     ss.ensure_shingle_store(spark, corpus)
+    ss.ensure_shingle_store(spark, corpus, n=15)  # the span store (r11)
     hs.ensure_simhash_store(spark, corpus)
     gs.ensure_digest_store(spark, corpus)
     layouts = {
         "bands": (layout_dir("bands", corpus.resolve(), 16, 4, 3, 32), bs),
         "shingles": (layout_dir("shingles", corpus.resolve(), 3, "word", 0, 32), ss),
+        "spans": (layout_dir("shingles", corpus.resolve(), 15, "word", 0, 32), ss),
         "simhash": (layout_dir("simhash", corpus.resolve(), 32, 4, 32), hs),
         "digests": (layout_dir("digests", corpus.resolve(), "true", 32), gs),
     }
