@@ -646,21 +646,6 @@ def test_streaming_document_ingest_maintains_stores(spark, tmp_path):
         )
         assert got == want and len(want) > 0
 
-        # ---- span stats served from the maintained n=15 store == recompute
-        span_store = ss.shingle_store_or_none(spark, corpus, n=15)
-        assert span_store is not None
-        got_spans = sorted(
-            map(
-                tuple,
-                dd.duplicated_span_stats(
-                    grown, span_words=15, exploded=span_store
-                ).collect(),
-            )
-        )
-        want_spans = sorted(
-            map(tuple, dd.duplicated_span_stats(grown, span_words=15).collect())
-        )
-        assert got_spans == want_spans and len(want_spans) > 0
 
         # incremental near-dup probing the maintained store: identical
         # survivors to probing a freshly recomputed store
@@ -775,6 +760,22 @@ def test_streaming_ingest_maintains_all_four_stores(spark, tmp_path):
             )
         )
         assert got == want and len(want) > 0
+        # ---- span stats served from the maintained n=15 store == recompute
+        span_store = ss.shingle_store_or_none(spark, corpus, n=15)
+        assert span_store is not None
+        got_spans = sorted(
+            map(
+                tuple,
+                dd.duplicated_span_stats(
+                    grown, span_words=15, exploded=span_store
+                ).collect(),
+            )
+        )
+        want_spans = sorted(
+            map(tuple, dd.duplicated_span_stats(grown, span_words=15).collect())
+        )
+        assert got_spans == want_spans and len(want_spans) > 0
+
 
         # ---- incremental exact dedup vs the maintained digest store:
         # 3 replayed texts (must drop) + 3 genuinely new texts (must keep)
