@@ -492,7 +492,40 @@ def lsh_match_counts_from_bands(
     only from the lowest band on which the signature slices agree —
     per-row array compares in codegen instead of a groupBy(id_a, id_b)
     exchange over the whole candidate-pair relation. ``band_size`` must
-    match the relation's banding (callers thread it through)."""
+    match the relation's banding (callers thread it through).
+
+    Mismatch guard (r12 ADVICE): a wrong ``band_size`` makes the
+    lowest-band slice comparison silently drop valid candidate pairs, so
+    every band row is checked against the claimed banding before the join —
+    ``size(sig)`` must be a multiple of ``band_size``, ``band`` must index
+    a real band, and the stored ``band_sig`` must equal the slice it
+    claims to be (the exact ``_band_rows`` build expression — this is what
+    catches a multiple-but-wrong band_size, e.g. 8 against a 4-banded
+    relation). Raises on the first bad row instead of returning a wrong
+    pair set."""
+    rebuilt = F.array_join(
+        F.transform(
+            F.slice(F.col("sig"), F.col("band") * band_size + 1, band_size),
+            lambda h: h.cast("string"),
+        ),
+        ",",
+    )
+    banding_ok = (
+        (F.size("sig") % band_size == 0)
+        & (F.col("band") * band_size < F.size("sig"))
+        & (F.col("band_sig") == rebuilt)
+    )
+    bands = bands.where(
+        F.when(banding_ok, F.lit(True)).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"lsh_match_counts_from_bands: band rows do not match "
+                    f"band_size={band_size} — thread the banding the "
+                    f"relation was built with"
+                )
+            )
+        )
+    )
     a = bands.select(
         F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_sig"
     )
@@ -1411,6 +1444,10 @@ def span_hash_arrays(
     transform back into the per-span lambda (non-cheap expr referenced
     many times — verified by the race timings).
     """
+    if stride < 1:
+        # stride=0 would reach F.sequence(1, k, 0) and die at runtime with
+        # an opaque illegal-sequence-step error (r12 ADVICE)
+        raise ValueError(f"stride must be >= 1, got {stride}")
     toks = (
         _repartitioned(df, id_col)
         .select(F.col(id_col), F.split(F.col(text_col), " ", -1).alias("__toks"))
@@ -1488,7 +1525,12 @@ def duplicated_span_stats(
     path's word-hash composition, but hash values never surface — only
     per-doc counts do), and its CLUSTERED BY (sh) bucketing feeds the
     count window without re-hashing the corpus. Requires stride == 1
-    (the store explodes every position).
+    (the store explodes every position), and ``df`` must be the store's
+    FULL corpus: the window counts span frequencies store-wide, so a
+    filtered ``df`` subset would inherit frequencies (and inflated
+    ``n_dup_spans``) from documents it no longer contains — semi-join the
+    exploded relation on ``df``'s ids first if subset semantics are wanted
+    (r12 ADVICE; all in-repo callers pass the full corpus).
     """
     if exploded is not None:
         if stride != 1:

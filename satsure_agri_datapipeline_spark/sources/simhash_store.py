@@ -346,11 +346,37 @@ def pairs_from_store(
     ``dedup.simhash_near_dup_pairs`` (exhaustive by pigeonhole for
     max_hamming < n_bands). ``bits``/``n_bands`` must match the store's
     manifest (defaults = the default store layout); pair dedup is the
-    lowest-agreeing-band predicate, not a groupBy exchange (r11)."""
+    lowest-agreeing-band predicate, not a groupBy exchange (r11).
+
+    Mismatch guard (r12 ADVICE): with the groupBy dedup gone, a wrong
+    ``bits``/``n_bands`` silently DROPS or DUPLICATES pairs (the predicate
+    recomputes band keys from the fingerprint), so every band row is
+    checked against the claimed geometry — ``band < n_bands`` and
+    ``band_key == shiftright(simhash, band·band_bits) & mask``, the exact
+    build expression of ``_band_rows``. Three integer ops per band row in
+    codegen; a 60-bit store served with the 32/4 defaults raises on the
+    first band row instead of returning a wrong pair set."""
     from satsure_agri_datapipeline_spark.operators.dedup import (
         lowest_agreeing_band_predicate,
     )
 
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    geometry_ok = (F.col("band") < n_bands) & (
+        F.col("band_key")
+        == F.expr(f"shiftright(simhash, band * {band_bits}) & {mask}")
+    )
+    bands = bands.where(
+        F.when(geometry_ok, F.lit(True)).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"pairs_from_store: stored band rows do not match "
+                    f"bits={bits}/n_bands={n_bands} — pass the store's "
+                    f"manifest params"
+                )
+            )
+        )
+    )
     a = bands.select(
         F.col("doc_id").alias("id_a"),
         F.col("simhash").alias("sim_a"),

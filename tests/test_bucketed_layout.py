@@ -1327,3 +1327,40 @@ def test_span_stats_served_from_n15_shingle_store_matches_raw(spark, tmp_path):
 
     with pytest.raises(ValueError):
         dd.duplicated_span_stats(docs, span_words=15, stride=5, exploded=store)
+
+
+def test_band_geometry_mismatch_guards_raise(spark):
+    """r12 ADVICE: with pair dedup moved to the lowest-agreeing-band
+    predicate, a bits/band_size mismatch between a stored band relation and
+    the serving call would silently drop or duplicate pairs. Both serving
+    tails now recompute the claimed geometry per row and raise instead."""
+    from satsure_agri_datapipeline_spark.operators.dedup import (
+        band_rows_from_signatures,
+        lsh_match_counts_from_bands,
+    )
+    from satsure_agri_datapipeline_spark.sources.simhash_store import (
+        _band_rows,
+        pairs_from_store,
+    )
+
+    # SimHash: band rows built at 32/4 (8-bit keys), served claiming 60/4
+    # (15-bit keys) — the recomputed band_key mismatches and must raise.
+    sh = spark.createDataFrame(
+        [(1, 0xDEADBEEF), (2, 0xDEADBEEE)], "doc_id long, simhash long"
+    )
+    bands32 = _band_rows(sh, bits=32, n_bands=4)
+    ok = pairs_from_store(bands32, max_hamming=3, bits=32, n_bands=4)
+    assert ok.count() == 1  # hamming(0xDEADBEEF, 0xDEADBEEE) = 1
+    with pytest.raises(Exception, match="pairs_from_store"):
+        pairs_from_store(bands32, max_hamming=3, bits=60, n_bands=4).count()
+
+    # MinHash LSH: band rows built with band_size=4, served claiming 8 —
+    # 8 divides size(sig)=16, so only the band_sig rebuild check catches it.
+    sig = spark.createDataFrame(
+        [(1, list(range(16))), (2, list(range(16)))],
+        "doc_id long, sig array<long>",
+    )
+    bands4 = band_rows_from_signatures(sig, band_size=4)
+    assert lsh_match_counts_from_bands(bands4, band_size=4).count() == 1
+    with pytest.raises(Exception, match="lsh_match_counts_from_bands"):
+        lsh_match_counts_from_bands(bands4, band_size=8).count()

@@ -1388,9 +1388,10 @@ def test_span_dedup_drops_mostly_duplicated_docs(spark):
         r["doc_id"]
         for r in dd.span_dedup(docs, max_permyriad=2000, span_words=15).collect()
     )
-    # docs 1+2 are 100% duplicated spans; doc 3 contains the same 20-word
-    # prefix -> its leading 15-word windows are duplicated too (6 of 14
-    # spans = 42%) so it is dropped at the 20% cap; doc 4 survives.
+    # docs 1+2 are 100% duplicated spans; doc 3 has 29 words (20-word shared
+    # prefix + 9-word tail) -> 15 fifteen-word spans, of which the 6 starting
+    # inside the prefix are duplicated (40%) so it is dropped at the 20% cap;
+    # doc 4 survives.
     assert kept == [4]
 
 
