@@ -1483,6 +1483,7 @@ def duplicated_span_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     exploded: DataFrame | None = None,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Per-document duplicated-span statistics — the detection half of
     exact SUBSTRING dedup (Lee et al. 2021, "Deduplicating Training Data
@@ -1502,11 +1503,18 @@ def duplicated_span_stats(
     16–24 s for groupBy-dupes + flag-join formulations, whose two
     consumers either race to fill a cache or recompute the span hashing).
     Skew note: a boilerplate span shared by M docs puts M rows in one
-    window group; the groupBy+broadcast-flag variant absorbs that with
-    map-side partial aggregation and is the fallback if a corpus has
-    pathological span frequencies — on near-dup-shaped corpora group sizes
-    are cluster-sized and the single-consumption win dominates. Text never
-    enters any shuffle.
+    window group — window partitions CANNOT be split, so one straggler
+    task carries the whole hot span. ``skew_safe=True`` (r12, verdict
+    task 3) switches to the groupBy+flag-join variant: the frequency pass
+    is a hash aggregate (map-side partials absorb the hot key — each task
+    emits one partial row per span) and the flag join's hot probe key is
+    either broadcast (no probe shuffle at all) or AQE-skew-split; the
+    cost is a second consumption of the exploded relation (persisted on
+    the raw path — caller releases via :func:`release`; a bucketed store
+    re-scan is cheap). On near-dup-shaped corpora group sizes are
+    cluster-sized and the single-consumption window form dominates — the
+    measured crossover lives in PERF.md (r12). Text never enters any
+    shuffle in either form.
 
     explode_OUTER + post-generate null filter, NOT plain explode: plain
     explode lets InferFiltersFromGenerate derive size(spans) > 0 and push
@@ -1545,16 +1553,38 @@ def duplicated_span_stats(
             .select(F.col(id_col), F.explode_outer("spans").alias("sp"))
             .where(F.col("sp").isNotNull())
         )
-    # per-doc distinct ⇒ window count over sp = #docs carrying the span
-    ndocs = F.count(F.lit(1)).over(Window.partitionBy("sp"))
-    per_doc = (
-        spans.withColumn("ndocs", ndocs)
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.count_if(F.col("ndocs") >= min_docs).alias("n_dup_spans"),
+    cached: DataFrame | None = None
+    if skew_safe:
+        # groupBy + flag-join: skew-immune (see docstring) at the cost of a
+        # second consumption of the exploded relation.
+        if exploded is None:
+            spans = spans.persist(StorageLevel.MEMORY_AND_DISK)
+            cached = spans
+        dup = (
+            spans.groupBy("sp")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") >= min_docs)
+            .select("sp", F.lit(1).alias("__dup"))
         )
-    )
+        per_doc = (
+            spans.join(dup, "sp", "left")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_spans"),
+                F.count("__dup").alias("n_dup_spans"),
+            )
+        )
+    else:
+        # per-doc distinct ⇒ window count over sp = #docs carrying the span
+        ndocs = F.count(F.lit(1)).over(Window.partitionBy("sp"))
+        per_doc = (
+            spans.withColumn("ndocs", ndocs)
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_spans"),
+                F.count_if(F.col("ndocs") >= min_docs).alias("n_dup_spans"),
+            )
+        )
     out = (
         df.select(id_col)
         .join(per_doc, id_col, "left")
@@ -1575,7 +1605,7 @@ def duplicated_span_stats(
             .cast("long"),
         )
     )
-    return out
+    return _register_cache(out, cached) if cached is not None else out
 
 
 def span_dedup(

@@ -3104,6 +3104,32 @@ def doc_dup_spans(spark, sf_dir):
 
 
 @query(
+    "doc_dup_spans_skewsafe",
+    f"""
+    WITH {DUP_SPAN_STATS_SQL}
+    SELECT doc_id, n_spans, n_dup_spans, dup_permyriad
+    FROM span_stats ORDER BY doc_id
+    """,
+)
+def doc_dup_spans_skewsafe(spark, sf_dir):
+    """The SAME span statistics computed by the skew-safe groupBy+flag-join
+    formulation (r12, verdict task 3): the frequency pass is a hash
+    aggregate whose map-side partials absorb a boilerplate span shared by
+    millions of docs — the window form would put all of them in ONE
+    unsplittable window partition. Identical oracle to ``doc_dup_spans``,
+    so both formulations are hash-pinned against each other every round."""
+    from satsure_agri_datapipeline_spark.sources.shingle_store import (
+        shingle_store_or_none,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = shingle_store_or_none(spark, sf_dir, n=15, unit="word", seed=0)
+    return dd.duplicated_span_stats(
+        docs, span_words=15, exploded=store, skew_safe=True
+    ).orderBy("doc_id")
+
+
+@query(
     "doc_span_dedup",
     f"""
     WITH {DUP_SPAN_STATS_SQL}

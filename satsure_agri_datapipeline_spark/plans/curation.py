@@ -33,6 +33,7 @@ def curate_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_store: DataFrame | None = None,
+    broadcast_id_limit: int = 2_000_000,
 ) -> DataFrame:
     """Return the curated corpus (same schema as ``docs``), keeping a doc iff
 
@@ -52,8 +53,12 @@ def curate_corpus(
     bucketing, so the Jaccard self-join still plans zero Exchange).
     Jaccard scores are corpus-independent (per-pair set overlap), so
     restricting full-corpus shingles to kept docs yields exactly the
-    pairs the per-run shingling computes. For corpora whose id set
-    outgrows broadcast capacity, omit the store (raw path).
+    pairs the per-run shingling computes. When the measured survivor-id
+    count exceeds ``broadcast_id_limit`` the restriction auto-degrades to
+    a plain (shuffled) semi-join — the store's bucketing is lost but the
+    run completes instead of OOMing the driver on the broadcast (r11:
+    the comment-only escape hatch DNF'd the 1000×/5 M-doc run; this is
+    the CC ``driver_threshold`` gate pattern applied to the broadcast).
     """
     kept, _ = _curate_staged(
         docs,
@@ -66,6 +71,7 @@ def curate_corpus(
         text_col=text_col,
         id_col=id_col,
         shingle_store=shingle_store,
+        broadcast_id_limit=broadcast_id_limit,
     )
     return kept
 
@@ -81,6 +87,7 @@ def _curate_staged(
     text_col: str,
     id_col: str,
     shingle_store: DataFrame | None = None,
+    broadcast_id_limit: int = 2_000_000,
 ) -> tuple[DataFrame, dict]:
     """Shared staged lineage. With ``observe_stages`` each stage boundary
     carries a ``CollectMetrics`` row count (Spark dedupes the metric across
@@ -128,9 +135,28 @@ def _curate_staged(
     survivors = docs.join(kept_ids, id_col, "left_semi")
 
     if shingle_store is not None:
-        surviving = shingle_store.join(
-            F.broadcast(kept_ids), id_col, "left_semi"
-        )
+        # Size-gate the broadcast (r12, verdict task 2): the id set must be
+        # materialized here anyway (the CC collect below consumes it), so
+        # the count reuses the persist. Above the gate a broadcast of the
+        # survivor ids OOMs a driver-sized heap; degrade to a plain semi-
+        # join — the store's bucketing is lost (the Jaccard self-join pays
+        # its exchanges again) but the pipeline completes. Same pattern as
+        # connected_components' driver_threshold gate.
+        n_ids = kept_ids.count()
+        if n_ids <= broadcast_id_limit:
+            restricted = F.broadcast(kept_ids)
+        else:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "curate_corpus: %d survivor ids exceed broadcast_id_limit=%d;"
+                " degrading the shingle-store restriction to a shuffled"
+                " semi-join (bucketing lost, run completes)",
+                n_ids,
+                broadcast_id_limit,
+            )
+            restricted = kept_ids
+        surviving = shingle_store.join(restricted, id_col, "left_semi")
         pairs = dd.jaccard_pairs_from_exploded(
             surviving, jaccard_threshold, id_col=id_col
         )

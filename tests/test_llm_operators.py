@@ -1262,6 +1262,19 @@ def test_curation_pipeline_store_fed_matches_raw(spark, tmp_path):
     )
     assert fed == raw and len(raw) > 0
 
+    # r12 (verdict task 2): a survivor-id set above broadcast_id_limit must
+    # auto-degrade the store restriction to a shuffled semi-join — same
+    # survivors, no broadcast of the id set (the 1000× OOM path).
+    degraded = sorted(
+        r.doc_id
+        for r in curate_corpus(
+            docs, bench, shingle_store=store, broadcast_id_limit=1
+        )
+        .select("doc_id")
+        .collect()
+    )
+    assert degraded == raw
+
 
 def test_hamming_pairs_from_fingerprints_exhaustive_vs_bruteforce(spark):
     """r11: the factored banded join is EXACT (pigeonhole: max_hamming <
@@ -1407,3 +1420,32 @@ def test_span_stride_reduces_volume_but_keeps_long_dups(spark):
     # starts at 1,6,11,16,21,26 -> 6 spans, all duplicated across the pair
     assert strided[1]["n_spans"] == 6
     assert strided[1]["dup_permyriad"] == 10000
+
+
+def test_span_stats_skew_safe_matches_window_form(spark):
+    """r12 (verdict task 3): the skew-safe groupBy+flag-join formulation of
+    duplicated_span_stats returns IDENTICAL rows to the window form — on a
+    boilerplate-heavy corpus (one span shared by every doc, the shape that
+    makes the window form a single straggler partition at scale) and with
+    zero-span short docs in the mix."""
+    from satsure_agri_datapipeline_spark.operators import dedup as dd
+
+    boiler = " ".join(f"b{i}" for i in range(15))
+    rows = [(i, boiler + f" tail{i} extra{i} words{i} here{i}") for i in range(40)]
+    rows.append((100, "short doc"))  # 0 spans
+    rows.append((101, " ".join(f"u{i}" for i in range(20))))  # unique spans
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    window_form = sorted(
+        map(tuple, dd.duplicated_span_stats(docs, span_words=15).collect())
+    )
+    skew_form_df = dd.duplicated_span_stats(docs, span_words=15, skew_safe=True)
+    skew_form = sorted(map(tuple, skew_form_df.collect()))
+    dd.release(skew_form_df)
+    assert skew_form == window_form and len(window_form) == 42
+    # every boilerplate doc carries exactly one duplicated span (the shared
+    # 15-word prefix window); its 4 tail-suffixed windows are unique
+    by_id = {t[0]: t for t in skew_form}
+    assert by_id[0] == (0, 5, 1, 2000)
+    assert by_id[100] == (100, 0, 0, 0)
+    assert by_id[101][2] == 0
