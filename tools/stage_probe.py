@@ -21,6 +21,16 @@ last run) — the interface the spill-regression guard
 (tests/test_spill_guard.py, r10 verdict task 8) parses, so the
 measurement that caught the r10 wide-simhash degeneracy and demonstrated
 the 1000× spill cliff runs on demand, not once.
+
+Measurement-protocol fields (r12, verdict task 6 — the r11a/r11b
+store-warm vs store-cold rep-pairs confusion, PERF.md): every PROBE_JSON
+line records ``store_state`` (which standing stores for this sf_dir
+actually exist at measurement time — serving hooks pick them up whether
+or not PROBE_ENSURE requested them, which is exactly how the r11 rows
+diverged), ``probe_ensure`` (what was requested), ``best_of`` (runs per
+query; the reported run is the LAST one, i.e. steady-state), and
+``fresh_process`` (always true here — one new JVM per invocation). PERF.md
+scale rows quote these fields.
 """
 
 from __future__ import annotations
@@ -35,6 +45,34 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 EVDIR = "/tmp/spark-events-probe"
+
+
+def stores_present(sf_dir: str) -> list[str]:
+    """Standing-store kinds whose layout manifest points at ``sf_dir`` —
+    the *_or_none serving hooks will pick these up regardless of
+    PROBE_ENSURE, so they are part of the measurement protocol."""
+    import tempfile
+
+    sf_resolved = str(Path(sf_dir).resolve())
+    found = set()
+    for d in Path(tempfile.gettempdir()).glob("spark_graft_*"):
+        if not d.is_dir():
+            continue
+        for mf in d.glob("_*manifest*.json"):
+            try:
+                m = json.loads(mf.read_text())
+            except (OSError, json.JSONDecodeError):
+                continue
+            if m.get("sf_dir") == sf_resolved:
+                # spark_graft_<kind>_<digest>
+                kind = d.name[len("spark_graft_"):].rsplit("_", 1)[0]
+                params = "/".join(
+                    str(m[k])
+                    for k in ("bits", "n", "num_hashes", "unit", "n_bands")
+                    if k in m
+                )
+                found.add(f"{kind}({params})" if params else kind)
+    return sorted(found)
 
 
 def main() -> None:
@@ -105,6 +143,10 @@ def main() -> None:
             ensure_digest_store(spark, sf_dir, subset="true")
         else:
             raise SystemExit(f"unknown PROBE_ENSURE kind: {kind}")
+
+    # record the stores actually standing AFTER the ensures — the serving
+    # hooks consult the layout dirs, not PROBE_ENSURE (protocol field, r12)
+    store_state = stores_present(sf_dir)
 
     # warm up codegen/workers outside any measured group
     qs["sensor_global_stats"](spark, sf_dir).write.format("noop").mode(
@@ -219,6 +261,12 @@ def main() -> None:
                         "shuffle_w_gib": round(g.get("shw", 0) / gib, 3),
                         "shuffle_r_gib": round(g.get("shr", 0) / gib, 3),
                         "tasks": g.get("tasks", 0),
+                        # measurement protocol (r12, verdict task 6)
+                        "store_state": store_state or ["cold"],
+                        "probe_ensure": os.environ.get("PROBE_ENSURE", ""),
+                        "best_of": runs,
+                        "report": "last",
+                        "fresh_process": True,
                     }
                 ),
                 flush=True,
