@@ -2366,6 +2366,53 @@ def doc_containment_pairs(spark, sf_dir):
 
 
 @query(
+    "doc_containment_pairs_capped",
+    f"""
+    WITH {SHINGLES_SQL},
+    dfreq AS (SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY shingle),
+    capped AS (
+        SELECT s.doc_id, s.shingle FROM shingles s JOIN dfreq USING (shingle)
+        WHERE df <= 10
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(inter * 10000 // LEAST(sa.n_sh, sb.n_sh) AS BIGINT) AS containment_e4
+    FROM inter
+    JOIN sizes sa ON inter.id_a = sa.doc_id
+    JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE inter * 10000 // LEAST(sa.n_sh, sb.n_sh) >= 8000
+    ORDER BY id_a, id_b
+    """,
+)
+def doc_containment_pairs_capped(spark, sf_dir):
+    """Bounded-state containment (dedup.containment_pairs_capped): drop
+    shingles with document frequency > 10 before pair generation, compute
+    max-containment over the capped sets. This is the 100-TB form of the
+    containment family — the uncapped pair aggregate's state is one entry
+    per candidate pair and measured 415 GiB of single-box spill at 1000×
+    (r10), dominated by noise pairs sharing one mid-df shingle; the cap
+    deletes that reducible mass before the join (61% of pair state at
+    sf0.1) the same way the r11 rep-pairs form deleted the simhash
+    hamming-0 clusters. Serves the bucketed shingle store when fresh —
+    df pass, hot-set anti-join, and both self-join sides all stay on the
+    (sh)-bucket layout."""
+    from satsure_agri_datapipeline_spark.sources.shingle_store import (
+        shingle_store_or_none,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = shingle_store_or_none(spark, sf_dir, n=3, unit="word", seed=0)
+    return dd.containment_pairs_capped(
+        docs, n=3, threshold_e4=8000, max_shingle_df=10, exploded=store
+    ).orderBy("id_a", "id_b")
+
+
+@query(
     "doc_blocking_pairs",
     f"""
     WITH {SHINGLES_SQL},

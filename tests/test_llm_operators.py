@@ -1449,3 +1449,53 @@ def test_span_stats_skew_safe_matches_window_form(spark):
     assert by_id[0] == (0, 5, 1, 2000)
     assert by_id[100] == (100, 0, 0, 0)
     assert by_id[101][2] == 0
+
+
+def test_containment_capped_store_fed_matches_raw(spark):
+    """r12 (verdict task 1): the df-capped containment form must return
+    identical pairs raw vs served from the bucketed shingle store, and the
+    cap must actually remove hot shingles from the computation (a doc pair
+    connected ONLY by over-cap shingles disappears; sizes reflect the
+    capped sets)."""
+    from satsure_agri_datapipeline_spark.operators import dedup as dd
+    from satsure_agri_datapipeline_spark.sources.shingle_store import (
+        ensure_shingle_store,
+    )
+    from satsure_agri_datapipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    raw_df = dd.containment_pairs_capped(docs, n=3, threshold_e4=8000)
+    raw = sorted(map(tuple, raw_df.collect()))
+    dd.release(raw_df)
+    store = ensure_shingle_store(spark, sf, n=3, unit="word", seed=0)
+    fed = sorted(
+        map(
+            tuple,
+            dd.containment_pairs_capped(
+                docs, n=3, threshold_e4=8000, exploded=store
+            ).collect(),
+        )
+    )
+    assert fed == raw
+
+    # synthetic: docs 1/2 share only one shingle that appears in 12 docs
+    # (over the cap of 10) -> capped form finds nothing; uncapped finds the
+    # pair. docs 20/21 are true near-dups on rare shingles -> both find it.
+    hot = "x y z"
+    rows = [(i, f"{hot} filler{i} a{i} b{i} c{i}") for i in range(12)]
+    rows += [(20, "p q r s t u v w"), (21, "p q r s t u v w extra")]
+    tiny = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dd.containment_pairs(tiny, n=3, threshold_e4=2000).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dd.containment_pairs_capped(
+            tiny, n=3, threshold_e4=2000, max_shingle_df=10
+        ).collect()
+    }
+    assert (20, 21) in uncapped and (20, 21) in capped
+    assert any(a < 12 and b < 12 for a, b in uncapped)
+    assert not any(a < 12 and b < 12 for a, b in capped)
