@@ -89,9 +89,19 @@ HEADLINE = [
     # hashes — guards the explode_outer/InferFiltersFromGenerate fix (the
     # plain-explode regression is a never-finishing scan at 100×)
     "doc_dup_spans",
+    # df-capped containment (r12): the bounded-state scale form — the
+    # uncapped aggregate spills 415 GiB at 1000× on one box
+    "doc_containment_pairs_capped",
     "doc_quality_score",
     "emb_cosine_topk",
     "emb_centroid_norms",
+    # standing IVF index (r12): raw names serve the store by default once
+    # fresh — fit + full-corpus assignment vanish; _stored guards the
+    # ensure-path staleness logic the same way the incremental pairs do
+    "emb_ann_ivf_kmeans",
+    "emb_ann_ivf_kmeans_stored",
+    "emb_semantic_dedup",
+    "emb_semantic_dedup_stored",
     # stored/incremental serving paths (r8 verdict task 3): a staleness-
     # logic regression that silently rebuilt or re-signed per run would
     # surface here as a timing flag
@@ -177,6 +187,11 @@ def main():
     # doc_simhash_rep_pairs_wide serve this store by default
     ensure_simhash_store(spark, sf_dir, bits=60, n_bands=4)
     ensure_digest_store(spark, sf_dir, subset=INCR_HISTORY_SUBSET)
+    # standing IVF index (r12): emb_ann_ivf_kmeans / emb_semantic_dedup
+    # serve it by default while it is fresh and never-delta'd
+    from satsure_agri_datapipeline_spark.sources.ivf_store import ensure_ivf_store
+
+    ensure_ivf_store(spark, sf_dir, k=8, iterations=2, seed=0)
 
     from satsure_agri_datapipeline_spark.operators import dedup as _dedup
 

@@ -1325,11 +1325,41 @@ def emb_ann_ivf_kmeans(spark, sf_dir):
     """IVF ANN over the LEARNED k-means quantizer (operators/similarity.py
     ivf_topk_kmeans): assign to trained cells, probe the 2 nearest cells,
     exact cosine within them. Deterministic end to end — the oracle unrolls
-    the same training recursion and probe selection."""
+    the same training recursion and probe selection.
+
+    r12: serves the standing IVF store by default when a fresh,
+    never-delta'd one exists (sources/ivf_store.py) — the fit and the
+    full-corpus assignment vanish; the probe becomes partition pruning on
+    the cluster_id-partitioned layout. A delta'd store is pinned-centroid
+    semantics and is NOT served here (it would diverge from this oracle)."""
+    from satsure_agri_datapipeline_spark.sources.ivf_store import (
+        ann_topk_from_store,
+        ivf_store_or_none,
+    )
+
+    store = ivf_store_or_none(spark, sf_dir, k=8, iterations=2, seed=0)
+    if store is not None:
+        cent, asg = store
+        return ann_topk_from_store(cent, asg, query_id=0, k=10, nprobe=2)
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.ivf_topk_kmeans(
         emb, query_id=0, k=10, n_clusters=8, nprobe=2, iterations=2
     )
+
+
+@query("emb_ann_ivf_kmeans_stored", None)
+def emb_ann_ivf_kmeans_stored(spark, sf_dir):
+    """The SAME IVF ANN query served from the standing index, building it
+    on first use — shares ``emb_ann_ivf_kmeans``'s oracle (assigned below),
+    so the store's centroids AND assignments are hash-pinned by the
+    correctness gate every round."""
+    from satsure_agri_datapipeline_spark.sources.ivf_store import (
+        ann_topk_from_store,
+        ensure_ivf_store,
+    )
+
+    cent, asg = ensure_ivf_store(spark, sf_dir, k=8, iterations=2, seed=0)
+    return ann_topk_from_store(cent, asg, query_id=0, k=10, nprobe=2)
 
 
 @query(
@@ -2054,9 +2084,35 @@ def emb_semantic_dedup(spark, sf_dir):
     k-means cluster, chosen as nearest-to-centroid
     (operators/similarity.py semantic_dedup). The oracle replays the
     deterministic 2-round fit via unrolled recursion, then re-derives the
-    keeper choice."""
+    keeper choice.
+
+    r12: serves the standing IVF store by default when a fresh,
+    never-delta'd one exists — keeper selection becomes ONE aggregate over
+    the stored (vec_id, dist, cluster_id) rows, zero vector math."""
+    from satsure_agri_datapipeline_spark.sources.ivf_store import (
+        ivf_store_or_none,
+        semantic_dedup_from_store,
+    )
+
+    store = ivf_store_or_none(spark, sf_dir, k=8, iterations=2, seed=0)
+    if store is not None:
+        return semantic_dedup_from_store(store[1]).orderBy("cluster_id")
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.semantic_dedup(emb, k=8, iterations=2).orderBy("cluster_id")
+
+
+@query("emb_semantic_dedup_stored", None)
+def emb_semantic_dedup_stored(spark, sf_dir):
+    """The SAME SemDeDup query served from the standing IVF index, building
+    it on first use — shares ``emb_semantic_dedup``'s oracle (assigned
+    below), pinning the store's distance column against the recompute."""
+    from satsure_agri_datapipeline_spark.sources.ivf_store import (
+        ensure_ivf_store,
+        semantic_dedup_from_store,
+    )
+
+    _, asg = ensure_ivf_store(spark, sf_dir, k=8, iterations=2, seed=0)
+    return semantic_dedup_from_store(asg).orderBy("cluster_id")
 
 
 @query(
@@ -2703,6 +2759,12 @@ def emb_semantic_decontaminate_vec(spark, sf_dir):
 _ORACLES_EARLY["emb_semantic_decontaminate_vec"] = _ORACLES_EARLY[
     "emb_semantic_decontaminate"
 ]
+
+# The _stored IVF names share the raw names' oracles: the store is only a
+# layout, and the fit it persists is deterministic — identical results are
+# the whole contract (r12, verdict task 4).
+_ORACLES_EARLY["emb_ann_ivf_kmeans_stored"] = _ORACLES_EARLY["emb_ann_ivf_kmeans"]
+_ORACLES_EARLY["emb_semantic_dedup_stored"] = _ORACLES_EARLY["emb_semantic_dedup"]
 
 
 # The catalog's demo history definition, part of the digest-store key: a

@@ -1364,3 +1364,86 @@ def test_band_geometry_mismatch_guards_raise(spark):
     assert lsh_match_counts_from_bands(bands4, band_size=4).count() == 1
     with pytest.raises(Exception, match="lsh_match_counts_from_bands"):
         lsh_match_counts_from_bands(bands4, band_size=8).count()
+
+
+def test_ivf_store_lifecycle_serving_and_pinned_centroid_delta(spark, tmp_path):
+    """r12 (verdict task 4): the standing IVF index. (a) Raw catalog names
+    serve a fresh never-delta'd store with identical results to the
+    env-forced recompute; (b) a data drop delta-assigns ONLY the new
+    vectors against the STANDING centroids (cost ∝ batch, centroids
+    unchanged) — and because that is pinned-centroid semantics, or_none
+    STOPS serving the raw names after the delta while ensure keeps
+    serving the incremental contract; (c) a mutation rebuilds (fresh fit,
+    empty delta chain) and or_none serves again."""
+    import json
+    import shutil
+
+    from satsure_agri_datapipeline_spark.operators import similarity as sim
+    from satsure_agri_datapipeline_spark.plans import catalog_llm  # noqa: F401
+    from satsure_agri_datapipeline_spark.plans.catalog import QUERIES
+    from satsure_agri_datapipeline_spark.sources import ivf_store as ivf
+    from satsure_agri_datapipeline_spark.sources.store_util import layout_dir
+
+    # ---- (a) default serving over the shared sf0.001 testdata ----
+    ivf.ensure_ivf_store(spark, SF, k=8, iterations=2, seed=0)
+    for name in ("emb_ann_ivf_kmeans", "emb_semantic_dedup"):
+        served = sorted(map(tuple, QUERIES[name](spark, SF).collect()))
+        os.environ[ivf.ENV_KNOB] = "none"
+        try:
+            raw = sorted(map(tuple, QUERIES[name](spark, SF).collect()))
+        finally:
+            del os.environ[ivf.ENV_KNOB]
+        assert served == raw and len(raw) > 0
+
+    # ---- (b)/(c) lifecycle on a private copy that can gain files ----
+    src = tmp_path / "sfivf"
+    emb_dir = src / "embeddings.parquet"
+    src.mkdir()
+    emb = load_table(spark, SF, "embeddings").cache()
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    drop = emb.where(F.col("vec_id") % 3 == 0)
+    _write_single_part(base, emb_dir, "base-000.parquet")
+    layout = layout_dir("ivf", src.resolve(), 8, 2, 0)
+    try:
+        assert ivf.ivf_store_or_none(spark, src) is None  # not built
+        cent1, asg1 = ivf.ensure_ivf_store(spark, src, k=8, iterations=2, seed=0)
+        cent_rows = sorted(map(tuple, cent1.collect()))
+        n1 = asg1.count()
+        assert ivf.ivf_store_or_none(spark, src) is not None
+
+        _write_single_part(drop, emb_dir, "drop-001.parquet")
+        assert ivf.ivf_store_or_none(spark, src) is None  # append-stale
+        cent2, asg2 = ivf.ensure_ivf_store(spark, src, k=8, iterations=2, seed=0)
+        man = json.loads((layout / ivf.MANIFEST_NAME).read_text())
+        assert man["deltas"] == [["drop-001.parquet"]]
+        # centroids are PINNED across the delta
+        assert sorted(map(tuple, cent2.collect())) == cent_rows
+        assert asg2.count() == n1 + drop.count()
+        # delta rows equal assigning the drop against the standing centroids
+        want = sorted(
+            (r.vec_id, r.cluster_id, round(r.dist, 9))
+            for r in ivf._assign_with_dist(
+                drop.select("vec_id", "embedding"), cent2, "embedding", "vec_id"
+            ).collect()
+        )
+        got = sorted(
+            (r.vec_id, r.cluster_id, round(r.dist, 9))
+            for r in asg2.join(
+                drop.select("vec_id"), "vec_id", "left_semi"
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+        # pinned-centroid semantics: raw names must NOT serve a delta'd
+        # store even though the manifest is fresh
+        assert ivf.ivf_store_or_none(spark, src) is None
+
+        # ---- mutation → rebuild (fresh fit), or_none serves again ----
+        _write_single_part(base.limit(50), emb_dir, "base-000.parquet")
+        cent3, asg3 = ivf.ensure_ivf_store(spark, src, k=8, iterations=2, seed=0)
+        man2 = json.loads((layout / ivf.MANIFEST_NAME).read_text())
+        assert man2["deltas"] == []
+        assert ivf.ivf_store_or_none(spark, src) is not None
+        assert asg3.count() < n1 + drop.count()
+    finally:
+        emb.unpersist()
+        shutil.rmtree(layout, ignore_errors=True)

@@ -141,6 +141,12 @@ def main() -> None:
             )
 
             ensure_digest_store(spark, sf_dir, subset="true")
+        elif kind == "ivf":
+            from satsure_agri_datapipeline_spark.sources.ivf_store import (
+                ensure_ivf_store,
+            )
+
+            ensure_ivf_store(spark, sf_dir, k=8, iterations=2, seed=0)
         else:
             raise SystemExit(f"unknown PROBE_ENSURE kind: {kind}")
 
