@@ -173,8 +173,23 @@ def main():
         base.coalesce(1).write.mode("append").parquet(
             str(corpus / "documents.parquet")
         )
+        # Which stores each micro-batch maintains (r12, verdict task 8: the
+        # artifact must RECORD this — the r11 row couldn't say whether the
+        # spans kind was part of the measured cost). Default matches the
+        # historical rows; add spans with e.g.
+        # SPARK_GRAFT_STREAM_DOC_STORES=bands,shingles,spans
+        doc_stores = tuple(
+            filter(
+                None,
+                os.environ.get(
+                    "SPARK_GRAFT_STREAM_DOC_STORES", "bands,shingles"
+                ).split(","),
+            )
+        )
         ensure_band_store(spark, corpus)  # untimed one-time ingest
         ensure_shingle_store(spark, corpus)
+        if "spans" in doc_stores:
+            ensure_shingle_store(spark, corpus, n=15)  # untimed, span width
 
         incoming = work / "incoming"
         incoming.mkdir()
@@ -192,6 +207,7 @@ def main():
             work / "doc_ckpt",
             once=True,
             max_files_per_trigger=max(1, drops // 2),
+            maintain_stores=doc_stores,
         )
         finished = q.awaitTermination(1800)
         dt = time.time() - t0
@@ -202,6 +218,7 @@ def main():
         out["doc_ingest_docs_per_sec"] = int(n_stream / dt) if finished else None
         out["doc_ingest_n_docs_streamed"] = n_stream
         out["doc_ingest_n_docs_corpus"] = n_docs
+        out["doc_ingest_maintain_stores"] = list(doc_stores)
         # store freshness is part of the contract being timed
         from satsure_agri_datapipeline_spark.sources.band_store import (
             band_store_or_none,
