@@ -43,6 +43,60 @@ RECORDED = {
     "spill_mem_gib": 0.0,
 }
 
+# r12 guard rows (verdict task 5): protect the r11/r12 wins from silent
+# regression. Bands recorded at /tmp/sf10 (100×), PROBE_RUNS=2 (second run
+# reported), stores pre-ensured, fresh process:
+# - doc_simhash_pairs_stored: the lowest-agreeing-band predicate deleted the
+#   pair-dedup groupBy exchange (37.5 GiB spill → 0 at r11); recorded
+#   shuffle_w 1.24 GiB (final orderBy only), spill 0.
+# - doc_dup_spans: served from the n=15 shingle store; recorded shuffle_w
+#   0.10 GiB, spill 0 — a lost store serve or a re-inlined span expression
+#   (the InferFiltersFromGenerate trap) multiplies both.
+# - doc_containment_pairs_capped: the bounded-state containment form;
+#   recorded shuffle_w 1.79 GiB, spill 0 at 100×.
+RECORDED_R12 = {
+    "doc_simhash_pairs_stored": {
+        "shuffle_w_gib": 1.24,
+        "ensure": "simhash",
+        "spill_cap_gib": 2.0,
+    },
+    "doc_dup_spans": {
+        "shuffle_w_gib": 0.103,
+        "ensure": "shingles15",
+        "spill_cap_gib": 2.0,
+    },
+    "doc_containment_pairs_capped": {
+        "shuffle_w_gib": 1.795,
+        "ensure": "shingles",
+        "spill_cap_gib": 8.0,
+    },
+}
+
+
+def _probe(query: str, ensure: str) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=str(SF100X),
+        PROBE_RUNS="2",
+        PROBE_ENSURE=ensure,
+    )
+    out = subprocess.run(
+        [sys.executable, "tools/stage_probe.py", "--json", query],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=900,
+    )
+    lines = [
+        ln for ln in out.stdout.splitlines() if ln.startswith("PROBE_JSON ")
+    ]
+    assert lines, (
+        f"no PROBE_JSON line\nstdout:{out.stdout[-2000:]}\n"
+        f"stderr:{out.stderr[-2000:]}"
+    )
+    return json.loads(lines[-1].split(" ", 1)[1])
+
 
 @pytest.mark.slow
 @pytest.mark.skipif(
@@ -84,3 +138,29 @@ def test_containment_pair_spill_band_100x():
     # At 100× the pair-counting state FITS in memory (recorded spill = 0);
     # material spill at this scale is a regression in its own right.
     assert m["spill_mem_gib"] <= 8.0, m
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SLOW_TESTS") != "1",
+    reason="set SPARK_GRAFT_SLOW_TESTS=1 to run the 100x spill guards (~2 min each)",
+)
+@pytest.mark.skipif(
+    not (SF100X / "documents.parquet").exists(),
+    reason="100x corpus missing — build with tools/make_scaled_sf.py",
+)
+@pytest.mark.parametrize("query", sorted(RECORDED_R12))
+def test_zero_spill_wins_hold_at_100x(query):
+    """r12 (verdict task 5): the stored simhash pair join, the span-store
+    span stats, and the df-capped containment all measured ZERO spill and a
+    pinned shuffle volume at 100x. A plan regression (lost bucketed serve,
+    re-inlined generator expression, a returned pair-dedup exchange)
+    multiplies bytes — wall-clock noise can't hide it."""
+    band = RECORDED_R12[query]
+    m = _probe(query, band["ensure"])
+    # volume must neither blow up (degeneracy) nor vanish (empty store /
+    # over-pushed filter); lz4 bytes wobble a few percent run to run
+    assert m["shuffle_w_gib"] <= band["shuffle_w_gib"] * 1.6, m
+    assert m["shuffle_w_gib"] >= band["shuffle_w_gib"] * 0.4, m
+    # these are the zero-spill wins — material spill IS the regression
+    assert m["spill_mem_gib"] <= band["spill_cap_gib"], m
