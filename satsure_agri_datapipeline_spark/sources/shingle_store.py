@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from satsure_agri_datapipeline_spark.sources.store_util import (
     atomic_swap,
+    default_n_buckets,
     build_scratch_dir,
     cached_source_fingerprint,
     claim_append,
@@ -73,7 +74,7 @@ def build_shingle_store(
     n: int = 3,
     unit: str = "word",
     seed: int = 0,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ) -> dict:
     """One-time ingest: explode the documents table's distinct shingle
     hashes (identical expressions to ``dedup.shingle_hash_arrays`` — the
@@ -82,6 +83,8 @@ def build_shingle_store(
     from satsure_agri_datapipeline_spark.operators.dedup import shingle_hash_arrays
     from satsure_agri_datapipeline_spark.sources.tables import load_table
 
+    if n_buckets is None:  # scale-aware default (r12, store_util)
+        n_buckets = default_n_buckets(Path(sf_dir).resolve() / "documents.parquet")
     layout = Path(layout_dir).resolve()
     layout.mkdir(parents=True, exist_ok=True)
     # Fingerprint BEFORE the read: a file landing mid-build is then absent
@@ -250,7 +253,7 @@ def ensure_shingle_store(
     n: int = 3,
     unit: str = "word",
     seed: int = 0,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Serve the exploded shingle relation from the per-(sf_dir, params)
     store, building it on first use and re-attaching (metadata-only DDL)
@@ -261,6 +264,8 @@ def ensure_shingle_store(
     concurrent readers finish. The digest key includes every
     byte-affecting parameter (incl. n_buckets)."""
     sf_resolved = Path(sf_dir).resolve()
+    if n_buckets is None:  # scale-aware default (r12, store_util)
+        n_buckets = default_n_buckets(sf_resolved / "documents.parquet")
     params = (n, unit, seed, n_buckets)
     layout = layout_dir("shingles", sf_resolved, n, unit, seed, n_buckets)
     manifest_path = layout / MANIFEST_NAME
@@ -302,7 +307,7 @@ def shingle_store_or_none(
     n: int = 3,
     unit: str = "word",
     seed: int = 0,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ) -> DataFrame | None:
     """Default-serving hook for the RAW query names (r8 fact-layout
     pattern): serve a FRESH store when one exists, ``None`` otherwise.
@@ -313,6 +318,8 @@ def shingle_store_or_none(
     if knob.lower() in ("none", "off", "0", "raw"):
         return None
     sf_resolved = Path(sf_dir).resolve()
+    if n_buckets is None:  # scale-aware default (r12, store_util)
+        n_buckets = default_n_buckets(sf_resolved / "documents.parquet")
     params = (n, unit, seed, n_buckets)
     layout = layout_dir("shingles", sf_resolved, n, unit, seed, n_buckets)
     state, _, manifest = _classify(

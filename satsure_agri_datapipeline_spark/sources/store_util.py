@@ -204,6 +204,47 @@ def classify_source_change(
     return ("rebuild", [])
 
 
+def default_n_buckets(src: Path) -> int:
+    """Scale-aware default bucket count for a store over ``src`` (r12):
+    bucket counts must grow with the corpus exactly like band keys (the
+    r10 lesson) and shuffle partitions (r10 ``_pick_shuffle_partitions``)
+    — a 32-bucket exploded shingle relation at 1000× puts ~8 M rows in
+    each self-join partition and the join's per-task sort/hash state
+    spills tens of GiB on a zero-Exchange plan (measured r12: 145 GiB on
+    the df-capped containment probe). Thresholds on the SOURCE table's
+    parquet bytes (the only size known before the build): ≥ 256 MiB → 128
+    buckets, ≥ 64 MiB → 64, else 32 — sf0.1 (0.6 MiB) and the 100× corpus
+    (42 MiB) keep their recorded 32-bucket bands; the 1000× corpus
+    (421 MiB) gets 128. ``SPARK_GRAFT_STORE_N_BUCKETS`` overrides.
+
+    The resolved count is part of the layout key and the manifest, so a
+    source that grows across a threshold simply stops serving the old
+    layout (or_none returns None → raw path) until the next ensure builds
+    the right-sized one — the standard staleness discipline."""
+    env = os.environ.get("SPARK_GRAFT_STORE_N_BUCKETS")
+    if env:
+        try:
+            return int(env)
+        except ValueError:
+            pass
+    try:
+        if src.is_dir():
+            total = sum(
+                f.stat().st_size
+                for f in src.rglob("*")
+                if f.is_file() and not f.name.startswith((".", "_"))
+            )
+        else:
+            total = src.stat().st_size
+    except OSError:
+        return 32
+    if total >= 256 * 1024**2:
+        return 128
+    if total >= 64 * 1024**2:
+        return 64
+    return 32
+
+
 def max_deltas() -> int:
     """Delta-chain compaction bound: after this many append deltas a store
     rebuilds instead of appending again. Each delta adds one parquet file
