@@ -1229,6 +1229,21 @@ def containment_pairs_capped(
     serving, the df pass, the anti-join against the hot set, and both
     self-join sides all stay on the bucket layout; the post-agg size joins
     touch only the ~0.4 pair rows per candidate-row aggregate output.
+
+    Two 1000×-measured refinements (r12 probe, /tmp/sf100):
+    - the HOT SET is persisted: the plan consumes it on four legs (both
+      self-join sides + both size relations), and uncached each leg
+      re-runs the full-store frequency aggregate — 4× the scan CPU for a
+      relation that is small by construction (shingles hotter than the
+      cap). Caller releases via :func:`release`/the bench rearm registry.
+    - the pair-aggregate exchange is PINNED to 2× the session's shuffle
+      partitions: AQE's byte-based coalesce folded the 436 M-pair
+      aggregate to 43 tasks (state is row-driven, not byte-driven — the
+      session's parallelismFirst note) and each task spilled; map-side
+      partials combine almost nothing here anyway (1.12 candidate rows
+      per distinct pair at sf0.1), so the explicit repartition costs the
+      partial combine nothing and buys per-task state that fits. Same
+      discipline as the hamming-join repartition pin.
     """
     if exploded is not None:
         arr = None
@@ -1248,14 +1263,17 @@ def containment_pairs_capped(
         .agg(F.count(F.lit(1)).alias("__df"))
         .where(F.col("__df") > max_shingle_df)
         .select("sh")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     capped = sh.join(hot, "sh", "left_anti")
     sizes = capped.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = capped.select(F.col(id_col).alias("id_a"), "sh")
     b = capped.select(F.col(id_col).alias("id_b"), "sh")
+    n_agg = 2 * int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     inter = (
         a.join(b, ["sh"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .repartition(n_agg, "id_a", "id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -1274,7 +1292,8 @@ def containment_pairs_capped(
         .where(F.col("containment_e4") >= threshold_e4)
         .select("id_a", "id_b", "inter", "n_a", "n_b", "containment_e4")
     )
-    return _register_cache(out, arr) if arr is not None else out
+    deps = [hot] if arr is None else [hot, arr]
+    return _register_cache(out, *deps)
 
 
 def rare_term_pairs(
