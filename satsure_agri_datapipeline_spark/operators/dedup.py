@@ -1277,13 +1277,24 @@ def containment_pairs_capped(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # shuffle_hash hints on the size sides: Catalyst inherits a multi-GB
+    # size estimate for the aggregate (child-scaled), so the planner AND
+    # AQE's localMapThreshold conversion both leave these joins SMJ — and
+    # each SMJ sorts the full candidate-pair relation (r12 1000× probe:
+    # two 12 GiB sort spills for build sides that are ~1 MB/partition).
+    # The hint costs a possible AQE broadcast at tiny SF (sub-second
+    # relation); measured neutral at sf0.1.
     out = (
         inter.join(
-            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
+            sizes.select(
+                F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
+            ).hint("shuffle_hash"),
             "id_a",
         )
         .join(
-            sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
+            sizes.select(
+                F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
+            ).hint("shuffle_hash"),
             "id_b",
         )
         .withColumn(

@@ -178,6 +178,21 @@ def get_spark(
         # fixed-width hash keys. AQE skew splitting bounds the per-partition
         # build; at bench scale AQE's runtime broadcast overrides either.
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Let AQE convert a planned SMJ to shuffled-hash at RUNTIME when the
+        # observed per-partition build side fits this many bytes. Default is
+        # 0 (conversion disabled) — so a join whose build side Catalyst
+        # OVERESTIMATES (e.g. an aggregate over a huge child: the capped-
+        # containment size relation is ~100 MB actual but inherits a
+        # multi-GB estimate) stays SMJ and pays full sorts of the probe
+        # side. Measured r12 at 1000×: the 436 M-row candidate-pair
+        # relation was sorted TWICE for its two size joins, 12 GiB spill
+        # each, with the SHJ build side at ~1 MB/partition. 128 MB matches
+        # the advisory partition size (the documented pairing for this
+        # knob); the static preferSortMergeJoin=false above already
+        # encodes the same preference where estimates are sane.
+        .config(
+            "spark.sql.adaptive.shuffleHashJoinLocalMapThreshold", "134217728"
+        )
         .config("spark.sql.session.timeZone", timezone)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")

@@ -66,7 +66,11 @@ RECORDED_R12 = {
         "spill_cap_gib": 2.0,
     },
     "doc_containment_pairs_capped": {
-        "shuffle_w_gib": 1.795,
+        # re-recorded after the r12 tuning pass (hot persist + pinned pair
+        # agg + shuffle_hash size joins): wall 7.6 s, spill 0 at 100×; the
+        # same plan runs 87 s / ZERO spill at 1000× (vs 346 s / 400 GiB
+        # uncapped — the retired cliff)
+        "shuffle_w_gib": 1.825,
         "ensure": "shingles",
         "spill_cap_gib": 8.0,
     },
