@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from satsure_agri_datapipeline_spark.sources.store_util import (
     atomic_swap,
+    default_n_buckets,
     build_scratch_dir,
     cached_source_fingerprint,
     claim_append,
@@ -81,7 +82,7 @@ def build_band_store(
     num_hashes: int = 16,
     band_size: int = 4,
     n: int = 3,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ) -> dict:
     """One-time ingest: compute the documents table's MinHash signatures
     (identical expressions to ``dedup.minhash_signature_arrays`` — the
@@ -93,6 +94,8 @@ def build_band_store(
     )
     from satsure_agri_datapipeline_spark.sources.tables import load_table
 
+    if n_buckets is None:  # scale-aware default (r12, store_util)
+        n_buckets = default_n_buckets(Path(sf_dir).resolve() / "documents.parquet")
     layout = Path(layout).resolve()
     layout.mkdir(parents=True, exist_ok=True)
     # Fingerprint BEFORE the read: a file landing mid-build is then absent
@@ -277,7 +280,7 @@ def ensure_band_store(
     num_hashes: int = 16,
     band_size: int = 4,
     n: int = 3,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Serve the band relation ``(doc_id, band, band_sig, sig)`` from the
     per-(sf_dir, params) store, building it on first use and re-attaching
@@ -289,6 +292,8 @@ def ensure_band_store(
     renamed aside (not rmtree'd in place) so concurrent readers of the old
     layout finish their scans."""
     sf_resolved = Path(sf_dir).resolve()
+    if n_buckets is None:  # scale-aware default (r12, store_util)
+        n_buckets = default_n_buckets(sf_resolved / "documents.parquet")
     params = (num_hashes, band_size, n, n_buckets)
     layout = layout_dir(
         "bands", sf_resolved, num_hashes, band_size, n, n_buckets
@@ -342,7 +347,7 @@ def band_store_or_none(
     num_hashes: int = 16,
     band_size: int = 4,
     n: int = 3,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ) -> DataFrame | None:
     """The default-serving hook (r8 fact-layout pattern,
     ``bucketed.bucketed_table_or_none``): serve the band store under the
@@ -356,6 +361,8 @@ def band_store_or_none(
     if knob.lower() in ("none", "off", "0", "raw"):
         return None
     sf_resolved = Path(sf_dir).resolve()
+    if n_buckets is None:  # scale-aware default (r12, store_util)
+        n_buckets = default_n_buckets(sf_resolved / "documents.parquet")
     params = (num_hashes, band_size, n, n_buckets)
     layout = layout_dir(
         "bands", sf_resolved, num_hashes, band_size, n, n_buckets

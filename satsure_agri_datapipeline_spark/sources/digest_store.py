@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 
 from satsure_agri_datapipeline_spark.sources.store_util import (
     atomic_swap,
+    default_n_buckets,
     build_scratch_dir,
     cached_source_fingerprint,
     claim_append,
@@ -83,12 +84,14 @@ def build_digest_store(
     sf_dir: str | Path,
     layout: str | Path,
     subset: str = "true",
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ) -> dict:
     """One-time ingest: distinct sha256 digests of the history subset,
     written bucketed AND bucket-sorted by digest. Idempotent."""
     from satsure_agri_datapipeline_spark.sources.tables import load_table
 
+    if n_buckets is None:  # scale-aware default (r12, store_util)
+        n_buckets = default_n_buckets(Path(sf_dir).resolve() / "documents.parquet")
     layout = Path(layout).resolve()
     layout.mkdir(parents=True, exist_ok=True)
     # Fingerprint BEFORE the read (store discipline): a file landing
@@ -227,12 +230,14 @@ def ensure_digest_store(
     spark: SparkSession,
     sf_dir: str | Path,
     subset: str = "true",
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Serve the digest relation ``(digest)`` from the per-(sf_dir, subset,
     n_buckets) store, building on first use; append-delta / rebuild
     maintenance identical to the band store."""
     sf_resolved = Path(sf_dir).resolve()
+    if n_buckets is None:  # scale-aware default (r12, store_util)
+        n_buckets = default_n_buckets(sf_resolved / "documents.parquet")
     params = (subset, n_buckets)
     layout = layout_dir("digests", sf_resolved, subset, n_buckets)
     manifest_path = layout / MANIFEST_NAME
@@ -272,7 +277,7 @@ def digest_store_or_none(
     spark: SparkSession,
     sf_dir: str | Path,
     subset: str = "true",
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ) -> DataFrame | None:
     """Default-serving hook for the RAW query names: serve a FRESH store
     when one exists, ``None`` otherwise. Never builds and never
@@ -282,6 +287,8 @@ def digest_store_or_none(
     if knob.lower() in ("none", "off", "0", "raw"):
         return None
     sf_resolved = Path(sf_dir).resolve()
+    if n_buckets is None:  # scale-aware default (r12, store_util)
+        n_buckets = default_n_buckets(sf_resolved / "documents.parquet")
     params = (subset, n_buckets)
     layout = layout_dir("digests", sf_resolved, subset, n_buckets)
     state, _, manifest = _classify(

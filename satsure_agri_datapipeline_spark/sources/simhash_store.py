@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from satsure_agri_datapipeline_spark.sources.store_util import (
     atomic_swap,
+    default_n_buckets,
     build_scratch_dir,
     cached_source_fingerprint,
     claim_append,
@@ -91,7 +92,7 @@ def build_simhash_store(
     layout: str | Path,
     bits: int = 32,
     n_bands: int = 4,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ) -> dict:
     """One-time ingest: compute the documents table's SimHash fingerprints
     (identical Arrow UDF to ``dedup.simhash``) exploded into band rows,
@@ -101,6 +102,8 @@ def build_simhash_store(
 
     if bits % n_bands != 0:
         raise ValueError(f"bits={bits} must be divisible by n_bands={n_bands}")
+    if n_buckets is None:  # scale-aware default (r12, store_util)
+        n_buckets = default_n_buckets(Path(sf_dir).resolve() / "documents.parquet")
     layout = Path(layout).resolve()
     layout.mkdir(parents=True, exist_ok=True)
     # Fingerprint BEFORE the read: a file landing mid-build is then absent
@@ -252,7 +255,7 @@ def ensure_simhash_store(
     sf_dir: str | Path,
     bits: int = 32,
     n_bands: int = 4,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Serve the band relation ``(doc_id, simhash, band, band_key)`` from
     the per-(sf_dir, params) store, building it on first use. Fingerprint-
@@ -260,6 +263,8 @@ def ensure_simhash_store(
     files → append delta over just those files (under the writer lock);
     mutation/deletion → full rebuild via scratch dir + rename-aside."""
     sf_resolved = Path(sf_dir).resolve()
+    if n_buckets is None:  # scale-aware default (r12, store_util)
+        n_buckets = default_n_buckets(sf_resolved / "documents.parquet")
     params = (bits, n_bands, n_buckets)
     layout = layout_dir("simhash", sf_resolved, bits, n_bands, n_buckets)
     manifest_path = layout / MANIFEST_NAME
@@ -301,7 +306,7 @@ def simhash_store_or_none(
     sf_dir: str | Path,
     bits: int = 32,
     n_bands: int = 4,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ) -> DataFrame | None:
     """Default-serving hook for the RAW query names (r8 fact-layout
     pattern): serve a FRESH store when one exists, ``None`` otherwise.
@@ -312,6 +317,8 @@ def simhash_store_or_none(
     if knob.lower() in ("none", "off", "0", "raw"):
         return None
     sf_resolved = Path(sf_dir).resolve()
+    if n_buckets is None:  # scale-aware default (r12, store_util)
+        n_buckets = default_n_buckets(sf_resolved / "documents.parquet")
     params = (bits, n_bands, n_buckets)
     layout = layout_dir("simhash", sf_resolved, bits, n_bands, n_buckets)
     state, _, manifest = _classify(

@@ -1447,3 +1447,34 @@ def test_ivf_store_lifecycle_serving_and_pinned_centroid_delta(spark, tmp_path):
     finally:
         emb.unpersist()
         shutil.rmtree(layout, ignore_errors=True)
+
+
+def test_default_n_buckets_thresholds(tmp_path, monkeypatch):
+    """r12: store bucket counts scale with the source table's bytes —
+    thresholds pinned so the recorded sf0.1/100x bands stay at 32 buckets
+    while a 1000x-sized source gets 128; env override wins."""
+    from satsure_agri_datapipeline_spark.sources.store_util import (
+        default_n_buckets,
+    )
+
+    small = tmp_path / "small.parquet"
+    small.write_bytes(b"x" * 1024)
+    assert default_n_buckets(small) == 32
+
+    mid = tmp_path / "mid.parquet"
+    mid.mkdir()
+    (mid / "part-0.parquet").write_bytes(b"x" * (70 * 1024 * 1024))
+    (mid / "_SUCCESS").write_bytes(b"")  # metadata files don't count
+    assert default_n_buckets(mid) == 64
+
+    big = tmp_path / "big.parquet"
+    big.mkdir()
+    for i in range(3):
+        (big / f"part-{i}.parquet").write_bytes(b"x" * (100 * 1024 * 1024))
+    assert default_n_buckets(big) == 128
+
+    monkeypatch.setenv("SPARK_GRAFT_STORE_N_BUCKETS", "48")
+    assert default_n_buckets(big) == 48
+    monkeypatch.setenv("SPARK_GRAFT_STORE_N_BUCKETS", "junk")
+    assert default_n_buckets(big) == 128
+    assert default_n_buckets(tmp_path / "missing.parquet") == 32
