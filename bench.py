@@ -89,9 +89,10 @@ HEADLINE = [
     # hashes — guards the explode_outer/InferFiltersFromGenerate fix (the
     # plain-explode regression is a never-finishing scan at 100×)
     "doc_dup_spans",
-    # df-capped containment (r12): the bounded-state scale form — the
-    # uncapped aggregate spills 415 GiB at 1000× on one box
+    # df-capped containment + jaccard (r12): the bounded-state scale forms —
+    # the uncapped pair aggregates spill 400-415 GiB at 1000× on one box
     "doc_containment_pairs_capped",
+    "doc_ngram_jaccard_capped",
     "doc_quality_score",
     "emb_cosine_topk",
     "emb_centroid_norms",

@@ -1245,6 +1245,67 @@ def containment_pairs_capped(
       partial combine nothing and buys per-task state that fits. Same
       discipline as the hamming-join repartition pin.
     """
+    counted, deps = _df_capped_pair_counts(
+        df, n, max_shingle_df, text_col, id_col, unit, exploded
+    )
+    out = (
+        counted.withColumn(
+            "containment_e4", F.expr("inter * 10000L div least(n_a, n_b)")
+        )
+        .where(F.col("containment_e4") >= threshold_e4)
+        .select("id_a", "id_b", "inter", "n_a", "n_b", "containment_e4")
+    )
+    return _register_cache(out, *deps)
+
+
+def ngram_jaccard_pairs_capped(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unit: str = "word",
+    exploded: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`ngram_jaccard_pairs` over DF-CAPPED shingle sets — the
+    Jaccard sibling of :func:`containment_pairs_capped`, sharing its
+    bounded-state pair pipeline (r12). Motivation is identical and
+    measured: the uncapped Jaccard pair aggregate spilled 403 GiB at 1000×
+    on this box (same noise-pair candidate mass — the two queries share
+    the candidate relation, only the score differs). Returns
+    (id_a, id_b, jaccard) over the capped sets with jaccard ≥ threshold —
+    its own query semantics with its own oracle, like every capped form.
+    """
+    counted, deps = _df_capped_pair_counts(
+        df, n, max_shingle_df, text_col, id_col, unit, exploded
+    )
+    out = (
+        counted.withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return _register_cache(out, *deps)
+
+
+def _df_capped_pair_counts(
+    df: DataFrame,
+    n: int,
+    max_shingle_df: int,
+    text_col: str,
+    id_col: str,
+    unit: str,
+    exploded: DataFrame | None,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Shared bounded-state pair pipeline of the capped containment /
+    Jaccard forms: df-cap the shingles, self-join, count intersections,
+    attach post-cap sizes. Returns ``((id_a, id_b, inter, n_a, n_b),
+    persisted deps)`` — callers project their score, filter, and register
+    the deps. Every plan decision here is 1000×-measured (see
+    :func:`containment_pairs_capped`'s docstring)."""
     if exploded is not None:
         arr = None
         sh = exploded.select(F.col(id_col), "sh")
@@ -1284,27 +1345,19 @@ def containment_pairs_capped(
     # two 12 GiB sort spills for build sides that are ~1 MB/partition).
     # The hint costs a possible AQE broadcast at tiny SF (sub-second
     # relation); measured neutral at sf0.1.
-    out = (
-        inter.join(
-            sizes.select(
-                F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
-            ).hint("shuffle_hash"),
-            "id_a",
-        )
-        .join(
-            sizes.select(
-                F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
-            ).hint("shuffle_hash"),
-            "id_b",
-        )
-        .withColumn(
-            "containment_e4", F.expr("inter * 10000L div least(n_a, n_b)")
-        )
-        .where(F.col("containment_e4") >= threshold_e4)
-        .select("id_a", "id_b", "inter", "n_a", "n_b", "containment_e4")
+    counted = inter.join(
+        sizes.select(
+            F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
+        ).hint("shuffle_hash"),
+        "id_a",
+    ).join(
+        sizes.select(
+            F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
+        ).hint("shuffle_hash"),
+        "id_b",
     )
     deps = [hot] if arr is None else [hot, arr]
-    return _register_cache(out, *deps)
+    return counted, deps
 
 
 def rare_term_pairs(

@@ -2422,6 +2422,50 @@ def doc_containment_pairs(spark, sf_dir):
 
 
 @query(
+    "doc_ngram_jaccard_capped",
+    f"""
+    WITH {SHINGLES_SQL},
+    dfreq AS (SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY shingle),
+    capped AS (
+        SELECT s.doc_id, s.shingle FROM shingles s JOIN dfreq USING (shingle)
+        WHERE df <= 10
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.id_a = sa.doc_id
+    JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def doc_ngram_jaccard_capped(spark, sf_dir):
+    """Bounded-state word-3-gram Jaccard (dedup.ngram_jaccard_pairs_capped):
+    the Jaccard sibling of ``doc_containment_pairs_capped``, sharing its
+    measured pair pipeline. The uncapped Jaccard aggregate spilled 403 GiB
+    at 1000× on this box (same noise-pair candidate mass as containment —
+    the r12 probe re-measured it after the 128-bucket store change);
+    the capped form runs the zero-spill plan. Serves the bucketed shingle
+    store when fresh."""
+    from satsure_agri_datapipeline_spark.sources.shingle_store import (
+        shingle_store_or_none,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = shingle_store_or_none(spark, sf_dir, n=3, unit="word", seed=0)
+    pairs = dd.ngram_jaccard_pairs_capped(
+        docs, n=3, threshold=0.5, max_shingle_df=10, exploded=store
+    )
+    return _jaccard_display(pairs)
+
+
+@query(
     "doc_containment_pairs_capped",
     f"""
     WITH {SHINGLES_SQL},
