@@ -2421,27 +2421,39 @@ def doc_containment_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-@query(
-    "doc_ngram_jaccard_capped",
-    f"""
-    WITH {SHINGLES_SQL},
+# Shared fragment: df-capped (df <= 10) word-3-gram pair counts with
+# post-cap sizes — the bounded-state pipeline's oracle shape (r12), reused
+# by the capped Jaccard and capped-triangles oracles.
+CAPPED_PAIR_COUNTS_SQL = f"""
+    {SHINGLES_SQL},
     dfreq AS (SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY shingle),
     capped AS (
         SELECT s.doc_id, s.shingle FROM shingles s JOIN dfreq USING (shingle)
         WHERE df <= 10
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY doc_id),
-    inter AS (
+    cp_sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY doc_id),
+    cp_inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
         FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
+    ),
+    cp_counted AS (
+        SELECT id_a, id_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+        FROM cp_inter
+        JOIN cp_sizes sa ON cp_inter.id_a = sa.doc_id
+        JOIN cp_sizes sb ON cp_inter.id_b = sb.doc_id
     )
+"""
+
+
+@query(
+    "doc_ngram_jaccard_capped",
+    f"""
+    WITH {CAPPED_PAIR_COUNTS_SQL}
     SELECT id_a, id_b,
-           ROUND(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
-    FROM inter
-    JOIN sizes sa ON inter.id_a = sa.doc_id
-    JOIN sizes sb ON inter.id_b = sb.doc_id
-    WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.5
+           ROUND(inter * 1.0 / (n_a + n_b - inter), 4) AS jaccard
+    FROM cp_counted
+    WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.5
     ORDER BY id_a, id_b
     """,
 )
@@ -2677,6 +2689,51 @@ def doc_dup_triangles(spark, sf_dir):
     near-cliques; low triangle density flags chained false positives)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = _jaccard_pairs_default(spark, sf_dir, docs, threshold=0.5)
+    return dd.triangle_count(pairs)
+
+
+@query(
+    "doc_dup_triangles_capped",
+    f"""
+    WITH {CAPPED_PAIR_COUNTS_SQL},
+    pairs AS (
+        SELECT id_a, id_b FROM cp_counted
+        WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.5
+    ),
+    e AS (
+        SELECT DISTINCT LEAST(id_a, id_b) AS u, GREATEST(id_a, id_b) AS v
+        FROM pairs WHERE id_a <> id_b
+    ),
+    wedges AS (
+        SELECT ab.u AS a, ab.v AS b, bc.v AS c
+        FROM e ab JOIN e bc ON ab.v = bc.u
+        WHERE ab.u < bc.v
+    ),
+    tri AS (
+        SELECT w.a, w.b, w.c
+        FROM wedges w JOIN e ac ON w.a = ac.u AND w.c = ac.v
+    )
+    SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT COUNT(*) FROM wedges) AS n_wedges,
+           (SELECT COUNT(*) FROM tri) AS n_triangles
+    """,
+)
+def doc_dup_triangles_capped(spark, sf_dir):
+    """Triangle count over the DF-CAPPED Jaccard graph — the third member
+    of the r10 1000× spill family (triangles spilled 288 GiB: its cost IS
+    the uncapped pair pipeline it consumes, r9/r10). Same wedge-closure
+    algorithm over the bounded-state capped pair relation; its own oracle
+    (the cap changes the edge set by definition). Serves the shingle store
+    when fresh."""
+    from satsure_agri_datapipeline_spark.sources.shingle_store import (
+        shingle_store_or_none,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = shingle_store_or_none(spark, sf_dir, n=3, unit="word", seed=0)
+    pairs = dd.ngram_jaccard_pairs_capped(
+        docs, n=3, threshold=0.5, max_shingle_df=10, exploded=store
+    )
     return dd.triangle_count(pairs)
 
 
