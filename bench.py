@@ -112,13 +112,21 @@ HEADLINE = [
     "doc_incremental_dedup_stored",
     "doc_curation_pipeline",
     "doc_curation_pipeline_stored",
+    # production-scale composed curation (r12): near-dup stage runs the
+    # bounded-state df-capped Jaccard — spill-free where the uncapped
+    # pair aggregate is 400 GiB-class state at 1000×
+    "doc_curation_pipeline_capped",
 ]
 
 # Queries whose plan CONSTRUCTION executes work (connected_components'
 # size-gated driver union-find collects the pair relation eagerly): the
 # build-once-run-N methodology would time only the post-collect tail, so
 # these construct INSIDE the timed region each run instead.
-CONSTRUCT_EACH_RUN = {"doc_curation_pipeline", "doc_curation_pipeline_stored"}
+CONSTRUCT_EACH_RUN = {
+    "doc_curation_pipeline",
+    "doc_curation_pipeline_stored",
+    "doc_curation_pipeline_capped",
+}
 
 
 def main():
@@ -179,6 +187,10 @@ def main():
     # span store (r11): doc_dup_spans serves the n=15 shingle store —
     # a span IS a word shingle, so the family needs no new store code
     ensure_shingle_store(spark, sf_dir, n=15, unit="word", seed=0)
+    # decon store (r12): doc_decontaminate + the capped curation's stage 4
+    # serve the n=4 store — per-run 4-gram hashing was the largest stage
+    # of the 1000× curation profile
+    ensure_shingle_store(spark, sf_dir, n=4, unit="word", seed=0)
     from satsure_agri_datapipeline_spark.plans.catalog_llm import (
         INCR_HISTORY_SUBSET,
     )

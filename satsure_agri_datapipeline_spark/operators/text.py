@@ -345,6 +345,7 @@ def decontaminate(
     min_hits: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination — flag training documents that share at
     least ``min_hits`` distinct word n-grams with a benchmark/eval corpus
@@ -361,24 +362,40 @@ def decontaminate(
     train shingles; the only wide shuffle is the per-doc hit count keyed by
     ``id_col``. With a huge benchmark AQE falls back to a shuffle join on
     the hash — still never all-pairs.
+
+    ``exploded`` (r12): a pre-exploded ``(id, sh)`` train-side relation —
+    the bucketed n-gram shingle store (same n/word/seed=0) — replaces the
+    per-run train shingling, which the r12 1000× curation profile measured
+    as the pipeline's single largest stage (3,518 executor-seconds of
+    4-gram hashing). The caller owns restricting it to ``train``'s rows;
+    a SUPERSET of ids is safe for anti-join consumers (extra contaminated
+    ids not in the left side simply never match) but changes the result
+    of direct/annotate consumers.
     """
     from satsure_agri_datapipeline_spark.operators.dedup import shingle_hash_arrays
 
-    # explode_OUTER + null filter, not plain explode: InferFiltersFromGenerate
-    # would push size(shs) > 0 below with the whole shingle expression
-    # alias-substituted, computing the n-gram arrays twice per row (the r11
-    # span-hash lesson; the filter on the GENERATED column cannot sink)
-    train_sh = shingle_hash_arrays(train, n=n, text_col=text_col, id_col=id_col)
     bench_sh = (
         shingle_hash_arrays(benchmark, n=n, text_col=text_col, id_col=id_col)
         .select(F.explode_outer("shs").alias("sh"))
         .where(F.col("sh").isNotNull())
         .distinct()
     )
+    if exploded is not None:
+        train_rel = exploded.select(F.col(id_col), "sh")
+    else:
+        # explode_OUTER + null filter, not plain explode:
+        # InferFiltersFromGenerate would push size(shs) > 0 below with the
+        # whole shingle expression alias-substituted, computing the n-gram
+        # arrays twice per row (the r11 span-hash lesson; the filter on the
+        # GENERATED column cannot sink)
+        train_sh = shingle_hash_arrays(
+            train, n=n, text_col=text_col, id_col=id_col
+        )
+        train_rel = train_sh.select(
+            F.col(id_col), F.explode_outer("shs").alias("sh")
+        ).where(F.col("sh").isNotNull())
     hits = (
-        train_sh.select(F.col(id_col), F.explode_outer("shs").alias("sh"))
-        .where(F.col("sh").isNotNull())
-        .join(bench_sh, "sh")
+        train_rel.join(bench_sh, "sh")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .where(F.col("n_hits") >= min_hits)

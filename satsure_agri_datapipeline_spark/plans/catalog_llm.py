@@ -1636,11 +1636,26 @@ def doc_decontaminate(spark, sf_dir):
     with the benchmark slice (here doc_id % 97 == 0 stands in for an eval
     set; n=4 because the synthetic word-salad corpus barely repeats longer
     spans — real corpora use the operator's default 8-13). The benchmark's distinct shingle hashes broadcast against the
-    exploded train shingles (operators/text.py:decontaminate)."""
+    exploded train shingles (operators/text.py:decontaminate).
+
+    r12: serves a fresh n=4 shingle store by default — the train side
+    becomes a FILTER on the bucketed relation (doc_id % 97 <> 0, exact)
+    instead of a per-run 4-gram hashing pass, the single largest stage of
+    the 1000× curation profile."""
+    from satsure_agri_datapipeline_spark.sources.shingle_store import (
+        shingle_store_or_none,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 97 == 0)
     train = docs.where(F.col("doc_id") % 97 != 0)
-    return tx.decontaminate(train, bench, n=4, min_hits=1).orderBy("doc_id")
+    store = shingle_store_or_none(spark, sf_dir, n=4, unit="word", seed=0)
+    exploded = (
+        store.where(F.col("doc_id") % 97 != 0) if store is not None else None
+    )
+    return tx.decontaminate(
+        train, bench, n=4, min_hits=1, exploded=exploded
+    ).orderBy("doc_id")
 
 
 @query(
@@ -1824,6 +1839,115 @@ def doc_curation_pipeline(spark, sf_dir):
     kept = curate_corpus(
         docs, bench, min_quality_e4=5000, jaccard_threshold=0.5,
         shingle_n=3, decon_n=4, shingle_store=store,
+    )
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+@query(
+    "doc_curation_pipeline_capped",
+    r"""
+    WITH RECURSIVE feats AS (
+        SELECT doc_id, LENGTH(text) AS n_chars,
+               GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1) AS n_tokens,
+               LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                   t -> t IN ('the', 'and', 'of', 'to', 'in'))) AS stop_hits
+        FROM documents
+    ),
+    scaled AS (
+        SELECT doc_id, n_chars,
+               CAST(FLOOR(n_punct * 10000.0 / GREATEST(n_chars, 1) + 0.5) AS BIGINT) AS punct_e4,
+               CAST(FLOOR(stop_hits * 10000.0 / n_tokens + 0.5) AS BIGINT) AS stop_e4
+        FROM feats
+    ),
+    q AS (
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN scaled s ON d.doc_id = s.doc_id
+        WHERE CAST(FLOOR((0.5 * LEAST(s.n_chars / 500.0, 1.0)
+                    + 0.3 * LEAST(s.stop_e4 / 2000.0, 1.0)
+                    + 0.2 * (1.0 - LEAST(s.punct_e4 / 1000.0, 1.0))) * 10000 + 0.5) AS BIGINT) >= 5000
+    ),
+    ex AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(lower(trim(text)))),
+    d2 AS (SELECT q.doc_id, q.text FROM q JOIN ex USING (doc_id)),
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM d2),
+    idx2 AS (SELECT doc_id, w, UNNEST(generate_series(1, GREATEST(len(w) - 2, 0))) AS i FROM words),
+    sh2 AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5('0:' || array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT AS sh
+        FROM idx2
+    ),
+    -- r12: df cap over the SURVIVOR corpus — the bounded-state near-dup
+    dfreq2 AS (SELECT sh, COUNT(*) AS df FROM sh2 GROUP BY sh),
+    capped2 AS (SELECT s.doc_id, s.sh FROM sh2 s JOIN dfreq2 USING (sh) WHERE df <= 10),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM capped2 GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM capped2 a JOIN capped2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs2 AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON inter.id_a = sa.doc_id
+        JOIN sizes sb ON inter.id_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    ),
+    sym AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs2
+        UNION ALL SELECT id_b, id_a FROM pairs2
+    ),
+    reach(node, lbl) AS (
+        SELECT DISTINCT src, src FROM sym
+        UNION
+        SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.node
+    ),
+    losers AS (
+        SELECT node FROM (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node)
+        WHERE node <> cluster
+    ),
+    d3 AS (SELECT doc_id, text FROM d2 WHERE doc_id NOT IN (SELECT node FROM losers)),
+    bw AS (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 97 = 0),
+    bi AS (SELECT w, UNNEST(generate_series(1, GREATEST(len(w) - 3, 0))) AS i FROM bw),
+    bsh AS (
+        SELECT DISTINCT
+               ('0x' || substr(md5('0:' || array_to_string(w[i:i+3], ' ')), 1, 15))::BIGINT AS sh
+        FROM bi
+    ),
+    tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM d3),
+    ti AS (SELECT doc_id, w, UNNEST(generate_series(1, GREATEST(len(w) - 3, 0))) AS i FROM tw),
+    tsh AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5('0:' || array_to_string(w[i:i+3], ' ')), 1, 15))::BIGINT AS sh
+        FROM ti
+    ),
+    contaminated AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh b ON t.sh = b.sh)
+    SELECT doc_id FROM d3
+    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ORDER BY doc_id
+    """,
+)
+def doc_curation_pipeline_capped(spark, sf_dir):
+    """The PRODUCTION-SCALE composed curation pipeline (r12): identical
+    stages to ``doc_curation_pipeline`` except the near-dup stage runs the
+    bounded-state df-capped Jaccard (df ≤ 10 computed over the stage's
+    survivor corpus) — the configuration that runs spill-free where the
+    uncapped pair aggregate is 400 GiB-class state at 1000×. Its own
+    recursive-CTE oracle replicates the cap; serves the n=3 shingle store
+    for the near-dup stage AND the n=4 store for the decontaminate stage
+    when fresh (the 1000× profile's largest stage — per-run 4-gram
+    hashing — becomes a store restriction)."""
+    from satsure_agri_datapipeline_spark.plans.curation import curate_corpus
+    from satsure_agri_datapipeline_spark.sources.shingle_store import (
+        shingle_store_or_none,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    store = shingle_store_or_none(spark, sf_dir, n=3, unit="word", seed=0)
+    decon = shingle_store_or_none(spark, sf_dir, n=4, unit="word", seed=0)
+    kept = curate_corpus(
+        docs, bench, min_quality_e4=5000, jaccard_threshold=0.5,
+        shingle_n=3, decon_n=4, shingle_store=store, max_shingle_df=10,
+        decon_store=decon,
     )
     return kept.select("doc_id").orderBy("doc_id")
 

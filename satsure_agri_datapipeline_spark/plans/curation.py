@@ -34,6 +34,8 @@ def curate_corpus(
     id_col: str = "doc_id",
     shingle_store: DataFrame | None = None,
     broadcast_id_limit: int = 2_000_000,
+    max_shingle_df: int | None = None,
+    decon_store: DataFrame | None = None,
 ) -> DataFrame:
     """Return the curated corpus (same schema as ``docs``), keeping a doc iff
 
@@ -59,6 +61,24 @@ def curate_corpus(
     run completes instead of OOMing the driver on the broadcast (r11:
     the comment-only escape hatch DNF'd the 1000×/5 M-doc run; this is
     the CC ``driver_threshold`` gate pattern applied to the broadcast).
+
+    ``max_shingle_df`` (r12): when set, stage 3 runs the BOUNDED-STATE
+    df-capped Jaccard (``dedup.ngram_jaccard_pairs_capped``) instead of
+    the uncapped pair pipeline — document frequencies are computed over
+    the stage-3 SURVIVOR corpus (quality+exact keepers), shingles hotter
+    than the cap are dropped, and near-dup scores use the capped sets.
+    This changes which pairs edge the cluster graph BY DEFINITION (its
+    own oracle semantics), and is the spill-free production form at
+    scale: the uncapped pair aggregate is the 400 GiB-class state
+    PERF.md r12 retired.
+
+    ``decon_store`` (r12): the corpus's bucketed ``decon_n``-gram shingle
+    relation. When given (requires ``shingle_store`` too — the production
+    config), stage 4's per-run n-gram hashing — the single largest stage
+    of the 1000× profile — becomes a semi-join restriction of the store
+    to the quality+exact survivor ids (a SUPERSET of stage 4's input,
+    which is safe: the contaminated-id set is consumed by an anti-join,
+    so extra ids never match).
     """
     kept, _ = _curate_staged(
         docs,
@@ -72,6 +92,8 @@ def curate_corpus(
         id_col=id_col,
         shingle_store=shingle_store,
         broadcast_id_limit=broadcast_id_limit,
+        max_shingle_df=max_shingle_df,
+        decon_store=decon_store,
     )
     return kept
 
@@ -88,6 +110,8 @@ def _curate_staged(
     id_col: str,
     shingle_store: DataFrame | None = None,
     broadcast_id_limit: int = 2_000_000,
+    max_shingle_df: int | None = None,
+    decon_store: DataFrame | None = None,
 ) -> tuple[DataFrame, dict]:
     """Shared staged lineage. With ``observe_stages`` each stage boundary
     carries a ``CollectMetrics`` row count (Spark dedupes the metric across
@@ -132,6 +156,7 @@ def _curate_staged(
     from pyspark import StorageLevel
 
     kept_ids = kept.select(id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    extra_deps: list[DataFrame] = []
     survivors = docs.join(kept_ids, id_col, "left_semi")
 
     if shingle_store is not None:
@@ -157,8 +182,32 @@ def _curate_staged(
             )
             restricted = kept_ids
         surviving = shingle_store.join(restricted, id_col, "left_semi")
-        pairs = dd.jaccard_pairs_from_exploded(
-            surviving, jaccard_threshold, id_col=id_col
+        decon_restriction = restricted
+        if max_shingle_df is not None:
+            # bounded-state near-dup: df counts over the SURVIVOR corpus
+            # (the restricted store relation), capped sets everywhere.
+            # PERSIST the restriction: the capped pipeline consumes its
+            # exploded input on FOUR legs (df pass, both self-join sides,
+            # sizes) and each uncached consumption re-runs the store scan
+            # + the id semi-join — measured at 1000×: 518.9 s uncached
+            # (≈ the raw path, the store's savings fully re-spent) — the
+            # diamond-lineage trap from SURVEY §4.4. Released with the
+            # result's other deps.
+            surviving = surviving.persist(StorageLevel.MEMORY_AND_DISK)
+            extra_deps.append(surviving)
+            pairs = dd.ngram_jaccard_pairs_capped(
+                survivors, n=shingle_n, threshold=jaccard_threshold,
+                max_shingle_df=max_shingle_df, text_col=text_col,
+                id_col=id_col, exploded=surviving,
+            )
+        else:
+            pairs = dd.jaccard_pairs_from_exploded(
+                surviving, jaccard_threshold, id_col=id_col
+            )
+    elif max_shingle_df is not None:
+        pairs = dd.ngram_jaccard_pairs_capped(
+            survivors, n=shingle_n, threshold=jaccard_threshold,
+            max_shingle_df=max_shingle_df, text_col=text_col, id_col=id_col,
         )
     else:
         pairs = dd.ngram_jaccard_pairs(
@@ -170,13 +219,23 @@ def _curate_staged(
     )
 
     if benchmark is not None:
+        decon_exploded = None
+        if decon_store is not None and shingle_store is not None:
+            # stage 4 from the n-gram store: restrict to the quality+exact
+            # survivor ids with the SAME gate decision stage 3 made (a
+            # superset of kept's ids — safe, the consumer is an anti-join).
+            # Consumed once, so no persist needed.
+            decon_exploded = decon_store.join(
+                decon_restriction, id_col, "left_semi"
+            )
         contaminated = tx.decontaminate(
-            kept, benchmark, n=decon_n, text_col=text_col, id_col=id_col
+            kept, benchmark, n=decon_n, text_col=text_col, id_col=id_col,
+            exploded=decon_exploded,
         ).select(id_col)
         kept = mark(
             kept.join(contaminated, id_col, "left_anti"), "after_decontaminate"
         )
-    return dd._register_cache(kept, kept_ids), observations
+    return dd._register_cache(kept, kept_ids, *extra_deps), observations
 
 
 def curate_with_observed_counters(

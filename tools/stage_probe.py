@@ -111,6 +111,12 @@ def main() -> None:
             )
 
             ensure_shingle_store(spark, sf_dir, n=3, unit="word", seed=0)
+        elif kind == "shingles4":
+            from satsure_agri_datapipeline_spark.sources.shingle_store import (
+                ensure_shingle_store,
+            )
+
+            ensure_shingle_store(spark, sf_dir, n=4, unit="word", seed=0)
         elif kind == "shingles15":
             from satsure_agri_datapipeline_spark.sources.shingle_store import (
                 ensure_shingle_store,
