@@ -1329,7 +1329,15 @@ def _df_capped_pair_counts(
     sizes = capped.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = capped.select(F.col(id_col).alias("id_a"), "sh")
     b = capped.select(F.col(id_col).alias("id_b"), "sh")
-    n_agg = 2 * int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # ADVICE r12: the conf may be non-numeric outside this repo's
+    # get_spark() sessions (e.g. "auto" on some distributions) — fall back
+    # to the cluster's default parallelism instead of crashing the capped
+    # pipeline at plan-construction time.
+    try:
+        base_parts = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        base_parts = sh.sparkSession.sparkContext.defaultParallelism
+    n_agg = 2 * base_parts
     inter = (
         a.join(b, ["sh"])
         .where(F.col("id_a") < F.col("id_b"))

@@ -9,6 +9,10 @@ not statistically — comparable).
 
 from __future__ import annotations
 
+import logging
+import os
+from pathlib import Path
+
 from pyspark.sql import functions as F
 
 from satsure_agri_datapipeline_spark.operators import dedup as dd
@@ -94,6 +98,62 @@ def _jaccard_display(pairs):
     ).orderBy("id_a", "id_b")
 
 
+# --- Pair-family size gate (r13, verdict task 1) -------------------------
+#
+# The uncapped all-candidate pair pipelines are quadratic in hot-shingle
+# document frequency: measured on this box they spill 403-415 GiB
+# (word-gram jaccard/containment, 1000x = 421 MiB source, PERF.md r10/r12)
+# or GC-die outright (char-gram at 100x = 42 MiB, PERF.md r5). The raw
+# names stay byte-identical to their oracles below the gate and degrade to
+# the bounded-state ``_capped`` pipelines above it, with the decision
+# logged — the ``plans/curation.py:broadcast_id_limit`` /
+# ``dedup.py:driver_threshold`` measured-degrade pattern applied one level
+# up, at the catalog entry itself. Thresholds sit one step below each
+# family's measured cliff: word-gram raw is healthy at 100x/42 MiB
+# (containment 28.6 s) and spills at 1000x/421 MiB -> 256 MiB; char-gram
+# GC-dies already at 100x/42 MiB -> 32 MiB. ``SPARK_GRAFT_PAIR_GATE``
+# overrides: ``off``/``none`` disables (always raw), an integer replaces
+# BOTH thresholds (tests use 1 to force the capped route at any SF).
+PAIR_GATE_WORD_BYTES = 256 * 1024**2
+PAIR_GATE_CHAR_BYTES = 32 * 1024**2
+
+_PAIR_GATE_LOG = logging.getLogger("satsure_agri_datapipeline_spark.pair_gate")
+
+
+def _pair_family_degrade(sf_dir, name: str, default_bytes: int) -> bool:
+    """True when ``name``'s uncapped pipeline is in its measured spill/GC
+    regime for this corpus size (documents parquet bytes >= gate). Logging
+    the routing decision either way would be too chatty — only the degrade
+    is logged, at warning, with both numbers, so a production run shows
+    exactly why the edge set is the capped one."""
+    from satsure_agri_datapipeline_spark.sources.store_util import (
+        source_total_bytes,
+    )
+
+    env = os.environ.get("SPARK_GRAFT_PAIR_GATE", "")
+    if env.lower() in ("off", "0", "none"):
+        return False
+    gate = default_bytes
+    if env:
+        try:
+            gate = int(env)
+        except ValueError:
+            pass
+    size = source_total_bytes(Path(sf_dir) / "documents.parquet")
+    if size < gate:
+        return False
+    _PAIR_GATE_LOG.warning(
+        "%s: documents source is %.1f MiB >= %.1f MiB gate — serving the "
+        "bounded-state capped pipeline (df-capped edge set; see %s_capped). "
+        "SPARK_GRAFT_PAIR_GATE=off forces the uncapped form.",
+        name,
+        size / 1024**2,
+        gate / 1024**2,
+        name,
+    )
+    return True
+
+
 def _jaccard_pairs_default(spark, sf_dir, docs, threshold=0.5):
     """3-gram word Jaccard pairs for ALL downstream consumers (clusters,
     canonical dedup, edit-distance verify, triangles, keep-best): served
@@ -139,7 +199,13 @@ def doc_ngram_jaccard(spark, sf_dir):
     exists (the r8 fact-layout pattern — the raw name is what users call,
     so it gets the zero-Exchange plan once any stored query or ingest run
     has paid the store build; ``SPARK_GRAFT_SHINGLE_STORE=none`` opts
-    out). Store absent or stale → identical-result raw recompute."""
+    out). Store absent or stale → identical-result raw recompute.
+
+    r13: above the measured spill gate (PAIR_GATE_WORD_BYTES — the
+    uncapped aggregate spilled 403 GiB at 1000×) the raw name degrades to
+    ``doc_ngram_jaccard_capped``'s bounded-state pipeline, logged."""
+    if _pair_family_degrade(sf_dir, "doc_ngram_jaccard", PAIR_GATE_WORD_BYTES):
+        return doc_ngram_jaccard_capped(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     return _jaccard_display(_jaccard_pairs_default(spark, sf_dir, docs, 0.5))
 
@@ -2533,11 +2599,18 @@ def doc_containment_pairs(spark, sf_dir):
 
     r9: served from the bucketed shingle store when a fresh one exists —
     same (n=3, word, seed=0) shingling, so the pre-exploded relation
-    replaces the per-run hashing and both self-join exchanges."""
+    replaces the per-run hashing and both self-join exchanges.
+
+    r13: above PAIR_GATE_WORD_BYTES (415 GiB of spill at 1000×, PERF.md
+    r10) degrades to ``doc_containment_pairs_capped``, logged."""
     from satsure_agri_datapipeline_spark.sources.shingle_store import (
         shingle_store_or_none,
     )
 
+    if _pair_family_degrade(
+        sf_dir, "doc_containment_pairs", PAIR_GATE_WORD_BYTES
+    ):
+        return doc_containment_pairs_capped(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     store = shingle_store_or_none(spark, sf_dir, n=3, unit="word", seed=0)
     return dd.containment_pairs(
@@ -2810,7 +2883,13 @@ def doc_dup_triangles(spark, sf_dir):
     """Triangle count over the 3-gram-Jaccard near-dup graph
     (dedup.triangle_count): oriented-edge wedge closure via two hash-joins —
     clique-density diagnostic for duplicate clusters (true dup groups are
-    near-cliques; low triangle density flags chained false positives)."""
+    near-cliques; low triangle density flags chained false positives).
+
+    r13: above PAIR_GATE_WORD_BYTES (the consumed uncapped pair pipeline
+    spilled 288 GiB at 1000×, PERF.md r10) degrades to
+    ``doc_dup_triangles_capped``, logged."""
+    if _pair_family_degrade(sf_dir, "doc_dup_triangles", PAIR_GATE_WORD_BYTES):
+        return doc_dup_triangles_capped(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     pairs = _jaccard_pairs_default(spark, sf_dir, docs, threshold=0.5)
     return dd.triangle_count(pairs)
@@ -2935,12 +3014,16 @@ def emb_centroid_separation(spark, sf_dir):
 )
 def emb_semantic_decontaminate(spark, sf_dir):
     """Semantic eval-set decontamination (similarity.py
-    semantic_decontaminate): max round-6 cosine of each corpus vector
-    against a broadcast id-sorted eval array, computed map-only via a
-    higher-order fold — no corpus shuffle, no k-times row fan-out. The
-    oracle restates it relationally (cross join + per-row max + lowest
-    tying eval id). Eval subset: vec_id % 50 = 0; threshold 0.99 sits
-    inside the synthetic data's cosine mass so both flag values appear."""
+    semantic_decontaminate_vectorized) — the production default (r13,
+    verdict task 2): the eval set ships as a broadcast float64 matrix and
+    each Arrow batch computes all its cosines as one matmul, so the cost
+    per corpus row is one BLAS-ish numpy call per batch instead of the
+    expression fold's eval_count × dim interpreted lambda ops (minutes at
+    100×, DNF-shaped at 1000×). Map-only: no corpus shuffle, no k-times
+    row fan-out. The oracle restates it relationally (cross join +
+    per-row max + lowest tying eval id). Eval subset: vec_id % 50 = 0;
+    threshold 0.99 sits inside the synthetic data's cosine mass so both
+    flag values appear."""
     from satsure_agri_datapipeline_spark.operators import similarity as sim
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2954,20 +3037,20 @@ def emb_semantic_decontaminate(spark, sf_dir):
     from satsure_agri_datapipeline_spark.operators.joins import report_sort
 
     return report_sort(
-        sim.semantic_decontaminate(corpus, ev, threshold=0.99), "vec_id"
+        sim.semantic_decontaminate_vectorized(corpus, ev, threshold=0.99),
+        "vec_id",
     )
 
 
-@query("emb_semantic_decontaminate_vec", None)
-def emb_semantic_decontaminate_vec(spark, sf_dir):
-    """The SAME decontamination on the Arrow/numpy fast path
-    (similarity.semantic_decontaminate_vectorized): the eval set ships as
-    a broadcast float64 matrix and each Arrow batch computes all its
-    cosines as one matmul — the expression fold's eval_count × dim
-    interpreted lambda ops per corpus row (minutes at 100×, DNF-shaped at
-    1000×) become one BLAS call per batch. Shares the raw query's oracle
-    (registered below), so the fast path is hash-pinned, including the
-    round-6 / lowest-eid-tie / NULL-propagation rules."""
+@query("emb_semantic_decontaminate_fold", None)
+def emb_semantic_decontaminate_fold(spark, sf_dir):
+    """The SAME decontamination on the pure-Catalyst expression fold
+    (similarity.semantic_decontaminate): kept as the oracle-shared
+    checked twin of the raw name so the Arrow fast path above stays
+    hash-pinned against a JVM-side formulation, including the round-6 /
+    lowest-eid-tie / NULL-propagation rules. Not the serving default —
+    the fold interprets eval_count × dim lambda ops per corpus row
+    (PERF.md r9: killed at >2100 s at 1000×)."""
     from satsure_agri_datapipeline_spark.operators import similarity as sim
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2976,12 +3059,11 @@ def emb_semantic_decontaminate_vec(spark, sf_dir):
     from satsure_agri_datapipeline_spark.operators.joins import report_sort
 
     return report_sort(
-        sim.semantic_decontaminate_vectorized(corpus, ev, threshold=0.99),
-        "vec_id",
+        sim.semantic_decontaminate(corpus, ev, threshold=0.99), "vec_id"
     )
 
 
-_ORACLES_EARLY["emb_semantic_decontaminate_vec"] = _ORACLES_EARLY[
+_ORACLES_EARLY["emb_semantic_decontaminate_fold"] = _ORACLES_EARLY[
     "emb_semantic_decontaminate"
 ]
 
@@ -3111,11 +3193,18 @@ def doc_char_jaccard(spark, sf_dir):
     r9: serves a char-unit shingle store when one exists (params are
     store-keyed, so a corpus ingested with
     ``ensure_shingle_store(n=5, unit="char")`` gets the zero-Exchange
-    plan under this raw name too); raw recompute otherwise."""
+    plan under this raw name too); raw recompute otherwise.
+
+    r13: the guardrail above is now ENFORCED, not advisory — above
+    PAIR_GATE_CHAR_BYTES (char-gram DF tails GC-died the uncapped query
+    already at 100×/42 MiB) the raw name degrades to
+    ``doc_char_jaccard_capped``'s max_shingle_df=200 pipeline, logged."""
     from satsure_agri_datapipeline_spark.sources.shingle_store import (
         shingle_store_or_none,
     )
 
+    if _pair_family_degrade(sf_dir, "doc_char_jaccard", PAIR_GATE_CHAR_BYTES):
+        return doc_char_jaccard_capped(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_store_or_none(spark, sf_dir, n=5, unit="char", seed=0)
     if sh is not None:

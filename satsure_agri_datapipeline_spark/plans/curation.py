@@ -220,6 +220,20 @@ def _curate_staged(
 
     if benchmark is not None:
         decon_exploded = None
+        if decon_store is not None and shingle_store is None:
+            # ADVICE r12: the decon store can only be used when stage 3's
+            # gate decision exists (decon_restriction is built there) — a
+            # caller passing decon_store alone would otherwise silently pay
+            # the full per-run n-gram hashing. Make the dropped
+            # optimization visible instead of a docstring-only contract.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "curate_corpus: decon_store given without shingle_store —"
+                " ignored; stage 4 recomputes train n-grams per run (the"
+                " store restriction reuses stage 3's broadcast-gate"
+                " decision, which only exists when shingle_store is set)"
+            )
         if decon_store is not None and shingle_store is not None:
             # stage 4 from the n-gram store: restrict to the quality+exact
             # survivor ids with the SAME gate decision stage 3 made (a

@@ -57,6 +57,7 @@ from satsure_agri_datapipeline_spark.sources.store_util import (
     claim_append,
     classify_source_change,
     discard_retired,
+    discard_stale_siblings,
     layout_dir,
     log_store_fallback,
     max_deltas,
@@ -337,6 +338,12 @@ def ensure_band_store(
         )
         atomic_swap(scratch, layout)
         discard_retired(aside)
+        # ADVICE r12: drop superseded-bucket-count layout generations.
+        discard_stale_siblings(
+            "bands", MANIFEST_NAME, layout,
+            {"sf_dir": str(sf_resolved), "num_hashes": num_hashes,
+             "band_size": band_size, "n": n},
+        )
         manifest = json.loads(manifest_path.read_text())
     return _serve_attached(spark, layout, manifest)
 

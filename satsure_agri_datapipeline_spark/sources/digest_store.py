@@ -52,6 +52,7 @@ from satsure_agri_datapipeline_spark.sources.store_util import (
     claim_append,
     classify_source_change,
     discard_retired,
+    discard_stale_siblings,
     layout_dir,
     log_store_fallback,
     max_deltas,
@@ -269,6 +270,11 @@ def ensure_digest_store(
         )
         atomic_swap(scratch, layout)
         discard_retired(aside)
+        # ADVICE r12: drop superseded-bucket-count layout generations.
+        discard_stale_siblings(
+            "digests", MANIFEST_NAME, layout,
+            {"sf_dir": str(sf_resolved), "subset": subset},
+        )
         manifest = json.loads((layout / MANIFEST_NAME).read_text())
     return _serve_attached(spark, layout, manifest)
 

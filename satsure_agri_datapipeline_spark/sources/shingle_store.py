@@ -49,6 +49,7 @@ from satsure_agri_datapipeline_spark.sources.store_util import (
     claim_append,
     classify_source_change,
     discard_retired,
+    discard_stale_siblings,
     layout_dir,
     log_store_fallback,
     max_deltas,
@@ -297,6 +298,12 @@ def ensure_shingle_store(
         )
         atomic_swap(scratch, layout)
         discard_retired(aside)
+        # ADVICE r12: a default_n_buckets threshold crossing rekeys the
+        # layout dir; drop the superseded-bucket-count generation(s).
+        discard_stale_siblings(
+            "shingles", MANIFEST_NAME, layout,
+            {"sf_dir": str(sf_resolved), "n": n, "unit": unit, "seed": seed},
+        )
         manifest = json.loads(manifest_path.read_text())
     return _serve_attached(spark, layout, manifest)
 

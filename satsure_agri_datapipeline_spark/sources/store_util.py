@@ -204,6 +204,25 @@ def classify_source_change(
     return ("rebuild", [])
 
 
+def source_total_bytes(src: Path) -> int:
+    """Total parquet data bytes under ``src`` (file or directory of part
+    files; hidden/underscore committer artifacts ignored) — the only size
+    measure known BEFORE any Spark job runs. Shared by
+    :func:`default_n_buckets` and the pair-family size gate
+    (``plans/catalog_llm.py``, r13). Unreadable source → 0 (callers treat
+    that as 'small': raw semantics / smallest bucket count)."""
+    try:
+        if src.is_dir():
+            return sum(
+                f.stat().st_size
+                for f in src.rglob("*")
+                if f.is_file() and not f.name.startswith((".", "_"))
+            )
+        return src.stat().st_size
+    except OSError:
+        return 0
+
+
 def default_n_buckets(src: Path) -> int:
     """Scale-aware default bucket count for a store over ``src`` (r12):
     bucket counts must grow with the corpus exactly like band keys (the
@@ -227,17 +246,7 @@ def default_n_buckets(src: Path) -> int:
             return int(env)
         except ValueError:
             pass
-    try:
-        if src.is_dir():
-            total = sum(
-                f.stat().st_size
-                for f in src.rglob("*")
-                if f.is_file() and not f.name.startswith((".", "_"))
-            )
-        else:
-            total = src.stat().st_size
-    except OSError:
-        return 32
+    total = source_total_bytes(src)
     if total >= 256 * 1024**2:
         return 128
     if total >= 64 * 1024**2:
@@ -282,6 +291,55 @@ def discard_retired(aside: Path | None) -> None:
     """Best-effort cleanup of a retire_layout aside dir."""
     if aside is not None:
         shutil.rmtree(aside, ignore_errors=True)
+
+
+def discard_stale_siblings(
+    kind: str, manifest_name: str, current_layout: Path, match: dict
+) -> list[Path]:
+    """ADVICE r12: a source that grows across a :func:`default_n_buckets`
+    threshold changes the layout digest, so the rebuild lands in a NEW
+    ``spark_graft_<kind>_*`` dir and the old-bucket-count layout would be
+    orphaned forever (``retire_layout`` only ever targets the new key's
+    path). Called after a successful rebuild: delete sibling layouts of
+    the same kind whose manifests agree with ``match`` on every key (same
+    source + every store param EXCEPT n_buckets — equal params would have
+    hashed to the current dir, so a matching sibling is by construction a
+    superseded bucket-count generation). Removal goes through
+    retire_layout's rename-aside first, the same grace given to every
+    in-place rebuild. Scratch (``.buildPID``) and aside (``.oldPID``)
+    dirs are skipped — their lifecycles are owned elsewhere; unreadable
+    manifests are left alone (possibly mid-write by another process).
+    Best-effort throughout: a missed orphan costs disk, never
+    correctness."""
+    removed: list[Path] = []
+    prefix = f"spark_graft_{kind}_"
+    try:
+        siblings = list(current_layout.parent.glob(prefix + "*"))
+    except OSError:
+        return removed
+    for d in siblings:
+        if d == current_layout or "." in d.name[len(prefix):]:
+            continue
+        try:
+            if not d.is_dir():
+                continue
+        except OSError:
+            continue
+        m = read_manifest_or_none(d / manifest_name)
+        if m is None:
+            continue
+        if all(m.get(k) == v for k, v in match.items()):
+            discard_retired(retire_layout(d))
+            removed.append(d)
+    if removed:
+        _LOG.warning(
+            "%s store: discarded %d superseded layout(s) keyed at a "
+            "different bucket count: %s",
+            kind,
+            len(removed),
+            ", ".join(p.name for p in removed),
+        )
+    return removed
 
 
 # (app_id, table) -> last-seen manifest mtime_ns; a change means another

@@ -620,6 +620,18 @@ def run_streaming_document_ingest(
     delta either commits once or forces a rebuild (never double-applies —
     see sources/store_util.claim_append).
 
+    COST EXCEPTION — bucket-count threshold crossings (ADVICE r12): store
+    bucket counts are scale-aware (``store_util.default_n_buckets``: 64
+    buckets at ≥64 MiB of source, 128 at ≥256 MiB), and the resolved count
+    is part of the layout key. The micro-batch whose append pushes the
+    corpus across a threshold therefore pays ONE O(corpus) rebuild instead
+    of the O(batch) delta — the old-count layout stops classifying as
+    fresh, ensure rebuilds at the new count, and the superseded layout
+    generation is discarded (``store_util.discard_stale_siblings``). This
+    happens at most twice over a corpus's lifetime per store; pin
+    ``SPARK_GRAFT_STORE_N_BUCKETS`` to the target-scale count up front to
+    avoid it entirely.
+
     ``maintain_stores`` ⊆ {"bands", "shingles", "spans", "simhash",
     "digests"} ("spans" = the n=15 shingle store serving doc_dup_spans /
     doc_span_dedup — same machinery, span-width shingles).

@@ -1478,3 +1478,37 @@ def test_default_n_buckets_thresholds(tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_STORE_N_BUCKETS", "junk")
     assert default_n_buckets(big) == 128
     assert default_n_buckets(tmp_path / "missing.parquet") == 32
+
+
+def test_threshold_crossing_discards_superseded_bucket_count(spark, tmp_path):
+    """ADVICE r12: when a store rebuilds keyed at a NEW bucket count (a
+    default_n_buckets threshold crossing re-digests the layout dir), the
+    old-count generation is discarded instead of being orphaned forever;
+    sibling layouts with different store params or sources are untouched."""
+    import shutil
+
+    from satsure_agri_datapipeline_spark.sources import shingle_store as ss
+    from satsure_agri_datapipeline_spark.sources.store_util import layout_dir
+
+    src = tmp_path / "sfgrow"
+    src.mkdir()
+    docs = load_table(spark, SF, "documents").limit(30)
+    docs.write.mode("overwrite").parquet(str(src / "documents.parquet"))
+
+    ss.ensure_shingle_store(spark, src, n=3, unit="word", seed=0, n_buckets=8)
+    old = layout_dir("shingles", src.resolve(), 3, "word", 0, 8)
+    other_params = layout_dir("shingles", src.resolve(), 4, "word", 0, 8)
+    ss.ensure_shingle_store(spark, src, n=4, unit="word", seed=0, n_buckets=8)
+    assert old.exists() and other_params.exists()
+
+    # the "corpus grew across a threshold" rebuild: same params, new count
+    ss.ensure_shingle_store(spark, src, n=3, unit="word", seed=0, n_buckets=16)
+    new = layout_dir("shingles", src.resolve(), 3, "word", 0, 16)
+    assert new.exists()
+    assert not old.exists(), "superseded bucket-count layout must be discarded"
+    assert other_params.exists(), "different-param sibling must survive"
+
+    for tbl in ("bkt_shingles_w3_s0", "bkt_shingles_w4_s0"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    for p in (new, other_params):
+        shutil.rmtree(p, ignore_errors=True)

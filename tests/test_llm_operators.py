@@ -1499,3 +1499,50 @@ def test_containment_capped_store_fed_matches_raw(spark):
     assert (20, 21) in uncapped and (20, 21) in capped
     assert any(a < 12 and b < 12 for a, b in uncapped)
     assert not any(a < 12 and b < 12 for a, b in capped)
+
+
+def test_pair_family_size_gate(spark, monkeypatch, caplog):
+    """r13 (verdict task 1): the uncapped pair-family raw names degrade to
+    their bounded-state _capped pipelines above a measured corpus-size
+    gate, with a logged decision; below the gate they stay byte-identical
+    to their oracles (the driver's sf0.01 compare never trips it)."""
+    import logging
+
+    from satsure_agri_datapipeline_spark.plans import catalog_llm as cl
+
+    SF = "/root/testdata/sf0.001"
+
+    # Default thresholds: the test corpora sit far below both gates.
+    monkeypatch.delenv("SPARK_GRAFT_PAIR_GATE", raising=False)
+    assert not cl._pair_family_degrade(
+        SF, "doc_ngram_jaccard", cl.PAIR_GATE_WORD_BYTES
+    )
+    assert not cl._pair_family_degrade(
+        SF, "doc_char_jaccard", cl.PAIR_GATE_CHAR_BYTES
+    )
+
+    # Forced 1-byte gate: every raw name serves its capped twin's rows.
+    monkeypatch.setenv("SPARK_GRAFT_PAIR_GATE", "1")
+    with caplog.at_level(
+        logging.WARNING, logger="satsure_agri_datapipeline_spark.pair_gate"
+    ):
+        assert cl._pair_family_degrade(
+            SF, "doc_ngram_jaccard", cl.PAIR_GATE_WORD_BYTES
+        )
+    assert any("doc_ngram_jaccard" in r.message for r in caplog.records)
+
+    for raw_name, capped_name in [
+        ("doc_ngram_jaccard", "doc_ngram_jaccard_capped"),
+        ("doc_containment_pairs", "doc_containment_pairs_capped"),
+        ("doc_dup_triangles", "doc_dup_triangles_capped"),
+        ("doc_char_jaccard", "doc_char_jaccard_capped"),
+    ]:
+        from satsure_agri_datapipeline_spark.plans.catalog import QUERIES
+
+        got = sorted(map(tuple, QUERIES[raw_name](spark, SF).collect()))
+        want = sorted(map(tuple, QUERIES[capped_name](spark, SF).collect()))
+        assert got == want, raw_name
+
+    # 'off' disables the gate even when the corpus would trip it.
+    monkeypatch.setenv("SPARK_GRAFT_PAIR_GATE", "off")
+    assert not cl._pair_family_degrade(SF, "doc_char_jaccard", 1)
