@@ -479,6 +479,105 @@ def ivf_topk_kmeans(
     )
 
 
+def ivf_recall_eval(
+    df: DataFrame | None,
+    query_id: int,
+    k: int = 10,
+    n_clusters: int = 8,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    fitted: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Recall@k of the IVF ANN path vs brute-force cosine ground truth,
+    swept over ``nprobes`` — the ``doc_lsh_eval`` measure-don't-guess gate
+    (r5) applied to the embedding index (r13, verdict task 3): before
+    trusting ``ivf_topk_kmeans`` on a corpus, measure what its cell
+    pruning costs in recall at each probe budget. Returns one row per
+    nprobe: (nprobe, n_truth, n_hits, recall_e4), recall in exact integer
+    basis points so the result is engine-comparable.
+
+    Everything derives from ONE persisted per-vector relation
+    (id, probe_rank of its cell, 6-dp cosine to the query) built from a
+    single fit + assignment: ground truth is the top-k over ALL rows
+    (probe_rank ≤ n_clusters ⇒ unfiltered), and the nprobe=p result is
+    the top-k over rows with probe_rank ≤ p — so the sweep adds one
+    distributed TakeOrdered per p over the persisted relation instead of
+    p full IVF pipelines. ``fitted=(centroids, assignment)`` serves the
+    standing IVF store (``sources/ivf_store.py``); None refits exactly
+    like :func:`ivf_topk_kmeans`. Caller releases via ``dedup.release``.
+    Determinism inherits from kmeans_fit; top-k ties break on id over the
+    ROUNDED cosine, identical to ``ivf_topk_kmeans``'s display order."""
+    from pyspark import StorageLevel
+
+    from satsure_agri_datapipeline_spark.operators.dedup import _register_cache
+
+    if fitted is not None:
+        cent, assigned = fitted
+    else:
+        cent = kmeans_fit(
+            df, k=n_clusters, iterations=iterations, vec_col=vec_col, id_col=id_col
+        )
+        assigned = kmeans_assign(df, cent, vec_col=vec_col, id_col=id_col)
+    q = assigned.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__q")
+    )
+    qdist = F.aggregate(
+        F.zip_with(
+            F.col("__q"),
+            F.col("centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # probe rank of every cell: row_number over the k-row centroid
+    # relation (single-partition window is fine — k rows, never the corpus)
+    prank_w = Window.orderBy(F.col("__d").asc(), F.col("cluster_id").asc())
+    pranked = (
+        cent.crossJoin(F.broadcast(q))
+        .select("cluster_id", qdist.alias("__d"))
+        .select("cluster_id", F.row_number().over(prank_w).alias("__prank"))
+    )
+    sims = (
+        assigned.join(F.broadcast(pranked), "cluster_id")
+        .crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            "__prank",
+            F.round(
+                cosine_similarity_col(F.col(vec_col), F.col("__q")), 6
+            ).alias("__cos"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    truth = sims.orderBy(F.desc("__cos"), F.col(id_col).asc()).limit(k).select(
+        id_col
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    out = None
+    for p in sorted(nprobes):
+        got = (
+            sims.where(F.col("__prank") <= p)
+            .orderBy(F.desc("__cos"), F.col(id_col).asc())
+            .limit(k)
+            .select(id_col)
+        )
+        hits = got.join(F.broadcast(truth), id_col, "left_semi").agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        row = hits.crossJoin(n_truth).select(
+            F.lit(p).cast("long").alias("nprobe"),
+            F.col("n_truth"),
+            F.col("n_hits"),
+            F.expr("n_hits * 10000 div n_truth").alias("recall_e4"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return _register_cache(out.orderBy("nprobe"), sims)
+
+
 def centroid_norms(
     df: DataFrame, label_col: str = "label", vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

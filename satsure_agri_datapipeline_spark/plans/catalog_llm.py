@@ -1429,6 +1429,99 @@ def emb_ann_ivf_kmeans_stored(spark, sf_dir):
 
 
 @query(
+    "emb_ivf_eval",
+    f"""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    seeded AS (
+        SELECT vec_id, v,
+               ROW_NUMBER() OVER (
+                   ORDER BY ('0x' || substr(md5('0:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                            vec_id
+               ) AS rn
+        FROM base
+    ),
+    cent0 AS (
+        SELECT rn - 1 AS cluster_id, list_transform(v, x -> ROUND(x, 9)) AS c
+        FROM seeded WHERE rn <= 8
+    ),
+    {_kmeans_round_sql(1)},
+    {_kmeans_round_sql(2)},
+    {_kmeans_round_sql(3)},
+    qv AS (SELECT v AS q FROM base WHERE vec_id = 0),
+    pranked AS (
+        SELECT c.cluster_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY list_sum(list_transform(list_zip(qv.q, c.c),
+                            p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+                            c.cluster_id ASC
+               ) AS prank
+        FROM cent2 c CROSS JOIN qv
+    ),
+    scored AS (
+        SELECT a.vec_id, pr.prank,
+               ROUND(
+                 list_sum(list_transform(list_zip(a.v, qv.q), p -> p[1] * p[2]))
+                 / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(qv.q, x -> x * x)))),
+                 6) AS cos
+        FROM a3 a JOIN pranked pr USING (cluster_id) CROSS JOIN qv
+        WHERE a.vec_id <> 0
+    ),
+    truth AS (SELECT vec_id FROM scored ORDER BY cos DESC, vec_id LIMIT 10),
+    plist(nprobe) AS (VALUES (1), (2), (4)),
+    cand AS (
+        SELECT pl.nprobe, s.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY pl.nprobe ORDER BY s.cos DESC, s.vec_id
+               ) AS rn
+        FROM scored s JOIN plist pl ON s.prank <= pl.nprobe
+    ),
+    hits AS (
+        SELECT c.nprobe, COUNT(*) AS n_hits
+        FROM cand c JOIN truth t USING (vec_id)
+        WHERE c.rn <= 10 GROUP BY c.nprobe
+    )
+    SELECT CAST(pl.nprobe AS BIGINT) AS nprobe,
+           (SELECT COUNT(*) FROM truth) AS n_truth,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_hits, 0) * 10000 // (SELECT COUNT(*) FROM truth)
+               AS recall_e4
+    FROM plist pl LEFT JOIN hits h USING (nprobe) ORDER BY nprobe
+    """,
+)
+def emb_ivf_eval(spark, sf_dir):
+    """Recall@10 of the IVF ANN path vs brute-force cosine ground truth at
+    nprobe in (1, 2, 4) (similarity.ivf_recall_eval) — the ``doc_lsh_eval``
+    measure-don't-guess gate applied to the embedding index (r13, verdict
+    task 3). One fit + assignment feeds the whole sweep: every nprobe row
+    is a TakeOrdered over one persisted (id, probe_rank, cosine) relation,
+    not a fresh IVF pipeline. The oracle unrolls the same deterministic
+    fit and ranks cells/candidates with identical tie-breaks, so the
+    recall numbers are exact-regime checked, not approximated.
+
+    Serves the standing IVF store under the raw-name rule (fresh AND
+    never-delta'd, ``sources/ivf_store.py``) — the sweep then starts from
+    the stored assignment and the fit cost vanishes."""
+    from satsure_agri_datapipeline_spark.sources.ivf_store import (
+        ivf_store_or_none,
+    )
+
+    store = ivf_store_or_none(spark, sf_dir, k=8, iterations=2, seed=0)
+    if store is not None:
+        return sim.ivf_recall_eval(
+            None, query_id=0, k=10, n_clusters=8, nprobes=(1, 2, 4),
+            fitted=store,
+        )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_recall_eval(
+        emb, query_id=0, k=10, n_clusters=8, nprobes=(1, 2, 4), iterations=2
+    )
+
+
+@query(
     "emb_normalize",
     """
     WITH norms AS (

@@ -1546,3 +1546,32 @@ def test_pair_family_size_gate(spark, monkeypatch, caplog):
     # 'off' disables the gate even when the corpus would trip it.
     monkeypatch.setenv("SPARK_GRAFT_PAIR_GATE", "off")
     assert not cl._pair_family_degrade(SF, "doc_char_jaccard", 1)
+
+
+def test_ivf_recall_eval_sweep(vectors):
+    """r13 (verdict task 3): recall@k vs brute-force ground truth swept
+    over nprobe — monotone non-decreasing in nprobe, exactly 1.0 when
+    every cell is probed (the filter becomes a no-op), and consistent
+    with running the IVF query itself at the same probe budget."""
+    from satsure_agri_datapipeline_spark.operators import dedup as dd
+
+    out = sim.ivf_recall_eval(
+        vectors, query_id=0, k=5, n_clusters=4, nprobes=(1, 2, 4)
+    )
+    rows = {r.nprobe: r for r in out.collect()}
+    dd.release(out)
+    assert sorted(rows) == [1, 2, 4]
+    assert all(r.n_truth == 5 for r in rows.values())
+    recalls = [rows[p].recall_e4 for p in (1, 2, 4)]
+    assert recalls == sorted(recalls)  # more probes never hurt recall
+    assert rows[4].recall_e4 == 10000  # nprobe = n_clusters == exact
+
+    # cross-check one point of the sweep against the IVF query proper
+    exact = {r.vec_id for r in sim.brute_force_topk_to(vectors, 0, k=5).collect()}
+    ivf2 = {
+        r.vec_id
+        for r in sim.ivf_topk_kmeans(
+            vectors, query_id=0, k=5, n_clusters=4, nprobe=2
+        ).collect()
+    }
+    assert rows[2].n_hits == len(exact & ivf2)

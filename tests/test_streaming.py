@@ -663,20 +663,24 @@ def test_streaming_document_ingest_maintains_stores(spark, tmp_path):
         shutil.rmtree(sh_layout, ignore_errors=True)
 
 
-def test_streaming_ingest_maintains_all_four_stores(spark, tmp_path):
-    """r11 (r10 verdict task 3): the composed streaming ingest drives ALL
-    FOUR standing stores — bands, shingles, simhash, digests — per
-    micro-batch. Each drained drop must append a delta (never rebuild) to
-    every manifest, and the grown simhash + digest stores must serve
-    answers identical to a from-scratch recompute on the grown corpus:
-    banded Hamming pairs from the simhash store, and incremental exact
-    dedup anti-joined against the digest store."""
+def test_streaming_ingest_maintains_all_six_stores(spark, tmp_path):
+    """r11 (r10 verdict task 3) + r13 (verdict task 4): the composed
+    streaming ingest drives ALL SIX standing stores — bands, shingles,
+    spans, simhash, digests via the document stream, and the IVF embedding
+    index via the embedding stream. Each drained drop must append a delta
+    (never rebuild) to every manifest, and the grown stores must serve
+    answers identical to their contracted recompute on the grown corpus:
+    banded Hamming pairs from the simhash store, incremental exact dedup
+    anti-joined against the digest store, and PINNED-CENTROID assignments
+    from the IVF store (its delta contract — the refit equivalence is
+    asserted post-compaction in the test below)."""
     import json
     import shutil
 
     from satsure_agri_datapipeline_spark.operators import dedup as dd
     from satsure_agri_datapipeline_spark.sources import band_store as bs
     from satsure_agri_datapipeline_spark.sources import digest_store as gs
+    from satsure_agri_datapipeline_spark.sources import ivf_store as ivs
     from satsure_agri_datapipeline_spark.sources import shingle_store as ss
     from satsure_agri_datapipeline_spark.sources import simhash_store as hs
     from satsure_agri_datapipeline_spark.sources.simhash_store import (
@@ -686,15 +690,21 @@ def test_streaming_ingest_maintains_all_four_stores(spark, tmp_path):
     from satsure_agri_datapipeline_spark.sources.tables import load_table
     from satsure_agri_datapipeline_spark.streaming.ingest import (
         run_streaming_document_ingest,
+        run_streaming_embedding_ingest,
     )
 
     SFD = "/root/testdata/sf0.001"
     docs = load_table(spark, SFD, "documents").limit(36).cache()
+    emb = load_table(spark, SFD, "embeddings").limit(36).cache()
     corpus = tmp_path / "corpus"
     docs_dir = corpus / "documents.parquet"
+    emb_dir = corpus / "embeddings.parquet"
     incoming = tmp_path / "incoming"
+    incoming_emb = tmp_path / "incoming_emb"
     incoming.mkdir()
+    incoming_emb.mkdir()
     docs_dir.mkdir(parents=True)
+    emb_dir.mkdir(parents=True)
 
     def _one_part(df, dest, name):
         stage = tmp_path / f"stage_{name}"
@@ -704,19 +714,22 @@ def test_streaming_ingest_maintains_all_four_stores(spark, tmp_path):
         shutil.rmtree(stage, ignore_errors=True)
 
     ALL = ("bands", "shingles", "spans", "simhash", "digests")
-    # standing corpus + all five stores built once at "ingest time"
+    # standing corpus + all six stores built once at "ingest time"
     _one_part(docs.where(F.col("doc_id") % 3 == 0), docs_dir, "base-000.parquet")
+    _one_part(emb.where(F.col("vec_id") % 3 == 0), emb_dir, "base-000.parquet")
     bs.ensure_band_store(spark, corpus)
     ss.ensure_shingle_store(spark, corpus)
     ss.ensure_shingle_store(spark, corpus, n=15)  # the span store (r11)
     hs.ensure_simhash_store(spark, corpus)
     gs.ensure_digest_store(spark, corpus)
+    ivs.ensure_ivf_store(spark, corpus)  # the sixth store (r13)
     layouts = {
         "bands": (layout_dir("bands", corpus.resolve(), 16, 4, 3, 32), bs),
         "shingles": (layout_dir("shingles", corpus.resolve(), 3, "word", 0, 32), ss),
         "spans": (layout_dir("shingles", corpus.resolve(), 15, "word", 0, 32), ss),
         "simhash": (layout_dir("simhash", corpus.resolve(), 32, 4, 32), hs),
         "digests": (layout_dir("digests", corpus.resolve(), "true", 32), gs),
+        "ivf": (layout_dir("ivf", corpus.resolve(), 8, 2, 0), ivs),
     }
 
     try:
@@ -724,6 +737,11 @@ def test_streaming_ingest_maintains_all_four_stores(spark, tmp_path):
             _one_part(
                 docs.where(F.col("doc_id") % 3 == residue),
                 incoming,
+                f"drop-{i:03d}.parquet",
+            )
+            _one_part(
+                emb.where(F.col("vec_id") % 3 == residue),
+                incoming_emb,
                 f"drop-{i:03d}.parquet",
             )
             q = run_streaming_document_ingest(
@@ -735,9 +753,13 @@ def test_streaming_ingest_maintains_all_four_stores(spark, tmp_path):
                 maintain_stores=ALL,
             )
             q.awaitTermination(180)
+            qe = run_streaming_embedding_ingest(
+                spark, incoming_emb, corpus, tmp_path / "ckpt_emb", once=True
+            )
+            qe.awaitTermination(180)
 
             # every store appended a delta for this drop — never rebuilt
-            for kind in ALL:
+            for kind in ALL + ("ivf",):
                 layout, mod = layouts[kind]
                 man = json.loads((layout / mod.MANIFEST_NAME).read_text())
                 assert len(man["deltas"]) == i, (kind, man["deltas"])
@@ -799,8 +821,28 @@ def test_streaming_ingest_maintains_all_four_stores(spark, tmp_path):
         )
         # the replayed texts were anti-joined away; the unseen ones kept
         assert all(i >= 2_000_000 for i in got_ids) and len(got_ids) == 3
+
+        # ---- IVF store: delta'd ⇒ NOT served to the oracle-pinned raw
+        # names, but its rows must equal the pinned-centroid contract —
+        # re-assigning the grown corpus against the STORED centroids.
+        assert ivs.ivf_store_or_none(spark, corpus) is None
+        cent, asg = ivs._serve(spark, layouts["ivf"][0])
+        grown_emb = load_table(spark, corpus, "embeddings")
+        want_asg = ivs._assign_with_dist(
+            grown_emb.select("vec_id", "embedding"), cent, "embedding", "vec_id"
+        )
+        got_rows = sorted(
+            (r.vec_id, tuple(r.embedding), r.dist, r.cluster_id)
+            for r in asg.collect()
+        )
+        want_rows = sorted(
+            (r.vec_id, tuple(r.embedding), r.dist, r.cluster_id)
+            for r in want_asg.collect()
+        )
+        assert got_rows == want_rows and len(got_rows) == emb.count()
     finally:
         docs.unpersist()
+        emb.unpersist()
         for tbl, mod_args in (
             ("bkt_bands_h16b4n3", None),
             ("bkt_shingles_w3_s0", None),
@@ -810,3 +852,88 @@ def test_streaming_ingest_maintains_all_four_stores(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         for layout, _ in layouts.values():
             shutil.rmtree(layout, ignore_errors=True)
+
+
+def test_streaming_embedding_ingest_compaction_refits(spark, tmp_path, monkeypatch):
+    """r13 (verdict task 4): the streamed IVF store's delta-chain
+    compaction IS the periodic refit — with the chain bound at 1, the
+    second drop's ensure rebuilds from scratch, after which (a) the
+    manifest's chain is empty, (b) the raw-name serving hook accepts the
+    store again, and (c) stored ANN/SemDeDup answers equal the
+    from-scratch recompute on the grown corpus."""
+    import json
+    import shutil
+
+    from satsure_agri_datapipeline_spark.operators import similarity as sim
+    from satsure_agri_datapipeline_spark.sources import ivf_store as ivs
+    from satsure_agri_datapipeline_spark.sources.store_util import layout_dir
+    from satsure_agri_datapipeline_spark.sources.tables import load_table
+    from satsure_agri_datapipeline_spark.streaming.ingest import (
+        run_streaming_embedding_ingest,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_STORE_MAX_DELTAS", "1")
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(36).cache()
+    corpus = tmp_path / "corpus"
+    emb_dir = corpus / "embeddings.parquet"
+    incoming = tmp_path / "incoming_emb"
+    incoming.mkdir()
+    emb_dir.mkdir(parents=True)
+
+    def _one_part(df, dest, name):
+        stage = tmp_path / f"stage_{name}"
+        df.repartition(1).write.mode("overwrite").parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        shutil.copy(part, dest / name)
+        shutil.rmtree(stage, ignore_errors=True)
+
+    layout = layout_dir("ivf", corpus.resolve(), 8, 2, 0)
+    try:
+        _one_part(emb.where(F.col("vec_id") % 3 == 0), emb_dir, "base-000.parquet")
+        ivs.ensure_ivf_store(spark, corpus)
+
+        # drop 1: appends (chain 0 -> 1); pinned semantics, raw hook off
+        _one_part(emb.where(F.col("vec_id") % 3 == 1), incoming, "drop-001.parquet")
+        q = run_streaming_embedding_ingest(
+            spark, incoming, corpus, tmp_path / "ckpt", once=True
+        )
+        q.awaitTermination(180)
+        man = json.loads((layout / ivs.MANIFEST_NAME).read_text())
+        assert len(man["deltas"]) == 1
+        assert ivs.ivf_store_or_none(spark, corpus) is None
+
+        # drop 2: chain at the bound -> ensure REBUILDS (compaction refit)
+        _one_part(emb.where(F.col("vec_id") % 3 == 2), incoming, "drop-002.parquet")
+        q = run_streaming_embedding_ingest(
+            spark, incoming, corpus, tmp_path / "ckpt", once=True
+        )
+        q.awaitTermination(180)
+        man = json.loads((layout / ivs.MANIFEST_NAME).read_text())
+        assert man["deltas"] == []
+
+        # post-compaction: stored == from-scratch recompute on grown corpus
+        store = ivs.ivf_store_or_none(spark, corpus)
+        assert store is not None
+        cent, asg = store
+        grown = load_table(spark, corpus, "embeddings")
+        got_ann = [
+            tuple(r)
+            for r in ivs.ann_topk_from_store(cent, asg, query_id=0, k=10, nprobe=2).collect()
+        ]
+        want_ann = [
+            tuple(r)
+            for r in sim.ivf_topk_kmeans(
+                grown, query_id=0, k=10, n_clusters=8, nprobe=2, iterations=2
+            ).collect()
+        ]
+        # (fewer than k=10 rows is fine on this 36-vector toy corpus: the
+        # two probed cells simply hold fewer candidates)
+        assert got_ann == want_ann and len(got_ann) > 0
+        got_sd = sorted(
+            map(tuple, ivs.semantic_dedup_from_store(asg).collect())
+        )
+        want_sd = sorted(map(tuple, sim.semantic_dedup(grown, k=8, iterations=2).collect()))
+        assert got_sd == want_sd
+    finally:
+        emb.unpersist()
+        shutil.rmtree(layout, ignore_errors=True)

@@ -235,6 +235,65 @@ def main():
         ):
             shutil.rmtree(layout_dir(kind, *parts), ignore_errors=True)
 
+        # 4. (r13, verdict task 4) streaming EMBEDDING ingest composed with
+        # standing IVF-index maintenance: half the embeddings table is the
+        # pre-ingested corpus (fit + assignment built untimed), the other
+        # half streams in as drops — each micro-batch lands corpus files
+        # and delta-assigns ONLY its vectors against the pinned standing
+        # centroids. Timed number = full per-batch index freshness cost.
+        from satsure_agri_datapipeline_spark.sources.ivf_store import (
+            MANIFEST_NAME as IVF_MANIFEST,
+            ensure_ivf_store,
+        )
+        from satsure_agri_datapipeline_spark.streaming.ingest import (
+            run_streaming_embedding_ingest,
+        )
+
+        emb = spark.read.parquet(str(Path(sf_dir) / "embeddings.parquet"))
+        n_vecs = emb.count()
+        (corpus / "embeddings.parquet").mkdir(parents=True, exist_ok=True)
+        emb_base = emb.where(F.col("vec_id") % 2 == 0)
+        emb_stream = emb.where(F.col("vec_id") % 2 == 1)
+        n_vec_stream = emb_stream.count()
+        emb_base.coalesce(1).write.mode("append").parquet(
+            str(corpus / "embeddings.parquet")
+        )
+        ensure_ivf_store(spark, corpus)  # untimed one-time fit + assign
+
+        emb_incoming = work / "incoming_emb"
+        emb_incoming.mkdir()
+        staged3 = work / "staged_emb"
+        emb_stream.repartition(drops).write.parquet(str(staged3))
+        for i, f in enumerate(sorted(staged3.glob("part-*.parquet"))):
+            shutil.copy(f, emb_incoming / f"drop_{i:04d}.parquet")
+
+        t0 = time.time()
+        q = run_streaming_embedding_ingest(
+            spark,
+            emb_incoming,
+            corpus,
+            work / "emb_ckpt",
+            once=True,
+            max_files_per_trigger=max(1, drops // 2),
+        )
+        finished = q.awaitTermination(1800)
+        dt = time.time() - t0
+        if not finished:
+            q.stop()
+            out["emb_ingest_timed_out"] = True
+        out["emb_ingest_sec"] = round(dt, 2)
+        out["emb_ingest_vecs_per_sec"] = int(n_vec_stream / dt) if finished else None
+        out["emb_ingest_n_vecs_streamed"] = n_vec_stream
+        out["emb_ingest_n_vecs_corpus"] = n_vecs
+        ivf_layout = layout_dir("ivf", corpus.resolve(), 8, 2, 0)
+        try:
+            ivf_man = json.loads((ivf_layout / IVF_MANIFEST).read_text())
+            out["emb_ingest_ivf_deltas"] = len(ivf_man.get("deltas", []))
+            out["emb_ingest_ivf_pending"] = "pending_delta" in ivf_man
+        except OSError:
+            out["emb_ingest_ivf_deltas"] = None
+        shutil.rmtree(ivf_layout, ignore_errors=True)
+
         print(json.dumps(out))
     finally:
         shutil.rmtree(work, ignore_errors=True)
