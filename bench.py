@@ -93,6 +93,10 @@ HEADLINE = [
     # the uncapped pair aggregates spill 400-415 GiB at 1000× on one box
     "doc_containment_pairs_capped",
     "doc_ngram_jaccard_capped",
+    # gram-array explode_outer form (r13 verdict task 6): guards the
+    # trap-1 fix — the index-explode form re-ran split(trim(text)) per
+    # gram row (80-85 s vs 51-55 s at 100×)
+    "doc_top_ngrams",
     "doc_quality_score",
     "emb_cosine_topk",
     "emb_centroid_norms",

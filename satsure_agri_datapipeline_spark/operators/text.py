@@ -315,18 +315,28 @@ def top_ngrams(
     carries (ngram, partial counts) — at 100 TB this is the canonical
     word-count plan, and a ``max_df``-style cap is unnecessary because the
     aggregate output is bounded by distinct-ngram cardinality, not corpus
-    size."""
+    size.
+
+    r13 (verdict task 6): the gram projection builds the full gram ARRAY
+    in one expression and explode_outer's it, instead of exploding an
+    index sequence and slicing ``split(trim(text))`` per index. The old
+    index form was the SURVEY §4.4 trap-1 shape twice over — the inferred
+    generate filter re-derived the split per document, and the
+    post-Generate slice re-ran it per GRAM row (tokens × split-cost per
+    document). Within one projection codegen's subexpression elimination
+    evaluates the split once; measured at 100×/500k docs: 80.4/85.0 s →
+    55.4/50.8 s (−36%), identical output."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    gram_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     grams = df.select(
-        F.col(id_col),
-        toks.alias("__toks"),
-        F.explode(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-        ).alias("i"),
-    ).where(F.col("i") <= F.size("__toks") - n).select(
-        F.col(id_col),
-        F.array_join(F.slice("__toks", F.col("i") + 1, n), " ").alias("ngram"),
-    )
+        F.col(id_col), F.explode_outer(gram_arr).alias("ngram")
+    ).where(F.col("ngram").isNotNull())
     return (
         grams.groupBy("ngram")
         .agg(
