@@ -258,7 +258,7 @@ def ensure_bucketed_layout(
     spark: SparkSession,
     sf_dir: str | Path,
     tables: list[str] | None = None,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ) -> Path:
     """Build-if-needed + register, for queries that run THROUGH the layout
     rather than opting in via the env var: a deterministic per-``sf_dir``
@@ -285,6 +285,8 @@ def ensure_bucketed_layout(
 
     tables = tables or list(BUCKET_SPECS)
     sf_resolved = Path(sf_dir).resolve()
+    if n_buckets is None:  # scale-aware default (r13 — r12's rule, fact side)
+        n_buckets = _default_fact_n_buckets(sf_resolved)
     layout = default_layout_dir(sf_resolved, n_buckets)
     manifest_path = layout / MANIFEST_NAME
 
@@ -339,17 +341,49 @@ def ensure_bucketed_layout(
         )
         atomic_swap(scratch, layout)
         discard_retired(aside)
+        # ADVICE r12 (applied to the fact layout in r13): a scale-threshold
+        # crossing rekeys the layout dir; drop superseded generations.
+        from .store_util import discard_stale_siblings
+
+        discard_stale_siblings(
+            "bucketed", MANIFEST_NAME, layout, {"sf_dir": str(sf_resolved)}
+        )
     register_bucketed_layout(spark, layout)
     return layout
 
 
-def default_layout_dir(sf_dir: str | Path, n_buckets: int = 32) -> Path:
+def _default_fact_n_buckets(sf_resolved: Path) -> int:
+    """Scale-aware bucket count for the fact layout (r13, verdict task 7):
+    r12's ``default_n_buckets`` rule applied to the relational side, keyed
+    by the LARGEST bucketed-spec source present — all tables in one layout
+    share the count (co-bucketed joins need equal counts on both sides),
+    and lineitem is what the thresholds must fit. sf0.1 (≈15 MiB lineitem)
+    keeps 32; the 100×/1000× corpora (0.7/7 GiB) get 128.
+    ``SPARK_GRAFT_STORE_N_BUCKETS`` overrides (inside default_n_buckets)."""
+    from .store_util import default_n_buckets, source_total_bytes
+
+    biggest = max(
+        (sf_resolved / f"{t}.parquet" for t in BUCKET_SPECS),
+        key=source_total_bytes,
+        default=sf_resolved,
+    )
+    return default_n_buckets(biggest)
+
+
+def default_layout_dir(
+    sf_dir: str | Path, n_buckets: int | None = None
+) -> Path:
     """The deterministic per-(sf_dir, n_buckets) layout directory that
     ``ensure_bucketed_layout`` builds into and the default serving path
-    (``bucketed_table_or_none`` with the env var unset) reads from."""
+    (``bucketed_table_or_none`` with the env var unset) reads from.
+    ``n_buckets=None`` resolves the scale-aware default, so ensure and the
+    serving hook agree on the directory at every corpus size."""
     from .store_util import layout_dir
 
-    return layout_dir("bucketed", Path(sf_dir).resolve(), n_buckets)
+    sf_resolved = Path(sf_dir).resolve()
+    if n_buckets is None:
+        n_buckets = _default_fact_n_buckets(sf_resolved)
+    return layout_dir("bucketed", sf_resolved, n_buckets)
 
 
 # (app_id, resolved layout dir) -> (manifest mtime_ns, parsed manifest).
