@@ -168,3 +168,66 @@ def test_zero_spill_wins_hold_at_100x(query):
     assert m["shuffle_w_gib"] >= band["shuffle_w_gib"] * 0.4, m
     # these are the zero-spill wins — material spill IS the regression
     assert m["spill_mem_gib"] <= band["spill_cap_gib"], m
+
+
+# r13 (verdict task 8): the composed capped curation's zero-spill claim
+# (279.7 s / 0 spill at 1000×, PERF.md r12d) depends on the survivor-id
+# restriction and the exploded store relation staying PERSISTED — the
+# capped pair pipeline consumes its exploded input on four legs, and the
+# uncached diamond re-executed the store scan + semi-join per leg (+239 s
+# at 1000×). Volumes are asserted on the WHOLE PROCESS (the pair
+# derivation runs at plan-construction time via the CC collect, outside
+# any probe job group): recorded at /tmp/sf10 (100×), PROBE_RUNS=2,
+# PROBE_REPORT=first, shingle n=3 + n=4 stores pre-ensured:
+# total_shuffle_w 1.958 GiB, total spill 0.
+RECORDED_R13_CURATION = {
+    "total_shuffle_w_gib": 1.958,
+    "spill_cap_gib": 4.0,
+}
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SLOW_TESTS") != "1",
+    reason="set SPARK_GRAFT_SLOW_TESTS=1 to run the 100x spill guards",
+)
+@pytest.mark.skipif(
+    not (SF100X / "documents.parquet").exists(),
+    reason="100x corpus missing — build with tools/make_scaled_sf.py",
+)
+def test_curation_capped_diamond_stays_persisted_100x():
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=str(SF100X),
+        PROBE_RUNS="2",
+        PROBE_REPORT="first",
+        PROBE_ENSURE="shingles,shingles4",
+    )
+    out = subprocess.run(
+        [
+            sys.executable,
+            "tools/stage_probe.py",
+            "--json",
+            "doc_curation_pipeline_capped",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=1800,
+    )
+    lines = [
+        ln for ln in out.stdout.splitlines() if ln.startswith("PROBE_JSON ")
+    ]
+    assert lines, (
+        f"no PROBE_JSON line\nstdout:{out.stdout[-2000:]}\n"
+        f"stderr:{out.stderr[-2000:]}"
+    )
+    m = json.loads(lines[-1].split(" ", 1)[1])
+    band = RECORDED_R13_CURATION
+    # a lost persist re-runs the exploded-store semi-join per consuming
+    # leg — process shuffle volume multiplies; it must not vanish either
+    assert m["total_shuffle_w_gib"] <= band["total_shuffle_w_gib"] * 1.6, m
+    assert m["total_shuffle_w_gib"] >= band["total_shuffle_w_gib"] * 0.4, m
+    # the zero-spill claim, process-wide
+    assert m["total_spill_gib"] <= band["spill_cap_gib"], m

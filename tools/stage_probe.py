@@ -261,23 +261,37 @@ def main() -> None:
                 f"[{' '.join(g.get('detail',[]))}]"
             )
         if emit_json:
-            g = per_group.get(f"{name}#{runs - 1}", {})
+            # PROBE_REPORT=first reports run 0 — for queries whose operator
+            # persists mid-pipeline state (curation), steady-state runs
+            # serve the cache and hide a lost-persist diamond re-execution;
+            # run 0 is where that regression multiplies bytes (r13 task 8).
+            rep = 0 if os.environ.get("PROBE_REPORT") == "first" else runs - 1
+            g = per_group.get(f"{name}#{rep}", {})
             print(
                 "PROBE_JSON "
                 + json.dumps(
                     {
                         "query": name,
-                        "wall_sec": round(times[name][runs - 1], 3),
+                        "wall_sec": round(times[name][rep], 3),
                         "spill_mem_gib": round(g.get("spill_mem", 0) / gib, 3),
                         "spill_disk_gib": round(g.get("spill_disk", 0) / gib, 3),
                         "shuffle_w_gib": round(g.get("shw", 0) / gib, 3),
                         "shuffle_r_gib": round(g.get("shr", 0) / gib, 3),
                         "tasks": g.get("tasks", 0),
+                        # whole-process totals (every job group, including
+                        # plan-construction jobs that run outside any group
+                        # — curation's CC collect lives there): the
+                        # end-to-end zero-spill claims are process-level
+                        "total_spill_gib": round(
+                            (sum(stage_spill_mem.values())
+                             + sum(stage_spill_disk.values())) / gib, 3),
+                        "total_shuffle_w_gib": round(
+                            sum(stage_shuffle_write.values()) / gib, 3),
                         # measurement protocol (r12, verdict task 6)
                         "store_state": store_state or ["cold"],
                         "probe_ensure": os.environ.get("PROBE_ENSURE", ""),
                         "best_of": runs,
-                        "report": "last",
+                        "report": "first" if rep == 0 else "last",
                         "fresh_process": True,
                     }
                 ),
