@@ -144,29 +144,43 @@ def _pair_family_degrade(sf_dir, name: str, default_bytes: int) -> bool:
         return False
     _PAIR_GATE_LOG.warning(
         "%s: documents source is %.1f MiB >= %.1f MiB gate — serving the "
-        "bounded-state capped pipeline (df-capped edge set; see %s_capped). "
+        "bounded-state capped pipeline (df-capped edge set; the oracle-"
+        "pinned uncapped semantics live below the gate). "
         "SPARK_GRAFT_PAIR_GATE=off forces the uncapped form.",
         name,
         size / 1024**2,
         gate / 1024**2,
-        name,
     )
     return True
 
 
-def _jaccard_pairs_default(spark, sf_dir, docs, threshold=0.5):
+def _jaccard_pairs_default(spark, sf_dir, docs, threshold=0.5, gate_name=None):
     """3-gram word Jaccard pairs for ALL downstream consumers (clusters,
     canonical dedup, edit-distance verify, triangles, keep-best): served
     from a fresh bucketed shingle store when one exists (r9 — the raw
     names get the zero-Exchange plan by default, like the r8 fact
     layout), identical-result raw shingle self-join otherwise. Store
     params are pinned to the catalog's (n=3, word, seed=0) so the served
-    relation is bit-identical to the recompute."""
+    relation is bit-identical to the recompute.
+
+    r13: consumers pass their query name as ``gate_name`` to ride the
+    pair-family size gate — the DOWNSTREAM names (clusters, canonical,
+    keep-best, edit-distance) consume the same uncapped pair aggregate
+    that spilled 403 GiB at 1000×, so above the gate they get the
+    bounded-state df-capped edge set (logged). doc_lsh_eval deliberately
+    does NOT gate: exact pairs are its ground truth — an eval against a
+    capped truth would measure a different question."""
     from satsure_agri_datapipeline_spark.sources.shingle_store import (
         shingle_store_or_none,
     )
 
     sh = shingle_store_or_none(spark, sf_dir, n=3, unit="word", seed=0)
+    if gate_name is not None and _pair_family_degrade(
+        sf_dir, gate_name, PAIR_GATE_WORD_BYTES
+    ):
+        return dd.ngram_jaccard_pairs_capped(
+            docs, n=3, threshold=threshold, max_shingle_df=10, exploded=sh
+        )
     if sh is not None:
         return dd.jaccard_pairs_from_exploded(sh, threshold=threshold)
     return dd.ngram_jaccard_pairs(docs, n=3, threshold=threshold)
@@ -806,7 +820,9 @@ def doc_near_dup_clusters(spark, sf_dir):
     The oracle re-derives components with a recursive CTE — the iterative
     operator is still exactly SQL-checkable."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _jaccard_pairs_default(spark, sf_dir, docs, threshold=0.5)
+    pairs = _jaccard_pairs_default(
+        spark, sf_dir, docs, threshold=0.5, gate_name="doc_near_dup_clusters"
+    )
     return (
         dd.connected_components(pairs)
         .select(
@@ -845,7 +861,9 @@ def doc_dedup_canonical(spark, sf_dir):
     member (operators/dedup.py dedup_keep_canonical). The survivors' id set
     is the corpus a training run would actually consume."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _jaccard_pairs_default(spark, sf_dir, docs, threshold=0.5)
+    pairs = _jaccard_pairs_default(
+        spark, sf_dir, docs, threshold=0.5, gate_name="doc_dedup_canonical"
+    )
     return dd.dedup_keep_canonical(docs, pairs).select("doc_id").orderBy("doc_id")
 
 
@@ -1753,7 +1771,9 @@ def doc_pair_edit_distance(spark, sf_dir):
     per-pair cost; the text join is two broadcast-able probes keyed by
     doc_id. Levenshtein is exact integer — engine-agnostic."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _jaccard_pairs_default(spark, sf_dir, docs, threshold=0.5)
+    pairs = _jaccard_pairs_default(
+        spark, sf_dir, docs, threshold=0.5, gate_name="doc_pair_edit_distance"
+    )
     prefix = docs.select("doc_id", F.substring("text", 1, 120).alias("prefix"))
     a = prefix.withColumnsRenamed({"doc_id": "id_a", "prefix": "pa"})
     b = prefix.withColumnsRenamed({"doc_id": "id_b", "prefix": "pb"})
@@ -2654,7 +2674,9 @@ def doc_dedup_best_quality(spark, sf_dir):
     re-derives clusters with a recursive CTE and picks winners by window
     rank; Spark picks them with a per-cluster max_by aggregate."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _jaccard_pairs_default(spark, sf_dir, docs, threshold=0.5)
+    pairs = _jaccard_pairs_default(
+        spark, sf_dir, docs, threshold=0.5, gate_name="doc_dedup_best_quality"
+    )
     return (
         dd.dedup_keep_best(docs, pairs, score_col="n_chars")
         .select("doc_id")

@@ -1543,6 +1543,29 @@ def test_pair_family_size_gate(spark, monkeypatch, caplog):
         want = sorted(map(tuple, QUERIES[capped_name](spark, SF).collect()))
         assert got == want, raw_name
 
+    # Downstream consumers of the shared pair relation ride the gate too
+    # (r13 extension): canonical dedup over the forced-capped edge set
+    # equals keep-canonical over an explicitly capped pair recompute.
+    monkeypatch.setenv("SPARK_GRAFT_PAIR_GATE", "1")
+    from satsure_agri_datapipeline_spark.operators import dedup as dd2
+    from satsure_agri_datapipeline_spark.plans.catalog import QUERIES
+    from satsure_agri_datapipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    want_pairs = dd2.ngram_jaccard_pairs_capped(
+        docs, n=3, threshold=0.5, max_shingle_df=10
+    )
+    want = sorted(
+        r.doc_id
+        for r in dd2.dedup_keep_canonical(docs, want_pairs)
+        .select("doc_id")
+        .collect()
+    )
+    got = sorted(
+        r.doc_id for r in QUERIES["doc_dedup_canonical"](spark, SF).collect()
+    )
+    assert got == want
+
     # 'off' disables the gate even when the corpus would trip it.
     monkeypatch.setenv("SPARK_GRAFT_PAIR_GATE", "off")
     assert not cl._pair_family_degrade(SF, "doc_char_jaccard", 1)
