@@ -159,6 +159,17 @@ def _repartitioned(df: DataFrame, id_col: str) -> DataFrame:
     return df.repartition(parallelism, F.col(id_col))
 
 
+def _shuffle_partitions(df: DataFrame) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, falling back to the
+    cluster's default parallelism when the conf is unset or non-numeric
+    (ADVICE r12: some distributions set it to ``"auto"``, which would
+    crash plan construction outside this repo's get_spark() sessions)."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -857,7 +868,7 @@ def hamming_pairs_from_fingerprints(
     # partitions at 100× — 749 M probes on 3 cores, 91 s for a 13 s job
     # (r11 stage_probe measurement; same failure mode as the r6
     # parallelismFirst finding: size is the wrong proxy for dense compute).
-    n_part = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = _shuffle_partitions(sh)
     bands = bands.repartition(n_part, "band", "band_key")
     a = bands.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "band", "band_key"
@@ -1340,15 +1351,7 @@ def _df_capped_pair_counts(
     sizes = capped.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = capped.select(F.col(id_col).alias("id_a"), "sh")
     b = capped.select(F.col(id_col).alias("id_b"), "sh")
-    # ADVICE r12: the conf may be non-numeric outside this repo's
-    # get_spark() sessions (e.g. "auto" on some distributions) — fall back
-    # to the cluster's default parallelism instead of crashing the capped
-    # pipeline at plan-construction time.
-    try:
-        base_parts = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        base_parts = sh.sparkSession.sparkContext.defaultParallelism
-    n_agg = 2 * base_parts
+    n_agg = 2 * _shuffle_partitions(sh)
     inter = (
         a.join(b, ["sh"])
         .where(F.col("id_a") < F.col("id_b"))

@@ -578,6 +578,326 @@ def ivf_recall_eval(
     return _register_cache(out.orderBy("nprobe"), sims)
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ memory path)
+# ---------------------------------------------------------------------------
+
+
+def _pq_explode(
+    df: DataFrame, m: int, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """One row per (vector, subspace): split each dim-d embedding into ``m``
+    contiguous sub-vectors of d/m doubles. The sub-vector array is built in
+    ONE projection expression (the §4.4 trap-1 rule: codegen subexpression
+    elimination evaluates the cast/split once per row, never once per
+    generated row). A per-row guard on the subspace-0 row (the band-0 guard
+    precedent, operators/dedup.py) raises if d is not divisible by m —
+    a silent truncation here would corrupt every downstream distance."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sub = (F.size(v) / m).cast("int")
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.slice(v, j * sub + 1, sub),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(v).alias("__dim"),
+        F.posexplode(subs).alias("subspace", "__sv"),
+    )
+    dim_ok = (F.col("subspace") != 0) | (F.col("__dim") % m == 0)
+    return exploded.where(
+        F.when(dim_ok, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"pq: embedding dim not divisible by m={m}: dim="),
+                    F.col("__dim").cast("string"),
+                )
+            )
+        )
+    ).select("__id", "subspace", "__sv")
+
+
+def _pq_assign(exploded: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest codeword per (vector, subspace): broadcast join against the
+    m×k codebook on subspace, squared-euclidean fold, struct-min argmin
+    (ties → smallest cluster_id) — :func:`kmeans_assign` with the subspace
+    in the key. One shuffle keyed by (id, subspace)."""
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("__sv"),
+            F.col("centroid"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, val: acc + val,
+    )
+    d = exploded.join(F.broadcast(codebook), "subspace").select(
+        "__id",
+        "subspace",
+        "__sv",
+        F.col("cluster_id").alias("__c"),
+        dist.alias("__dist"),
+    )
+    return (
+        d.groupBy("__id", "subspace")
+        .agg(
+            F.min(F.struct(F.col("__dist"), F.col("__c"))).alias("__m"),
+            F.first("__sv").alias("__sv"),
+        )
+        .select("__id", "subspace", "__sv", F.col("__m.__c").alias("cluster_id"))
+    )
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Product-quantization codebooks: an independent deterministic Lloyd's
+    k-means per subspace (:func:`kmeans_fit` generalized — subspace joins
+    every group key, so the m trainings run as ONE set of jobs, not m
+    sequential fits). Returns (subspace, cluster_id, centroid array<double>),
+    m×k rows.
+
+    PQ is the ANN memory path the int8 path can't reach: a dim-64 float32
+    vector is 256 B; its PQ code at m=8, k=16 is 8 SMALL ints — the codes
+    relation for 100 B vectors fits in ~1.6 TB instead of 25 TB, and ADC
+    search (:func:`pq_topk_adc`) never touches the raw vectors. Same
+    determinism contract as kmeans_fit: hash-seeded init (smallest portable
+    keyed hash of the id — the SAME k seed vectors supply every subspace's
+    initial codewords), 9-dp rounding after init and every update, argmin
+    ties to the smaller cluster_id, empty codewords keep their previous
+    value. Exactly SQL-checkable despite being iterative."""
+    from satsure_agri_datapipeline_spark.operators.sampling import sample_hash
+
+    exploded = _pq_explode(df, m, vec_col=vec_col, id_col=id_col)
+    seeds = (
+        df.select(F.col(id_col).alias("__id"))
+        .orderBy(sample_hash("__id", seed).asc(), F.col("__id").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(sample_hash("__id", seed).asc(), F.col("__id").asc())
+    seed_ids = seeds.select(
+        "__id", (F.row_number().over(w) - 1).alias("cluster_id")
+    )
+    cent = exploded.join(F.broadcast(seed_ids), "__id").select(
+        "subspace",
+        "cluster_id",
+        F.transform("__sv", lambda x: F.round(x, 9)).alias("centroid"),
+    )
+    for _ in range(iterations):
+        assigned = _pq_assign(exploded, cent)
+        comp = (
+            assigned.select(
+                "subspace", "cluster_id", F.posexplode("__sv").alias("pos", "x")
+            )
+            .groupBy("subspace", "cluster_id", "pos")
+            .agg(F.round(F.avg("x"), 9).alias("c"))
+        )
+        updated = comp.groupBy("subspace", "cluster_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("centroid")
+        )
+        cent = (
+            cent.select(
+                "subspace", "cluster_id", F.col("centroid").alias("__prev")
+            )
+            .join(updated, ["subspace", "cluster_id"], "left")
+            .select(
+                "subspace",
+                "cluster_id",
+                F.coalesce("centroid", "__prev").alias("centroid"),
+            )
+            .localCheckpoint()
+        )
+    return cent
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ codes per vector: nearest codeword in each subspace, packed into
+    an m-element int array ordered by subspace. Returns (id, codes
+    array<int>) — the at-rest representation ADC search runs on. One
+    assign + one groupBy(id) rebuild; the raw vector never shuffles."""
+    assigned = _pq_assign(
+        _pq_explode(df, m, vec_col=vec_col, id_col=id_col), codebook
+    )
+    return (
+        assigned.groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "cluster_id"))),
+                lambda s: s["cluster_id"].cast("int"),
+            ).alias("codes")
+        )
+        .select(F.col("__id").alias(id_col), "codes")
+    )
+
+
+def _pq_lut(codebook: DataFrame, query_subs: DataFrame) -> DataFrame:
+    """ADC lookup table as ONE nested-array row: lut[subspace][code] =
+    squared euclidean distance from the query's sub-vector to that codeword.
+    m×k doubles — broadcast-sized at any corpus scale."""
+    d = F.aggregate(
+        F.zip_with(
+            F.col("__qsv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, val: acc + val,
+    )
+    rows = codebook.join(F.broadcast(query_subs), "subspace").select(
+        "subspace", "cluster_id", d.alias("__d")
+    )
+    per_sub = rows.groupBy("subspace").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("cluster_id", "__d"))),
+            lambda s: s["__d"],
+        ).alias("__lrow")
+    )
+    return per_sub.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "__lrow"))),
+            lambda s: s["__lrow"],
+        ).alias("__lut")
+    )
+
+
+def pq_topk_adc(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    fitted: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (the IVF-PQ serving path):
+    distances are read out of an m×k lookup table — the corpus side touches
+    ONLY the 8-int codes, never the float vectors. Returns (id, adc_dist)
+    ascending (approximate squared L2), ties → smaller id.
+
+    Shape at scale: the LUT build is O(m·k·d/m) on one broadcast row; the
+    scan is map-only over the codes relation (zip_with the code array
+    against the LUT row, left-to-right fold — deterministic summation
+    order, engine-comparable); the only shuffle is the final TakeOrdered.
+    ``fitted=(codebook, codes)`` skips training/encoding (a standing codes
+    relation is the production layout); None fits and encodes in-query."""
+    if fitted is not None:
+        codebook, codes = fitted
+    else:
+        codebook = pq_fit(
+            df, m=m, k=n_codes, iterations=iterations, vec_col=vec_col, id_col=id_col
+        )
+        codes = pq_encode(df, codebook, m=m, vec_col=vec_col, id_col=id_col)
+    query_subs = (
+        _pq_explode(
+            df.where(F.col(id_col) == query_id), m, vec_col=vec_col, id_col=id_col
+        )
+        .select("subspace", F.col("__sv").alias("__qsv"))
+    )
+    lut = _pq_lut(codebook, query_subs)
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("__lut"),
+            lambda c, lrow: F.element_at(lrow, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, val: acc + val,
+    )
+    return (
+        codes.crossJoin(F.broadcast(lut))
+        .where(F.col(id_col) != query_id)
+        .select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def pq_recall_eval(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    fitted: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Recall@k of ADC-over-codes vs exact squared-L2 ground truth — the
+    measure-don't-guess gate (doc_lsh_eval r5, emb_ivf_eval r13) applied to
+    the PQ path: quantization error is a per-corpus property, so measure it
+    on THIS corpus before trusting the codes. One row:
+    (n_truth, n_hits, recall_e4), recall in integer basis points. Fully
+    oracle-checkable — both rankings and the intersection are deterministic
+    (rounded distances, id tie-breaks). ``fitted=(codebook, codes)`` serves
+    a standing PQ store for the ADC side; the exact ground truth always
+    scans the float corpus (that is the point of the comparison)."""
+    truth = (
+        df.crossJoin(
+            F.broadcast(
+                df.where(F.col(id_col) == query_id).select(
+                    F.transform(
+                        F.col(vec_col), lambda x: x.cast("double")
+                    ).alias("__q")
+                )
+            )
+        )
+        .where(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.col("__q"),
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, val: acc + val,
+                ),
+                6,
+            ).alias("__d"),
+        )
+        .orderBy(F.asc("__d"), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col)
+    )
+    got = pq_topk_adc(
+        df,
+        query_id,
+        k=k,
+        m=m,
+        n_codes=n_codes,
+        iterations=iterations,
+        vec_col=vec_col,
+        id_col=id_col,
+        fitted=fitted,
+    ).select(id_col)
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    hits = got.join(F.broadcast(truth), id_col, "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return hits.crossJoin(n_truth).select(
+        "n_truth",
+        "n_hits",
+        F.expr("n_hits * 10000 div n_truth").alias("recall_e4"),
+    )
+
+
 def centroid_norms(
     df: DataFrame, label_col: str = "label", vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

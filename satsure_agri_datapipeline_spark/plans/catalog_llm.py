@@ -1539,6 +1539,275 @@ def emb_ivf_eval(spark, sf_dir):
     )
 
 
+# Product-quantization training, unrolled in SQL: an independent k-means per
+# subspace — _kmeans_round_sql with the subspace in every join/group key.
+# m=8 subspaces, 16 codewords, 2 rounds; pa3 is the final code assignment
+# against the trained codebooks pcent2 (its update CTEs are never referenced).
+_PQ_M, _PQ_K = 8, 16
+
+
+def _pq_round_sql(i: int) -> str:
+    prev = f"pcent{i - 1}"
+    return f"""
+    pd{i} AS (
+        SELECT b.vec_id, b.subspace, b.sv, c.cluster_id,
+               list_sum(list_transform(list_zip(b.sv, c.c),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+        FROM pbase b JOIN {prev} c ON b.subspace = c.subspace
+    ),
+    pa{i} AS (
+        SELECT pd{i}.vec_id, pd{i}.subspace, pd{i}.sv, MIN(cluster_id) AS cluster_id
+        FROM pd{i}
+        JOIN (SELECT vec_id AS vid, subspace AS ss, MIN(dist) AS md
+              FROM pd{i} GROUP BY 1, 2) mm
+          ON pd{i}.vec_id = mm.vid AND pd{i}.subspace = mm.ss AND pd{i}.dist = mm.md
+        GROUP BY pd{i}.vec_id, pd{i}.subspace, pd{i}.sv
+    ),
+    pcomp{i} AS (
+        SELECT subspace, cluster_id, pos, ROUND(AVG(sv[pos]), 9) AS c
+        FROM (SELECT subspace, cluster_id, sv,
+                     UNNEST(generate_series(1, len(sv))) AS pos FROM pa{i})
+        GROUP BY 1, 2, 3
+    ),
+    pupd{i} AS (
+        SELECT subspace, cluster_id, list(c ORDER BY pos) AS c
+        FROM pcomp{i} GROUP BY 1, 2
+    ),
+    pcent{i} AS (
+        SELECT p.subspace, p.cluster_id, COALESCE(u.c, p.c) AS c
+        FROM {prev} p LEFT JOIN pupd{i} u
+          ON p.subspace = u.subspace AND p.cluster_id = u.cluster_id
+    )"""
+
+
+_PQ_TRAIN_SQL = f"""
+    v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    pbase AS (
+        SELECT vec_id, j AS subspace,
+               list_slice(v, j * (len(v) // {_PQ_M}) + 1,
+                          (j + 1) * (len(v) // {_PQ_M})) AS sv
+        FROM (SELECT vec_id, v,
+                     UNNEST(generate_series(0, {_PQ_M - 1})) AS j FROM v)
+    ),
+    pseeded AS (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY ('0x' || substr(md5('0:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                            vec_id
+               ) AS rn
+        FROM v
+    ),
+    pcent0 AS (
+        SELECT b.subspace, s.rn - 1 AS cluster_id,
+               list_transform(b.sv, x -> ROUND(x, 9)) AS c
+        FROM pseeded s JOIN pbase b USING (vec_id)
+        WHERE s.rn <= {_PQ_K}
+    ),
+    {_pq_round_sql(1)},
+    {_pq_round_sql(2)},
+    {_pq_round_sql(3)}
+"""
+
+# ADC readout over the trained codebooks: LUT = per-(subspace, codeword)
+# squared distance from query 0's sub-vector; a vector's approximate
+# distance sums its m LUT entries IN SUBSPACE ORDER (list ORDER BY subspace
+# then list_sum — the same left-to-right fold the Spark side runs).
+_PQ_ADC_SQL = """
+    qsub AS (SELECT subspace, sv AS qsv FROM pbase WHERE vec_id = 0),
+    lut AS (
+        SELECT c.subspace, c.cluster_id,
+               list_sum(list_transform(list_zip(q.qsv, c.c),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+        FROM pcent2 c JOIN qsub q ON c.subspace = q.subspace
+    ),
+    adc AS (
+        SELECT a.vec_id, list_sum(list(l.d ORDER BY a.subspace)) AS dist
+        FROM pa3 a JOIN lut l
+          ON a.subspace = l.subspace AND a.cluster_id = l.cluster_id
+        WHERE a.vec_id <> 0
+        GROUP BY a.vec_id
+    )
+"""
+
+
+_PQ_CODEBOOK_ORACLE = f"""
+    WITH {_PQ_TRAIN_SQL},
+    counts AS (
+        SELECT subspace, cluster_id, COUNT(*) AS n FROM pa3 GROUP BY 1, 2
+    )
+    SELECT c.subspace, c.cluster_id,
+           CAST(COALESCE(counts.n, 0) AS BIGINT) AS n_vectors,
+           ROUND(sqrt(list_sum(list_transform(c.c, x -> x * x))), 6) AS centroid_norm
+    FROM pcent2 c
+    LEFT JOIN counts ON c.subspace = counts.subspace AND c.cluster_id = counts.cluster_id
+    ORDER BY c.subspace, c.cluster_id
+    """
+
+_PQ_TOPK_ORACLE = f"""
+    WITH {_PQ_TRAIN_SQL},
+    {_PQ_ADC_SQL}
+    SELECT vec_id, ROUND(dist, 6) AS adc_dist
+    FROM adc
+    ORDER BY ROUND(dist, 6) ASC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@query("emb_pq_codebook", _PQ_CODEBOOK_ORACLE)
+def emb_pq_codebook(spark, sf_dir):
+    """Product-quantization codebooks (operators/similarity.py pq_fit): an
+    independent deterministic Lloyd's k-means per subspace, trained as one
+    set of jobs with subspace in every key. Reports per-codeword assignment
+    counts and norms; the oracle unrolls the same recursion per subspace.
+    PQ is the ANN memory path: dim-64 float32 = 256 B/vector vs 8 small
+    ints — at 100 B vectors the codes relation is ~50× smaller than the
+    raw embeddings and ADC search never touches the floats.
+
+    Serves the standing PQ store under the raw-name rule (fresh AND
+    never-delta'd, ``sources/pq_store.py``): counts then come from one
+    posexplode over the stored codes — zero fit, zero distance math."""
+    from satsure_agri_datapipeline_spark.sources.pq_store import (
+        codebook_report_from_store,
+        pq_store_or_none,
+    )
+
+    store = pq_store_or_none(spark, sf_dir, m=_PQ_M, k=_PQ_K, iterations=2, seed=0)
+    if store is not None:
+        return codebook_report_from_store(*store)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = sim.pq_fit(emb, m=_PQ_M, k=_PQ_K, iterations=2)
+    assigned = sim._pq_assign(
+        sim._pq_explode(emb, _PQ_M), cb
+    )
+    counts = assigned.groupBy("subspace", "cluster_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform("centroid", lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+        6,
+    )
+    return (
+        cb.join(counts, ["subspace", "cluster_id"], "left")
+        .select(
+            "subspace",
+            "cluster_id",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_vectors"),
+            norm.alias("centroid_norm"),
+        )
+        .orderBy("subspace", "cluster_id")
+    )
+
+
+@query("emb_pq_codebook_stored", _PQ_CODEBOOK_ORACLE)
+def emb_pq_codebook_stored(spark, sf_dir):
+    """The SAME codebook report served from the standing PQ store, building
+    it on first use — shares ``emb_pq_codebook``'s oracle, so the store's
+    codebooks AND codes are hash-pinned by the correctness gate every
+    round."""
+    from satsure_agri_datapipeline_spark.sources.pq_store import (
+        codebook_report_from_store,
+        ensure_pq_store,
+    )
+
+    cb, codes = ensure_pq_store(
+        spark, sf_dir, m=_PQ_M, k=_PQ_K, iterations=2, seed=0
+    )
+    return codebook_report_from_store(cb, codes)
+
+
+@query("emb_pq_topk", _PQ_TOPK_ORACLE)
+def emb_pq_topk(spark, sf_dir):
+    """Asymmetric-distance top-10 over PQ codes (operators/similarity.py
+    pq_topk_adc): the corpus side of the search touches only the m-int
+    codes — distances are read out of a broadcast m×k lookup table with a
+    left-to-right fold, so the scan is map-only and the only shuffle is
+    the final TakeOrdered. The oracle trains the same codebooks and sums
+    the same LUT entries in the same subspace order.
+
+    Serves the standing PQ store under the raw-name rule (fresh AND
+    never-delta'd): fit + full-corpus encode vanish; the corpus-side scan
+    reads only the codes relation (the embeddings source is touched for
+    the single query row, a pushed-down point filter)."""
+    from satsure_agri_datapipeline_spark.sources.pq_store import pq_store_or_none
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = pq_store_or_none(spark, sf_dir, m=_PQ_M, k=_PQ_K, iterations=2, seed=0)
+    if store is not None:
+        return sim.pq_topk_adc(
+            emb, query_id=0, k=10, m=_PQ_M, n_codes=_PQ_K, fitted=store
+        )
+    return sim.pq_topk_adc(
+        emb, query_id=0, k=10, m=_PQ_M, n_codes=_PQ_K, iterations=2
+    )
+
+
+@query("emb_pq_topk_stored", _PQ_TOPK_ORACLE)
+def emb_pq_topk_stored(spark, sf_dir):
+    """The SAME ADC search served from the standing PQ store, building it
+    on first use — shares ``emb_pq_topk``'s oracle."""
+    from satsure_agri_datapipeline_spark.sources.pq_store import ensure_pq_store
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = ensure_pq_store(spark, sf_dir, m=_PQ_M, k=_PQ_K, iterations=2, seed=0)
+    return sim.pq_topk_adc(
+        emb, query_id=0, k=10, m=_PQ_M, n_codes=_PQ_K, fitted=store
+    )
+
+
+@query(
+    "emb_pq_eval",
+    f"""
+    WITH {_PQ_TRAIN_SQL},
+    {_PQ_ADC_SQL},
+    got AS (
+        SELECT vec_id FROM adc
+        ORDER BY ROUND(dist, 6) ASC, vec_id ASC
+        LIMIT 10
+    ),
+    qv AS (SELECT v AS q FROM v WHERE vec_id = 0),
+    truth AS (
+        SELECT vec_id FROM (
+            SELECT b.vec_id,
+                   ROUND(list_sum(list_transform(list_zip(b.v, qv.q),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d
+            FROM v b CROSS JOIN qv
+            WHERE b.vec_id <> 0
+        )
+        ORDER BY d ASC, vec_id ASC
+        LIMIT 10
+    )
+    SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM got JOIN truth USING (vec_id)) AS n_hits,
+           (SELECT COUNT(*) FROM got JOIN truth USING (vec_id)) * 10000
+               // (SELECT COUNT(*) FROM truth) AS recall_e4
+    """,
+)
+def emb_pq_eval(spark, sf_dir):
+    """Recall@10 of ADC-over-codes vs exact squared-L2 ground truth
+    (operators/similarity.py pq_recall_eval) — the measure-don't-guess gate
+    (doc_lsh_eval r5, emb_ivf_eval r13) applied to the PQ path:
+    quantization error is a per-corpus property, so it is measured on THIS
+    corpus, fully oracle-checked (both rankings and the intersection are
+    deterministic). Serves the standing PQ store for the ADC side under
+    the raw-name rule; the exact ground truth always scans the floats."""
+    from satsure_agri_datapipeline_spark.sources.pq_store import pq_store_or_none
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = pq_store_or_none(spark, sf_dir, m=_PQ_M, k=_PQ_K, iterations=2, seed=0)
+    return sim.pq_recall_eval(
+        emb, query_id=0, k=10, m=_PQ_M, n_codes=_PQ_K, iterations=2, fitted=store
+    )
+
+
 @query(
     "emb_normalize",
     """

@@ -722,6 +722,9 @@ def run_streaming_embedding_ingest(
     k: int = 8,
     iterations: int = 2,
     seed: int = 0,
+    maintain_pq: bool = True,
+    pq_m: int = 8,
+    pq_k: int = 16,
 ):
     """Continuous EMBEDDING ingest composed with standing IVF-index
     maintenance (r13, verdict task 4): the document-family composition
@@ -745,6 +748,12 @@ def run_streaming_embedding_ingest(
     arise here (the IVF layout is partitioned by cluster_id, keyed by k,
     not by a scale-dependent bucket count); the compaction refit is the
     one O(corpus) batch.
+
+    ``maintain_pq`` (r13) extends the composition to the SEVENTH store:
+    each micro-batch also delta-encodes its vectors against the PINNED
+    standing PQ codebooks (``sources/pq_store.ensure_pq_store``) — the
+    same pinned-parameters delta contract as the IVF leg, so both ANN
+    stores ride one landing.
 
     Returns the streaming query; ``once=True`` drains available files then
     stops (micro-batch catch-up mode)."""
@@ -773,6 +782,14 @@ def run_streaming_embedding_ingest(
         )
 
         ensure_ivf_store(spark, corpus, k=k, iterations=iterations, seed=seed)
+        if maintain_pq:
+            from satsure_agri_datapipeline_spark.sources.pq_store import (
+                ensure_pq_store,
+            )
+
+            ensure_pq_store(
+                spark, corpus, m=pq_m, k=pq_k, iterations=iterations, seed=seed
+            )
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", str(checkpoint_dir)

@@ -1512,3 +1512,86 @@ def test_threshold_crossing_discards_superseded_bucket_count(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     for p in (new, other_params):
         shutil.rmtree(p, ignore_errors=True)
+
+
+def test_pq_store_lifecycle_serving_and_pinned_codebook_delta(spark, tmp_path):
+    """r13: the standing PQ codes store (seventh store). (a) Raw catalog
+    names serve a fresh never-delta'd store with identical results to the
+    env-forced recompute; (b) a data drop delta-encodes ONLY the new
+    vectors against the STANDING codebooks (cost ∝ batch, codebooks
+    unchanged) — pinned-codebook semantics, so or_none STOPS serving the
+    raw names after the delta while ensure keeps the incremental contract;
+    (c) a mutation rebuilds (fresh fit, empty delta chain) and or_none
+    serves again."""
+    import json
+    import shutil
+
+    from satsure_agri_datapipeline_spark.operators import similarity as sim
+    from satsure_agri_datapipeline_spark.plans import catalog_llm  # noqa: F401
+    from satsure_agri_datapipeline_spark.plans.catalog import QUERIES
+    from satsure_agri_datapipeline_spark.sources import pq_store as pq
+    from satsure_agri_datapipeline_spark.sources.store_util import layout_dir
+
+    # ---- (a) default serving over the shared sf0.001 testdata ----
+    pq.ensure_pq_store(spark, SF, m=8, k=16, iterations=2, seed=0)
+    for name in ("emb_pq_topk", "emb_pq_codebook", "emb_pq_eval"):
+        served = sorted(map(tuple, QUERIES[name](spark, SF).collect()))
+        os.environ[pq.ENV_KNOB] = "none"
+        try:
+            raw = sorted(map(tuple, QUERIES[name](spark, SF).collect()))
+        finally:
+            del os.environ[pq.ENV_KNOB]
+        assert served == raw and len(raw) > 0
+
+    # ---- (b)/(c) lifecycle on a private copy that can gain files ----
+    src = tmp_path / "sfpq"
+    emb_dir = src / "embeddings.parquet"
+    src.mkdir()
+    emb = load_table(spark, SF, "embeddings").cache()
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    drop = emb.where(F.col("vec_id") % 3 == 0)
+    _write_single_part(base, emb_dir, "base-000.parquet")
+    layout = layout_dir("pq", src.resolve(), 8, 16, 2, 0)
+    try:
+        assert pq.pq_store_or_none(spark, src) is None  # not built
+        cb1, codes1 = pq.ensure_pq_store(spark, src, m=8, k=16, iterations=2, seed=0)
+        cb_rows = sorted(map(tuple, cb1.collect()))
+        n1 = codes1.count()
+        assert pq.pq_store_or_none(spark, src) is not None
+
+        _write_single_part(drop, emb_dir, "drop-001.parquet")
+        assert pq.pq_store_or_none(spark, src) is None  # append-stale
+        cb2, codes2 = pq.ensure_pq_store(spark, src, m=8, k=16, iterations=2, seed=0)
+        man = json.loads((layout / pq.MANIFEST_NAME).read_text())
+        assert man["deltas"] == [["drop-001.parquet"]]
+        # codebooks are PINNED across the delta
+        assert sorted(map(tuple, cb2.collect())) == cb_rows
+        assert codes2.count() == n1 + drop.count()
+        # delta rows equal encoding the drop against the standing codebooks
+        want = sorted(
+            (r.vec_id, tuple(r.codes))
+            for r in sim.pq_encode(
+                drop.select("vec_id", "embedding"), cb2, m=8
+            ).collect()
+        )
+        got = sorted(
+            (r.vec_id, tuple(r.codes))
+            for r in codes2.join(
+                drop.select("vec_id"), "vec_id", "left_semi"
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+        # pinned-codebook semantics: raw names must NOT serve a delta'd
+        # store even though the manifest is fresh
+        assert pq.pq_store_or_none(spark, src) is None
+
+        # ---- mutation → rebuild (fresh fit), or_none serves again ----
+        _write_single_part(base.limit(50), emb_dir, "base-000.parquet")
+        cb3, codes3 = pq.ensure_pq_store(spark, src, m=8, k=16, iterations=2, seed=0)
+        man2 = json.loads((layout / pq.MANIFEST_NAME).read_text())
+        assert man2["deltas"] == []
+        assert pq.pq_store_or_none(spark, src) is not None
+        assert codes3.count() < n1 + drop.count()
+    finally:
+        emb.unpersist()
+        shutil.rmtree(layout, ignore_errors=True)

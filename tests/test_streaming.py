@@ -723,6 +723,9 @@ def test_streaming_ingest_maintains_all_six_stores(spark, tmp_path):
     hs.ensure_simhash_store(spark, corpus)
     gs.ensure_digest_store(spark, corpus)
     ivs.ensure_ivf_store(spark, corpus)  # the sixth store (r13)
+    from satsure_agri_datapipeline_spark.sources import pq_store as pqs
+
+    pqs.ensure_pq_store(spark, corpus)  # the seventh store (r13)
     layouts = {
         "bands": (layout_dir("bands", corpus.resolve(), 16, 4, 3, 32), bs),
         "shingles": (layout_dir("shingles", corpus.resolve(), 3, "word", 0, 32), ss),
@@ -730,6 +733,7 @@ def test_streaming_ingest_maintains_all_six_stores(spark, tmp_path):
         "simhash": (layout_dir("simhash", corpus.resolve(), 32, 4, 32), hs),
         "digests": (layout_dir("digests", corpus.resolve(), "true", 32), gs),
         "ivf": (layout_dir("ivf", corpus.resolve(), 8, 2, 0), ivs),
+        "pq": (layout_dir("pq", corpus.resolve(), 8, 16, 2, 0), pqs),
     }
 
     try:
@@ -759,7 +763,7 @@ def test_streaming_ingest_maintains_all_six_stores(spark, tmp_path):
             qe.awaitTermination(180)
 
             # every store appended a delta for this drop — never rebuilt
-            for kind in ALL + ("ivf",):
+            for kind in ALL + ("ivf", "pq"):
                 layout, mod = layouts[kind]
                 man = json.loads((layout / mod.MANIFEST_NAME).read_text())
                 assert len(man["deltas"]) == i, (kind, man["deltas"])
@@ -840,6 +844,24 @@ def test_streaming_ingest_maintains_all_six_stores(spark, tmp_path):
             for r in want_asg.collect()
         )
         assert got_rows == want_rows and len(got_rows) == emb.count()
+
+        # ---- PQ store (seventh): same pinned contract — delta'd ⇒ NOT
+        # served to the raw names, rows equal encoding the grown corpus
+        # against the STORED codebooks.
+        from satsure_agri_datapipeline_spark.operators import similarity as sm
+
+        assert pqs.pq_store_or_none(spark, corpus) is None
+        cb, codes = pqs._serve(spark, layouts["pq"][0])
+        want_codes = sm.pq_encode(
+            grown_emb.select("vec_id", "embedding"), cb, m=8
+        )
+        got_codes = sorted(
+            (r.vec_id, tuple(r.codes)) for r in codes.collect()
+        )
+        want_codes_rows = sorted(
+            (r.vec_id, tuple(r.codes)) for r in want_codes.collect()
+        )
+        assert got_codes == want_codes_rows and len(got_codes) == emb.count()
     finally:
         docs.unpersist()
         emb.unpersist()
