@@ -13,8 +13,10 @@ are engine-comparable bit-for-bit at reasonable rounding.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _round_half_up_6(a):
@@ -617,34 +619,92 @@ def _pq_explode(
     ).select("__id", "subspace", "__sv")
 
 
-def _pq_assign(exploded: DataFrame, codebook: DataFrame) -> DataFrame:
-    """Nearest codeword per (vector, subspace): broadcast join against the
-    m×k codebook on subspace, squared-euclidean fold, struct-min argmin
-    (ties → smallest cluster_id) — :func:`kmeans_assign` with the subspace
-    in the key. One shuffle keyed by (id, subspace)."""
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("__sv"),
-            F.col("centroid"),
-            lambda x, y: (x - y) * (x - y),
-        ),
-        F.lit(0.0),
-        lambda acc, val: acc + val,
-    )
-    d = exploded.join(F.broadcast(codebook), "subspace").select(
-        "__id",
-        "subspace",
-        "__sv",
-        F.col("cluster_id").alias("__c"),
-        dist.alias("__dist"),
-    )
-    return (
-        d.groupBy("__id", "subspace")
-        .agg(
-            F.min(F.struct(F.col("__dist"), F.col("__c"))).alias("__m"),
-            F.first("__sv").alias("__sv"),
+def _pq_codebook_map(codebook: DataFrame) -> dict[int, list[tuple[int, list[float]]]]:
+    """Collect the m×k codebook into ``{subspace: [(cluster_id, centroid),
+    ...]}`` sorted by cluster_id. The codebook is broadcast-sized BY
+    CONSTRUCTION (m·k·d/m doubles — 1 KiB at the defaults), so this is the
+    decon eval-set precedent: one tiny collect at plan-build time that buys
+    a zero-shuffle assignment expression. float() round-trips the stored
+    doubles bit-exactly."""
+    out: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in codebook.select("subspace", "cluster_id", "centroid").collect():
+        out.setdefault(int(r.subspace), []).append(
+            (int(r.cluster_id), [float(x) for x in r.centroid])
         )
-        .select("__id", "subspace", "__sv", F.col("__m.__c").alias("cluster_id"))
+    for j in out:
+        out[j].sort()
+    return out
+
+
+def _pq_codes_df(
+    df: DataFrame,
+    cb: dict,
+    vec_col: str,
+    id_col: str,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """(id, codes array<int>) via MAP-SIDE Arrow-vectorized argmin against
+    the collected codebook — ZERO join, zero shuffle. This is the r13
+    rewrite of the join+groupBy argmin (which shuffled the full exploded
+    relation once per pass: 246 s to build the store at 2M vectors), and
+    the numpy path is deliberate: the Catalyst HOF form (transform/
+    zip_with folds over literal codeword arrays) evaluates interpreted
+    lambdas with per-codeword allocations and pinned 31 cores for >26 min
+    at 2M vectors, while a fully UNROLLED scalar expression tree (~5 K
+    nodes) stalled janino codegen for minutes per stage. The
+    ``semantic_decontaminate_vectorized`` precedent applies: Arrow batch
+    in, one numpy kernel, Arrow batch out.
+
+    Bit-parity with the SQL oracle is preserved by construction:
+    - X is float32→float64 (exact), codewords are the collected rounded
+      doubles (exact);
+    - per-codeword distance accumulates (x−w)² SEQUENTIALLY in ascending
+      position order (an explicit python loop over positions issuing one
+      vectorized float64 add per step — the same ((0+d₀²)+d₁²)+… IEEE op
+      sequence as the zip_with fold; np.sum's pairwise summation would
+      NOT match and is not used);
+    - np.argmin returns the FIRST minimum ⇒ exact-tie → smaller
+      cluster_id, identical to min(struct(dist, cluster_id)).
+    Null embeddings are filtered out (the explode form dropped them);
+    a row whose dimension does not match the codebook raises."""
+    import numpy as np
+
+    m = len(cb)
+    sub = len(cb[0][0][1])
+    dim = m * sub
+    W = np.array(
+        [[w for _, w in cb[j]] for j in sorted(cb)], dtype=np.float64
+    )  # (m, k, sub)
+    cids = np.array(
+        [[c for c, _ in cb[j]] for j in sorted(cb)], dtype=np.int32
+    )
+
+    @pandas_udf("array<int>")
+    def codes_udf(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        lens = col.map(len)
+        if (lens != dim).any():
+            bad = int(lens[lens != dim].iloc[0])
+            raise ValueError(
+                f"pq: embedding dim not divisible into the codebook's "
+                f"{m}x{sub} layout (expected {dim}): dim={bad}"
+            )
+        X = np.stack(col.map(np.asarray).values).astype(np.float64)
+        n = X.shape[0]
+        codes = np.empty((n, m), dtype=np.int32)
+        for j in range(m):
+            base = j * sub
+            acc = np.zeros((n, W.shape[1]), dtype=np.float64)
+            for p in range(sub):
+                d = X[:, base + p, None] - W[j, None, :, p]
+                acc = acc + d * d
+            codes[:, j] = cids[j][np.argmin(acc, axis=1)]
+        return pd.Series(list(codes))
+
+    keep = [F.col(vec_col)] if keep_vec else []
+    return df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), *keep, codes_udf(F.col(vec_col)).alias("codes")
     )
 
 
@@ -671,10 +731,20 @@ def pq_fit(
     keyed hash of the id — the SAME k seed vectors supply every subspace's
     initial codewords), 9-dp rounding after init and every update, argmin
     ties to the smaller cluster_id, empty codewords keep their previous
-    value. Exactly SQL-checkable despite being iterative."""
+    value. Exactly SQL-checkable despite being iterative.
+
+    Scale shape (r13 rewrite — measured: the join+groupBy argmin form
+    shuffled the full exploded relation once per pass, 246 s to build the
+    store at 2M vectors): assignment is a MAP-SIDE expression against the
+    collected codebook (tiny by construction), so each iteration is one
+    narrow scan whose only shuffle is the m·k·(d/m)-key partial aggregate
+    of the means — the update statistics, ~1 K keys regardless of corpus
+    size. The per-iteration collect moves m×k rounded doubles, the same
+    driver traffic the previous eager localCheckpoint form already paid."""
     from satsure_agri_datapipeline_spark.operators.sampling import sample_hash
 
-    exploded = _pq_explode(df, m, vec_col=vec_col, id_col=id_col)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("__id"), v.alias("__v"))
     seeds = (
         df.select(F.col(id_col).alias("__id"))
         .orderBy(sample_hash("__id", seed).asc(), F.col("__id").asc())
@@ -684,38 +754,66 @@ def pq_fit(
     seed_ids = seeds.select(
         "__id", (F.row_number().over(w) - 1).alias("cluster_id")
     )
-    cent = exploded.join(F.broadcast(seed_ids), "__id").select(
+    cent0 = _pq_explode(
+        base.join(F.broadcast(seed_ids), "__id"), m, vec_col="__v", id_col="__id"
+    ).join(F.broadcast(seed_ids), "__id").select(
         "subspace",
         "cluster_id",
         F.transform("__sv", lambda x: F.round(x, 9)).alias("centroid"),
     )
+    # {(subspace, cluster_id): centroid} — rounded IN SPARK (9 dp, F.round
+    # half-up) before every collect, so the driver only ferries bytes and
+    # never rounds; values stay bit-identical to the oracle's ROUND(x, 9).
+    cur: dict[tuple[int, int], list[float]] = {
+        (int(r.subspace), int(r.cluster_id)): [float(x) for x in r.centroid]
+        for r in cent0.collect()
+    }
     for _ in range(iterations):
-        assigned = _pq_assign(exploded, cent)
+        cb = _rows_to_cb_map(cur)
+        sub = len(next(iter(cur.values())))
+        codes_df = _pq_codes_df(
+            base, cb, vec_col="__v", id_col="__id", keep_vec=True
+        )
+        pairs = codes_df.select(
+            "__v", F.posexplode("codes").alias("subspace", "cluster_id")
+        )
         comp = (
-            assigned.select(
-                "subspace", "cluster_id", F.posexplode("__sv").alias("pos", "x")
+            pairs.select(
+                "subspace",
+                "cluster_id",
+                F.posexplode(
+                    F.slice(F.col("__v"), F.col("subspace") * sub + 1, sub)
+                ).alias("pos", "x"),
             )
             .groupBy("subspace", "cluster_id", "pos")
             .agg(F.round(F.avg("x"), 9).alias("c"))
         )
-        updated = comp.groupBy("subspace", "cluster_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-            ).alias("centroid")
-        )
-        cent = (
-            cent.select(
-                "subspace", "cluster_id", F.col("centroid").alias("__prev")
+        upd: dict[tuple[int, int], dict[int, float]] = {}
+        for r in comp.collect():
+            upd.setdefault((int(r.subspace), int(r.cluster_id)), {})[
+                int(r.pos)
+            ] = float(r.c)
+        # empty codewords keep their previous value (deterministic)
+        cur = {
+            key: (
+                [upd[key][p] for p in sorted(upd[key])] if key in upd else prev
             )
-            .join(updated, ["subspace", "cluster_id"], "left")
-            .select(
-                "subspace",
-                "cluster_id",
-                F.coalesce("centroid", "__prev").alias("centroid"),
-            )
-            .localCheckpoint()
-        )
-    return cent
+            for key, prev in cur.items()
+        }
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(j, c, wv) for (j, c), wv in sorted(cur.items())],
+        "subspace int, cluster_id int, centroid array<double>",
+    )
+
+
+def _rows_to_cb_map(
+    cur: dict[tuple[int, int], list[float]],
+) -> dict[int, list[tuple[int, list[float]]]]:
+    out: dict[int, list[tuple[int, list[float]]]] = {}
+    for (j, c), wv in sorted(cur.items()):
+        out.setdefault(j, []).append((c, wv))
+    return out
 
 
 def pq_encode(
@@ -727,21 +825,17 @@ def pq_encode(
 ) -> DataFrame:
     """PQ codes per vector: nearest codeword in each subspace, packed into
     an m-element int array ordered by subspace. Returns (id, codes
-    array<int>) — the at-rest representation ADC search runs on. One
-    assign + one groupBy(id) rebuild; the raw vector never shuffles."""
-    assigned = _pq_assign(
-        _pq_explode(df, m, vec_col=vec_col, id_col=id_col), codebook
-    )
-    return (
-        assigned.groupBy("__id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("subspace", "cluster_id"))),
-                lambda s: s["cluster_id"].cast("int"),
-            ).alias("codes")
+    array<int>) — the at-rest representation ADC search runs on. ZERO
+    shuffle (r13 rewrite): the argmin runs map-side against the collected
+    broadcast-sized codebook (:func:`_pq_codes_df`); the raw vector never
+    leaves its scan task. ``m`` is taken from the codebook itself; the
+    parameter is kept for call-site clarity."""
+    cb = _pq_codebook_map(codebook)
+    if m != len(cb):
+        raise ValueError(
+            f"pq_encode: codebook has {len(cb)} subspaces, caller claims {m}"
         )
-        .select(F.col("__id").alias(id_col), "codes")
-    )
+    return _pq_codes_df(df, cb, vec_col=vec_col, id_col=id_col)
 
 
 def _pq_lut(codebook: DataFrame, query_subs: DataFrame) -> DataFrame:

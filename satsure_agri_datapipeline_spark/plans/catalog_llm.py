@@ -1679,11 +1679,11 @@ def emb_pq_codebook(spark, sf_dir):
         return codebook_report_from_store(*store)
     emb = load_table(spark, sf_dir, "embeddings")
     cb = sim.pq_fit(emb, m=_PQ_M, k=_PQ_K, iterations=2)
-    assigned = sim._pq_assign(
-        sim._pq_explode(emb, _PQ_M), cb
-    )
-    counts = assigned.groupBy("subspace", "cluster_id").agg(
-        F.count(F.lit(1)).alias("n")
+    counts = (
+        sim.pq_encode(emb, cb, m=_PQ_M)
+        .select(F.posexplode("codes").alias("subspace", "cluster_id"))
+        .groupBy("subspace", "cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     norm = F.round(
         F.sqrt(
