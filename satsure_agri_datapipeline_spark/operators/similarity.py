@@ -920,6 +920,98 @@ def pq_topk_adc(
     )
 
 
+def ivfpq_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    fitted_ivf: tuple[DataFrame, DataFrame] | None = None,
+    fitted_pq: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """IVF-PQ composed search (the FAISS IVFPQ shape, both halves this
+    repo's standing stores): route the query to the ``nprobe`` nearest
+    k-means cells, then ADC-rank ONLY the vectors in those cells over
+    their PQ codes — cell pruning cuts the candidate scan to nprobe/k of
+    the corpus AND the scan reads the ~50×-compressed codes. No residual
+    encoding (codewords are trained on the raw vectors, not per-cell
+    residuals — simpler, and every stage stays oracle-checkable against
+    the two existing unrolled recursions).
+
+    Plan shape: probe selection on the k-row centroid relation; the
+    candidate filter is a broadcast semi-join of the probed cluster_ids
+    against the assignment (partition PRUNING when the IVF store serves
+    it); candidates then semi-join the codes relation on id. On one box
+    that id-join is a shuffle of the pruned fraction; at 100 TB the
+    production layout co-partitions codes INTO the IVF lists (exactly
+    FAISS's inverted-list-of-codes layout) so the join disappears — the
+    stores already persist both halves, the co-partitioned composition is
+    one extra write away. Returns (id, adc_dist) ascending, ties → id."""
+    if fitted_ivf is not None:
+        cent, assigned = fitted_ivf
+    else:
+        cent = kmeans_fit(
+            df, k=n_clusters, iterations=iterations, vec_col=vec_col, id_col=id_col
+        )
+        assigned = kmeans_assign(df, cent, vec_col=vec_col, id_col=id_col)
+    if fitted_pq is not None:
+        codebook, codes = fitted_pq
+    else:
+        codebook = pq_fit(
+            df, m=m, k=n_codes, iterations=iterations, vec_col=vec_col, id_col=id_col
+        )
+        codes = pq_encode(df, codebook, m=m, vec_col=vec_col, id_col=id_col)
+    q = df.where(F.col(id_col) == query_id).select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__q")
+    )
+    qdist = F.aggregate(
+        F.zip_with(
+            F.col("__q"),
+            F.col("centroid"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    probes = (
+        cent.crossJoin(F.broadcast(q))
+        .select("cluster_id", qdist.alias("__d"))
+        .orderBy(F.col("__d").asc(), F.col("cluster_id").asc())
+        .limit(nprobe)
+        .select("cluster_id")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cluster_id")
+        .where(F.col(id_col) != query_id)
+        .select(id_col)
+    )
+    query_subs = _pq_explode(
+        df.where(F.col(id_col) == query_id), m, vec_col=vec_col, id_col=id_col
+    ).select("subspace", F.col("__sv").alias("__qsv"))
+    lut = _pq_lut(codebook, query_subs)
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("__lut"),
+            lambda c, lrow: F.element_at(lrow, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, val: acc + val,
+    )
+    return (
+        codes.join(cand, id_col, "left_semi")
+        .crossJoin(F.broadcast(lut))
+        .select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def pq_recall_eval(
     df: DataFrame,
     query_id: int,

@@ -1763,6 +1763,94 @@ def emb_pq_topk_stored(spark, sf_dir):
     )
 
 
+# IVF-PQ composition: the IVF training recursion (base/seeded/cent0 +
+# d/a/cent rounds) and the PQ training recursion (v/pbase/pseeded/pcent0 +
+# pd/pa/pcent rounds) use disjoint CTE prefixes BY DESIGN, so the composed
+# oracle is their concatenation plus a probe-restricted ADC readout.
+_IVFPQ_ORACLE = f"""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    seeded AS (
+        SELECT vec_id, v,
+               ROW_NUMBER() OVER (
+                   ORDER BY ('0x' || substr(md5('0:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                            vec_id
+               ) AS rn
+        FROM base
+    ),
+    cent0 AS (
+        SELECT rn - 1 AS cluster_id, list_transform(v, x -> ROUND(x, 9)) AS c
+        FROM seeded WHERE rn <= 8
+    ),
+    {_kmeans_round_sql(1)},
+    {_kmeans_round_sql(2)},
+    {_kmeans_round_sql(3)},
+    {_PQ_TRAIN_SQL},
+    {_PQ_ADC_SQL},
+    qv AS (SELECT v AS q FROM base WHERE vec_id = 0),
+    probes AS (
+        SELECT c.cluster_id
+        FROM cent2 c CROSS JOIN qv
+        ORDER BY list_sum(list_transform(list_zip(qv.q, c.c),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+                 c.cluster_id ASC
+        LIMIT 2
+    ),
+    cand AS (
+        SELECT a.vec_id
+        FROM a3 a JOIN probes USING (cluster_id)
+        WHERE a.vec_id <> 0
+    )
+    SELECT adc.vec_id, ROUND(adc.dist, 6) AS adc_dist
+    FROM adc JOIN cand USING (vec_id)
+    ORDER BY ROUND(adc.dist, 6) ASC, adc.vec_id ASC
+    LIMIT 10
+    """
+
+
+@query("emb_ann_ivfpq", _IVFPQ_ORACLE)
+def emb_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ composed ANN (operators/similarity.py ivfpq_topk — the FAISS
+    IVFPQ shape over this repo's two standing ANN stores): probe the 2
+    k-means cells nearest the query, ADC-rank only those cells' vectors
+    over their PQ codes. Cell pruning cuts the candidate scan to
+    nprobe/n_clusters of the corpus AND the pruned scan reads the
+    ~50×-compressed codes. Serves whichever of the IVF / PQ stores is
+    fresh-and-never-delta'd (each half independently); the oracle
+    concatenates the two unrolled training recursions."""
+    from satsure_agri_datapipeline_spark.sources.ivf_store import (
+        ivf_store_or_none,
+    )
+    from satsure_agri_datapipeline_spark.sources.pq_store import pq_store_or_none
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = ivf_store_or_none(spark, sf_dir, k=8, iterations=2, seed=0)
+    pq = pq_store_or_none(spark, sf_dir, m=_PQ_M, k=_PQ_K, iterations=2, seed=0)
+    return sim.ivfpq_topk(
+        emb, query_id=0, k=10, n_clusters=8, nprobe=2, m=_PQ_M, n_codes=_PQ_K,
+        iterations=2, fitted_ivf=ivf, fitted_pq=pq,
+    )
+
+
+@query("emb_ann_ivfpq_stored", _IVFPQ_ORACLE)
+def emb_ann_ivfpq_stored(spark, sf_dir):
+    """The SAME IVF-PQ search with both standing stores ensured (built on
+    first use) — shares ``emb_ann_ivfpq``'s oracle, so both stores'
+    artifacts are hash-pinned through the composition every round."""
+    from satsure_agri_datapipeline_spark.sources.ivf_store import ensure_ivf_store
+    from satsure_agri_datapipeline_spark.sources.pq_store import ensure_pq_store
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = ensure_ivf_store(spark, sf_dir, k=8, iterations=2, seed=0)
+    pq = ensure_pq_store(spark, sf_dir, m=_PQ_M, k=_PQ_K, iterations=2, seed=0)
+    return sim.ivfpq_topk(
+        emb, query_id=0, k=10, n_clusters=8, nprobe=2, m=_PQ_M, n_codes=_PQ_K,
+        iterations=2, fitted_ivf=ivf, fitted_pq=pq,
+    )
+
+
 @query(
     "emb_pq_eval",
     f"""

@@ -520,6 +520,37 @@ def test_pq_dim_guard_raises(spark):
         sim.pq_fit(df, m=2, k=2, iterations=1).collect()
 
 
+def test_ivfpq_restricts_to_probed_cells(vectors):
+    # the composed search must (a) rank by the SAME ADC distances the pure
+    # PQ path computes and (b) only ever return vectors from probed cells
+    cent = sim.kmeans_fit(vectors, k=4, iterations=2)
+    assigned = {
+        r.vec_id: r.cluster_id
+        for r in sim.kmeans_assign(vectors, cent).collect()
+    }
+    full_adc = {
+        r.vec_id: r.adc_dist
+        for r in sim.pq_topk_adc(
+            vectors, query_id=0, k=50, m=2, n_codes=8
+        ).collect()
+    }
+    got = sim.ivfpq_topk(
+        vectors, query_id=0, k=5, n_clusters=4, nprobe=2, m=2, n_codes=8
+    ).collect()
+    assert len(got) == 5
+    dists = [r.adc_dist for r in got]
+    assert dists == sorted(dists)
+    probed_cells = {assigned[r.vec_id] for r in got}
+    assert len(probed_cells) <= 2  # nprobe=2
+    for r in got:
+        assert r.adc_dist == pytest.approx(full_adc[r.vec_id], abs=1e-6)
+    # deterministic across invocations
+    again = sim.ivfpq_topk(
+        vectors, query_id=0, k=5, n_clusters=4, nprobe=2, m=2, n_codes=8
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+
+
 def test_pq_recall_eval_bounds(vectors):
     row = sim.pq_recall_eval(
         vectors, query_id=0, k=5, m=2, n_codes=8, iterations=2

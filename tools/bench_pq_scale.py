@@ -120,6 +120,20 @@ def main():
 
     timed("exact_l2_topk", exact)
 
+    # composed IVF-PQ from both standing stores (probe-pruned + compressed)
+    from satsure_agri_datapipeline_spark.sources import ivf_store as ivfs
+
+    t0 = time.time()
+    cent, asg = ivfs.ensure_ivf_store(spark, out, k=8, iterations=2, seed=0)
+    results["ivf_store_build_untimed"] = round(time.time() - t0, 2)
+    timed(
+        "ivfpq_topk_stored",
+        lambda: sim.ivfpq_topk(
+            emb, query_id=0, k=10, n_clusters=8, nprobe=2, m=8, n_codes=16,
+            fitted_ivf=(cent, asg), fitted_pq=(cb, codes),
+        ),
+    )
+
     ev = timed(
         "pq_recall_eval_stored",
         lambda: sim.pq_recall_eval(

@@ -245,6 +245,10 @@ def main():
             MANIFEST_NAME as IVF_MANIFEST,
             ensure_ivf_store,
         )
+        from satsure_agri_datapipeline_spark.sources.pq_store import (
+            MANIFEST_NAME as PQ_MANIFEST,
+            ensure_pq_store,
+        )
         from satsure_agri_datapipeline_spark.streaming.ingest import (
             run_streaming_embedding_ingest,
         )
@@ -259,6 +263,7 @@ def main():
             str(corpus / "embeddings.parquet")
         )
         ensure_ivf_store(spark, corpus)  # untimed one-time fit + assign
+        ensure_pq_store(spark, corpus)  # untimed codebook fit + encode (r13)
 
         emb_incoming = work / "incoming_emb"
         emb_incoming.mkdir()
@@ -293,6 +298,14 @@ def main():
         except OSError:
             out["emb_ingest_ivf_deltas"] = None
         shutil.rmtree(ivf_layout, ignore_errors=True)
+        pq_layout = layout_dir("pq", corpus.resolve(), 8, 16, 2, 0)
+        try:
+            pq_man = json.loads((pq_layout / PQ_MANIFEST).read_text())
+            out["emb_ingest_pq_deltas"] = len(pq_man.get("deltas", []))
+            out["emb_ingest_pq_pending"] = "pending_delta" in pq_man
+        except OSError:
+            out["emb_ingest_pq_deltas"] = None
+        shutil.rmtree(pq_layout, ignore_errors=True)
 
         print(json.dumps(out))
     finally:
