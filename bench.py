@@ -120,6 +120,15 @@ HEADLINE = [
     # bounded-state df-capped Jaccard — spill-free where the uncapped
     # pair aggregate is 400 GiB-class state at 1000×
     "doc_curation_pipeline_capped",
+    # lexical + hybrid retrieval (r13): BM25 over term-filtered aggregates
+    # and its RRF fusion with the cosine top-k — the RAG retrieval stack
+    "doc_bm25_topk",
+    "hybrid_rrf_topk",
+    # PQ serving paths (r13b): ADC over the standing codes store and the
+    # IVFPQ two-store composition — a staleness regression that re-fit or
+    # re-encoded per run would flag here as a timing jump
+    "emb_pq_topk_stored",
+    "emb_ann_ivfpq_stored",
 ]
 
 # Queries whose plan CONSTRUCTION executes work (connected_components'
@@ -209,6 +218,11 @@ def main():
     from satsure_agri_datapipeline_spark.sources.ivf_store import ensure_ivf_store
 
     ensure_ivf_store(spark, sf_dir, k=8, iterations=2, seed=0)
+    # standing PQ codes store (r13b): emb_pq_topk_stored / emb_ann_ivfpq_stored
+    # serve it — pre-ensured so the timed region is the ADC read, not the fit
+    from satsure_agri_datapipeline_spark.sources.pq_store import ensure_pq_store
+
+    ensure_pq_store(spark, sf_dir, m=8, k=16, iterations=2, seed=0)
 
     from satsure_agri_datapipeline_spark.operators import dedup as _dedup
 

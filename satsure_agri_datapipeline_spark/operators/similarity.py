@@ -1441,3 +1441,69 @@ def semantic_decontaminate_vectorized(
     if n_parts < want:
         src = src.repartition(want)
     return src.mapInPandas(compute, out_schema)
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    depth: int = 50,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion: fuse the BM25 lexical
+    top-``depth`` (:func:`text.bm25_topk`) with the cosine semantic
+    top-``depth`` (:func:`brute_force_topk_to`) into one ranking —
+    ``rrf = Σ_systems 1/(rrf_k + rank)`` — the standard score-free fusion
+    for RAG retrieval stacks (ranks only, so the two systems' incomparable
+    score scales never mix). Ids are shared between the lexical corpus and
+    the vector store (``doc_id = vec_id``), the usual RAG layout.
+
+    Determinism: ranks are ``row_number`` over each system's already-rounded
+    score with id tie-break; ``1.0/(rrf_k + rank)`` divides the same
+    integers in both engines; the two reciprocals add in fixed order.
+    Missing-from-one-system ranks surface as 0 (never null) so the output
+    hashes stably.
+
+    Scale shape: each system's candidate relation is ``depth``-bounded
+    BEFORE fusion, so the single-partition rank windows and the full-outer
+    fusion join run on ≤ 2·``depth`` rows regardless of corpus size — the
+    expensive work is inside the two systems, which keep their own scale
+    paths (BM25's term-filtered aggregates; the ANN stores instead of the
+    brute-force scan when an index is standing).
+    """
+    from .text import bm25_topk
+
+    lex = bm25_topk(
+        docs, query_terms, k=depth, text_col=text_col, id_col=doc_id_col
+    )
+    wl = Window.orderBy(F.desc("bm25_score"), doc_id_col)
+    lex_r = lex.select(
+        F.col(doc_id_col).alias("__lid"), F.row_number().over(wl).alias("r_lex")
+    )
+    sem = brute_force_topk_to(
+        emb, query_id=query_vec_id, k=depth, vec_col=vec_col, id_col=vec_id_col
+    )
+    ws = Window.orderBy(F.desc("cosine_sim"), vec_id_col)
+    sem_r = sem.select(
+        F.col(vec_id_col).alias("__sid"), F.row_number().over(ws).alias("r_sem")
+    )
+    fused = lex_r.join(sem_r, lex_r["__lid"] == sem_r["__sid"], "full_outer")
+    rrf = F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("r_lex")), F.lit(0.0)) + F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col("r_sem")), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            F.coalesce(F.col("__lid"), F.col("__sid")).alias(doc_id_col),
+            F.coalesce(F.col("r_lex"), F.lit(0)).alias("r_lex"),
+            F.coalesce(F.col("r_sem"), F.lit(0)).alias("r_sem"),
+            F.round(rrf, 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), doc_id_col)
+        .limit(k)
+    )

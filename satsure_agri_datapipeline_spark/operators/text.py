@@ -792,3 +792,98 @@ def collocations(
         .where(F.col("__r") <= top_n)
         .select("bigram", "c_ab", "c_a", "c_b", "lift_e6", F.col("__r").alias("rank"))
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 lexical retrieval: the top-``k`` documents for a bag-of-words
+    query — the keyword-search half of a hybrid (lexical + vector) RAG
+    retrieval stack, next to :mod:`similarity`'s ANN family.
+
+    Per matched (doc, term):
+    ``idf_w * (tf*(k1+1)) / (tf + k1*((1-b) + b*(dl/avgdl)))`` with the
+    *log-free rational idf* ``idf_w = (N - df + 0.5) / (df + 0.5)`` — the
+    quantity whose ``ln`` is the classic Robertson idf. The log is dropped
+    deliberately: engine ``ln`` implementations are not correctly-rounded
+    (libm vs JDK differ in the last ulp), while +,-,*,/ on doubles derived
+    from the same integers are bit-identical everywhere — the same
+    determinism contract as the scaled-integer idf in
+    :func:`tf_idf_top_terms`. Per-term ordering is identical to log-BM25;
+    inter-term mixing weights rare terms more sharply (documented variant).
+
+    Determinism of the per-doc SUM: a groupBy ``SUM(double)`` is
+    order-sensitive, so the query-term scores are pivoted to one column per
+    term (``MAX(CASE WHEN term=t)`` — at most one row per (doc, term)) and
+    added in FIXED left-to-right query order. The float expressions keep
+    literal shape ``(k1 + 1.0)`` / ``(1.0 - b)`` so both engines parse the
+    same decimal literals instead of folding them differently.
+
+    Scale shape: one corpus scan tokenizes and measures dl; the tf relation
+    is filtered to the query terms BEFORE any aggregate, so every shuffle
+    after the scan is bounded by docs-that-match, not corpus size; df counts
+    re-aggregate the tf relation (≤ |terms| rows out); N/total-token
+    aggregates broadcast as one row. The dl side joins on ``id_col`` — at
+    100 TB serve it from the standing token-stats relation instead of
+    re-measuring (the postings themselves would come from an inverted index
+    partitioned by term range, :func:`inverted_index`'s discipline).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError(f"query_terms must be distinct, got {query_terms}")
+    base = df.where(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
+    )
+    with_dl = base.select(id_col, "__toks", F.size("__toks").alias("dl"))
+    corpus = with_dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
+    )
+    tf = (
+        with_dl.select(id_col, "dl", F.explode("__toks").alias("term"))
+        .where(F.col("term").isin(query_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs")
+    idf_w = (F.col("n_docs") - F.col("df_docs") + F.lit(0.5)) / (
+        F.col("df_docs") + F.lit(0.5)
+    )
+    sat = (F.col("tf") * (F.lit(k1) + F.lit(1.0))) / (
+        F.col("tf")
+        + F.lit(k1) * ((F.lit(1.0) - F.lit(b)) + F.lit(b) * (F.col("dl") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(id_col, "term", (idf_w * sat).alias("__s"))
+    )
+    per_term = [
+        F.max(F.when(F.col("term") == t, F.col("__s"))).alias(f"__s{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    piv = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_terms_matched"), *per_term
+    )
+    total = F.coalesce(F.col("__s0"), F.lit(0.0))
+    for i in range(1, len(query_terms)):
+        total = total + F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
+    return (
+        piv.select(
+            id_col,
+            "n_terms_matched",
+            F.round(total, 6).alias("bm25_score"),
+        )
+        .orderBy(F.desc("bm25_score"), id_col)
+        .limit(k)
+    )

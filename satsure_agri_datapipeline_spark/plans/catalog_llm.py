@@ -886,6 +886,137 @@ def doc_token_stats(spark, sf_dir):
 
 
 @query(
+    "doc_bm25_topk",
+    r"""
+    WITH base AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    dls AS (SELECT doc_id, len(toks) AS dl FROM base),
+    corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens FROM dls),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+        FROM (SELECT d.doc_id, d.dl, unnest(b.toks) AS term
+              FROM base b JOIN dls d USING (doc_id))
+        WHERE term IN ('dup', 'spark', 'vector')
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term),
+    scored AS (
+        SELECT t.doc_id, t.term,
+               -- CAST(1.2 AS DOUBLE): bare 1.2 is DECIMAL in DuckDB (exact
+               -- 12/10) while Spark folds it as the nearest double — the
+               -- 1-ulp gap can flip ROUND(.,6) at boundaries. 0.5/0.25/0.75
+               -- convert decimal->double exactly, so only 1.2 needs the pin.
+               ((n_docs - df_docs + 0.5) / (df_docs + 0.5))
+               * ((t.tf * (CAST(1.2 AS DOUBLE) + 1.0))
+                  / (t.tf + CAST(1.2 AS DOUBLE) * ((1.0 - 0.75)
+                     + 0.75 * (t.dl / (CAST(total_tokens AS DOUBLE) / n_docs))))) AS s
+        FROM tf t JOIN dfreq USING (term) CROSS JOIN corpus
+    ),
+    piv AS (
+        SELECT doc_id, COUNT(*) AS n_terms_matched,
+               COALESCE(MAX(CASE WHEN term = 'dup' THEN s END), 0.0)
+             + COALESCE(MAX(CASE WHEN term = 'spark' THEN s END), 0.0)
+             + COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), 0.0) AS score
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms_matched, ROUND(score, 6) AS bm25_score
+    FROM piv ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 10
+    """,
+)
+def doc_bm25_topk(spark, sf_dir):
+    """BM25 lexical retrieval (operators/text.py bm25_topk): top-10 docs for
+    the query {dup, spark, vector} — one rare term (df≈5% of docs in the
+    synthetic corpus) and two common ones, so the ranking exercises the idf
+    mixing, not just tf. Log-free rational idf + fixed-order pivot sum keep
+    the doubles bit-identical across engines (see the operator docstring).
+    The lexical half of hybrid retrieval; the vector half is emb_cosine_topk
+    / the ANN stores."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.bm25_topk(docs, ["dup", "spark", "vector"], k=10)
+
+
+@query(
+    "hybrid_rrf_topk",
+    r"""
+    WITH base AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    dls AS (SELECT doc_id, len(toks) AS dl FROM base),
+    corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens FROM dls),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+        FROM (SELECT d.doc_id, d.dl, unnest(b.toks) AS term
+              FROM base b JOIN dls d USING (doc_id))
+        WHERE term IN ('dup', 'spark', 'vector')
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term),
+    scored AS (
+        SELECT t.doc_id, t.term,
+               ((n_docs - df_docs + 0.5) / (df_docs + 0.5))
+               * ((t.tf * (CAST(1.2 AS DOUBLE) + 1.0))
+                  / (t.tf + CAST(1.2 AS DOUBLE) * ((1.0 - 0.75)
+                     + 0.75 * (t.dl / (CAST(total_tokens AS DOUBLE) / n_docs))))) AS s
+        FROM tf t JOIN dfreq USING (term) CROSS JOIN corpus
+    ),
+    piv AS (
+        SELECT doc_id, COUNT(*) AS n_terms_matched,
+               COALESCE(MAX(CASE WHEN term = 'dup' THEN s END), 0.0)
+             + COALESCE(MAX(CASE WHEN term = 'spark' THEN s END), 0.0)
+             + COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), 0.0) AS score
+        FROM scored GROUP BY doc_id
+    ),
+    lex AS (
+        SELECT doc_id AS id,
+               ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) AS r_lex
+        FROM piv ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 50
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    prods AS (
+        SELECT e.vec_id,
+               list_sum(list_transform(list_zip(e.embedding, q.qv),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+               sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+               sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0
+    ),
+    sem AS (
+        SELECT vec_id AS id,
+               ROW_NUMBER() OVER (ORDER BY ROUND(dot / (na * nb), 6) DESC, vec_id) AS r_sem
+        FROM prods ORDER BY ROUND(dot / (na * nb), 6) DESC, vec_id LIMIT 50
+    )
+    SELECT COALESCE(l.id, s.id) AS doc_id,
+           COALESCE(r_lex, 0) AS r_lex,
+           COALESCE(r_sem, 0) AS r_sem,
+           ROUND(COALESCE(1.0 / (60 + r_lex), 0.0)
+                 + COALESCE(1.0 / (60 + r_sem), 0.0), 6) AS rrf_score
+    FROM lex l FULL OUTER JOIN sem s ON l.id = s.id
+    ORDER BY ROUND(COALESCE(1.0 / (60 + r_lex), 0.0)
+                   + COALESCE(1.0 / (60 + r_sem), 0.0), 6) DESC,
+             COALESCE(l.id, s.id)
+    LIMIT 10
+    """,
+)
+def hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid retrieval (operators/similarity.py hybrid_rrf_topk): BM25
+    lexical top-50 fused with cosine semantic top-50 by Reciprocal Rank
+    Fusion (1/(60+rank), ranks over the rounded scores with id tie-break) —
+    the standard RAG two-system retrieval stack over ids shared between the
+    document corpus and the vector store. Both candidate sets are
+    depth-bounded before the fusion join, so fusion cost is O(depth)
+    regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.hybrid_rrf_topk(
+        docs, emb, ["dup", "spark", "vector"], query_vec_id=0, k=10, depth=50
+    )
+
+
+@query(
     "doc_quality_score",
     r"""
     WITH feats AS (

@@ -1710,3 +1710,84 @@ def test_ivf_recall_eval_sweep(vectors):
         ).collect()
     }
     assert rows[2].n_hits == len(exact & ivf2)
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval + hybrid RRF fusion (r13)
+
+
+@pytest.fixture(scope="module")
+def bm25_docs(spark):
+    rows = [
+        (0, "rare common common"),
+        (1, "common common common common"),
+        (2, "common other other"),
+        (3, "other other other other other"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_rare_term_dominates(bm25_docs):
+    out = tx.bm25_topk(bm25_docs, ["rare", "common"], k=10).collect()
+    # doc 3 matches no query term and must be absent entirely
+    assert [r.doc_id for r in out if r.doc_id == 3] == []
+    # idf(rare)=3.5/1.5 dwarfs idf(common)=1.5/3.5: the doc holding the rare
+    # term outranks the doc stuffing the common one
+    assert out[0].doc_id == 0 and out[0].n_terms_matched == 2
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].n_terms_matched == 1 and by_id[2].n_terms_matched == 1
+    assert by_id[0].bm25_score > by_id[1].bm25_score > 0
+    # more raw tf of 'common' (4 vs 1) must still help doc 1 over doc 2
+    assert by_id[1].bm25_score > by_id[2].bm25_score
+
+
+def test_bm25_length_normalization(spark):
+    # same tf of the query term; the longer doc is length-penalized (b>0)
+    rows = [(0, "x pad"), (1, "x pad pad pad pad pad pad pad")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.bm25_score for r in tx.bm25_topk(df, ["x"], k=10).collect()}
+    assert out[0] > out[1] > 0
+
+
+def test_bm25_tf_saturation(spark):
+    # k1 bounds the tf contribution: score(tf=20) < (k1+1) * score(tf=1)
+    rows = [(0, "x " + "pad " * 19), (1, " ".join(["x"] * 20))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.bm25_score for r in tx.bm25_topk(df, ["x"], k=10).collect()}
+    assert out[1] > out[0]  # more tf still scores higher...
+    assert out[1] < 2.2 * out[0]  # ...but saturates below the k1+1 ceiling
+
+
+def test_bm25_validates_args(bm25_docs):
+    with pytest.raises(ValueError):
+        tx.bm25_topk(bm25_docs, [])
+    with pytest.raises(ValueError):
+        tx.bm25_topk(bm25_docs, ["x", "x"])
+
+
+def test_hybrid_rrf_fuses_both_systems(spark, bm25_docs):
+    # vec 1 is nearly parallel to the query vec 0; vec 2 orthogonal; vec 9
+    # exists only in the vector store (no doc 9 text matches)
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (9, [0.8, 0.3, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = sim.hybrid_rrf_topk(
+        bm25_docs, emb, ["rare", "common"], query_vec_id=0, k=10, depth=3
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    # doc 1 appears in BOTH rankings -> two reciprocal contributions;
+    # its fused score beats every single-system doc
+    assert by_id[1].r_lex > 0 and by_id[1].r_sem > 0
+    assert out[0].doc_id == 1
+    # one-sided members carry rank 0 on the missing side, never null
+    assert by_id[9].r_lex == 0 and by_id[9].r_sem > 0
+    assert by_id[0].r_lex > 0 and by_id[0].r_sem == 0
+    # rrf matches the hand formula for the fused doc
+    expected = 1.0 / (60 + by_id[1].r_lex) + 1.0 / (60 + by_id[1].r_sem)
+    assert by_id[1].rrf_score == pytest.approx(expected, abs=1e-6)
