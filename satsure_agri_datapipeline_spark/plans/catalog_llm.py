@@ -1982,6 +1982,29 @@ def emb_ann_ivfpq_stored(spark, sf_dir):
     )
 
 
+@query("emb_ann_ivfpq_colocated", _IVFPQ_ORACLE)
+def emb_ann_ivfpq_colocated(spark, sf_dir):
+    """The SAME IVF-PQ search from the CO-LOCATED store
+    (sources/ivfpq_store.py — FAISS's inverted-list-of-codes layout,
+    built on first use): codes live hive-partitioned by cluster_id, so
+    the probe partition-prunes the codes scan directly and the per-query
+    candidate id-shuffle of the two-store composition is gone. Shares
+    ``emb_ann_ivfpq``'s oracle: the lists are written by the same
+    deterministic fits, so the hash pins all three artifacts."""
+    from satsure_agri_datapipeline_spark.sources.ivfpq_store import (
+        ensure_ivfpq_store,
+        ivfpq_topk_from_lists,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent, cb, lists = ensure_ivfpq_store(
+        spark, sf_dir, n_clusters=8, m=_PQ_M, k=_PQ_K, iterations=2, seed=0
+    )
+    return ivfpq_topk_from_lists(
+        emb, cent, cb, lists, query_id=0, k=10, nprobe=2, m=_PQ_M
+    )
+
+
 @query(
     "emb_pq_eval",
     f"""

@@ -1595,3 +1595,97 @@ def test_pq_store_lifecycle_serving_and_pinned_codebook_delta(spark, tmp_path):
     finally:
         emb.unpersist()
         shutil.rmtree(layout, ignore_errors=True)
+
+
+def test_ivfpq_store_lifecycle_colocated_lists(spark, tmp_path):
+    """r13: the CO-LOCATED IVF-PQ store (eighth store — FAISS's
+    inverted-list-of-codes layout). (a) The colocated catalog name equals
+    the two-store composition bit-for-bit (shared oracle) over the shared
+    sf0.001 testdata; (b) a data drop delta-assigns AND delta-encodes only
+    the new vectors against the PINNED quantizers, appending into the
+    cluster_id partitions; (c) or_none stops serving after the delta
+    (pinned-quantizer semantics) and serves again after the
+    mutation-triggered rebuild."""
+    import json
+    import shutil
+
+    from satsure_agri_datapipeline_spark.operators import similarity as sim
+    from satsure_agri_datapipeline_spark.plans import catalog_llm  # noqa: F401
+    from satsure_agri_datapipeline_spark.plans.catalog import QUERIES
+    from satsure_agri_datapipeline_spark.sources import ivfpq_store as ivfpq
+    from satsure_agri_datapipeline_spark.sources.store_util import layout_dir
+
+    # ---- (a) colocated serving equals the two-store composition ----
+    colo = sorted(
+        map(tuple, QUERIES["emb_ann_ivfpq_colocated"](spark, SF).collect())
+    )
+    composed = sorted(map(tuple, QUERIES["emb_ann_ivfpq_stored"](spark, SF).collect()))
+    assert colo == composed and len(colo) == 10
+
+    # ---- (b)/(c) lifecycle on a private copy that can gain files ----
+    src = tmp_path / "sfivfpq"
+    emb_dir = src / "embeddings.parquet"
+    src.mkdir()
+    emb = load_table(spark, SF, "embeddings").cache()
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    drop = emb.where(F.col("vec_id") % 3 == 0)
+    _write_single_part(base, emb_dir, "base-000.parquet")
+    layout = layout_dir("ivfpq", src.resolve(), 8, 8, 16, 2, 0)
+    try:
+        assert ivfpq.ivfpq_store_or_none(spark, src) is None  # not built
+        cent1, cb1, lists1 = ivfpq.ensure_ivfpq_store(
+            spark, src, n_clusters=8, m=8, k=16, iterations=2, seed=0
+        )
+        cent_rows = sorted(map(tuple, cent1.collect()))
+        cb_rows = sorted(map(tuple, cb1.collect()))
+        n1 = lists1.count()
+        assert ivfpq.ivfpq_store_or_none(spark, src) is not None
+
+        _write_single_part(drop, emb_dir, "drop-001.parquet")
+        assert ivfpq.ivfpq_store_or_none(spark, src) is None  # append-stale
+        cent2, cb2, lists2 = ivfpq.ensure_ivfpq_store(
+            spark, src, n_clusters=8, m=8, k=16, iterations=2, seed=0
+        )
+        man = json.loads((layout / ivfpq.MANIFEST_NAME).read_text())
+        assert man["deltas"] == [["drop-001.parquet"]]
+        # BOTH quantizers are PINNED across the delta
+        assert sorted(map(tuple, cent2.collect())) == cent_rows
+        assert sorted(map(tuple, cb2.collect())) == cb_rows
+        assert lists2.count() == n1 + drop.count()
+        # delta rows equal assigning+encoding the drop against the
+        # standing quantizers
+        want_codes = sorted(
+            (r.vec_id, tuple(r.codes))
+            for r in sim.pq_encode(
+                drop.select("vec_id", "embedding"), cb2, m=8
+            ).collect()
+        )
+        want_cells = sorted(
+            (r.vec_id, r.cluster_id)
+            for r in sim.kmeans_assign(
+                drop.select("vec_id", "embedding"), cent2
+            ).select("vec_id", "cluster_id").collect()
+        )
+        got = [
+            (r.vec_id, tuple(r.codes), r.cluster_id)
+            for r in lists2.join(
+                drop.select("vec_id"), "vec_id", "left_semi"
+            ).collect()
+        ]
+        assert sorted((v, c) for v, c, _ in got) == want_codes
+        assert sorted((v, cell) for v, _, cell in got) == want_cells
+        # pinned-quantizer semantics: raw hook refuses a delta'd store
+        assert ivfpq.ivfpq_store_or_none(spark, src) is None
+
+        # ---- mutation → rebuild (fresh fits), or_none serves again ----
+        _write_single_part(base.limit(50), emb_dir, "base-000.parquet")
+        cent3, cb3, lists3 = ivfpq.ensure_ivfpq_store(
+            spark, src, n_clusters=8, m=8, k=16, iterations=2, seed=0
+        )
+        man2 = json.loads((layout / ivfpq.MANIFEST_NAME).read_text())
+        assert man2["deltas"] == []
+        assert ivfpq.ivfpq_store_or_none(spark, src) is not None
+        assert lists3.count() < n1 + drop.count()
+    finally:
+        emb.unpersist()
+        shutil.rmtree(layout, ignore_errors=True)

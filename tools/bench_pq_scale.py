@@ -134,6 +134,22 @@ def main():
         ),
     )
 
+    # co-located IVF-PQ (r13c): codes partitioned INTO the inverted lists —
+    # probe partition-prunes the codes scan, no per-query candidate id-join
+    from satsure_agri_datapipeline_spark.sources import ivfpq_store as ivfpqs
+
+    t0 = time.time()
+    cent2, cb2, lists = ivfpqs.ensure_ivfpq_store(
+        spark, out, n_clusters=8, m=8, k=16, iterations=2, seed=0
+    )
+    results["ivfpq_colocated_build_untimed"] = round(time.time() - t0, 2)
+    timed(
+        "ivfpq_topk_colocated",
+        lambda: ivfpqs.ivfpq_topk_from_lists(
+            emb, cent2, cb2, lists, query_id=0, k=10, nprobe=2, m=8
+        ),
+    )
+
     ev = timed(
         "pq_recall_eval_stored",
         lambda: sim.pq_recall_eval(
