@@ -725,6 +725,7 @@ def run_streaming_embedding_ingest(
     maintain_pq: bool = True,
     pq_m: int = 8,
     pq_k: int = 16,
+    maintain_ivfpq: bool = False,
 ):
     """Continuous EMBEDDING ingest composed with standing IVF-index
     maintenance (r13, verdict task 4): the document-family composition
@@ -753,7 +754,13 @@ def run_streaming_embedding_ingest(
     each micro-batch also delta-encodes its vectors against the PINNED
     standing PQ codebooks (``sources/pq_store.ensure_pq_store``) — the
     same pinned-parameters delta contract as the IVF leg, so both ANN
-    stores ride one landing.
+    stores ride one landing. ``maintain_ivfpq`` (r13c, off by default)
+    adds the EIGHTH: the co-located inverted-lists-of-codes layout
+    (``sources/ivfpq_store``) delta-assigns AND delta-encodes the batch
+    against its own pinned quantizers, appending into the cluster_id
+    partitions. Off by default because it duplicates the IVF+PQ work per
+    batch; a deployment serving `emb_ann_ivfpq_colocated` hot turns it on
+    and can turn the separate legs off.
 
     Returns the streaming query; ``once=True`` drains available files then
     stops (micro-batch catch-up mode)."""
@@ -789,6 +796,20 @@ def run_streaming_embedding_ingest(
 
             ensure_pq_store(
                 spark, corpus, m=pq_m, k=pq_k, iterations=iterations, seed=seed
+            )
+        if maintain_ivfpq:
+            from satsure_agri_datapipeline_spark.sources.ivfpq_store import (
+                ensure_ivfpq_store,
+            )
+
+            ensure_ivfpq_store(
+                spark,
+                corpus,
+                n_clusters=k,
+                m=pq_m,
+                k=pq_k,
+                iterations=iterations,
+                seed=seed,
             )
 
     writer = stream.writeStream.foreachBatch(_process).option(

@@ -663,11 +663,11 @@ def test_streaming_document_ingest_maintains_stores(spark, tmp_path):
         shutil.rmtree(sh_layout, ignore_errors=True)
 
 
-def test_streaming_ingest_maintains_all_six_stores(spark, tmp_path):
-    """r11 (r10 verdict task 3) + r13 (verdict task 4): the composed
-    streaming ingest drives ALL SIX standing stores — bands, shingles,
-    spans, simhash, digests via the document stream, and the IVF embedding
-    index via the embedding stream. Each drained drop must append a delta
+def test_streaming_ingest_maintains_all_stores(spark, tmp_path):
+    """r11 (r10 verdict task 3) + r13 (verdict task 4) + r13c: the composed
+    streaming ingest drives ALL EIGHT standing stores — bands, shingles,
+    spans, simhash, digests via the document stream; the IVF index, PQ
+    codes, and co-located IVFPQ lists via the embedding stream. Each drained drop must append a delta
     (never rebuild) to every manifest, and the grown stores must serve
     answers identical to their contracted recompute on the grown corpus:
     banded Hamming pairs from the simhash store, incremental exact dedup
@@ -726,6 +726,9 @@ def test_streaming_ingest_maintains_all_six_stores(spark, tmp_path):
     from satsure_agri_datapipeline_spark.sources import pq_store as pqs
 
     pqs.ensure_pq_store(spark, corpus)  # the seventh store (r13)
+    from satsure_agri_datapipeline_spark.sources import ivfpq_store as ivfpqs
+
+    ivfpqs.ensure_ivfpq_store(spark, corpus)  # the eighth store (r13c)
     layouts = {
         "bands": (layout_dir("bands", corpus.resolve(), 16, 4, 3, 32), bs),
         "shingles": (layout_dir("shingles", corpus.resolve(), 3, "word", 0, 32), ss),
@@ -734,6 +737,7 @@ def test_streaming_ingest_maintains_all_six_stores(spark, tmp_path):
         "digests": (layout_dir("digests", corpus.resolve(), "true", 32), gs),
         "ivf": (layout_dir("ivf", corpus.resolve(), 8, 2, 0), ivs),
         "pq": (layout_dir("pq", corpus.resolve(), 8, 16, 2, 0), pqs),
+        "ivfpq": (layout_dir("ivfpq", corpus.resolve(), 8, 8, 16, 2, 0), ivfpqs),
     }
 
     try:
@@ -758,12 +762,17 @@ def test_streaming_ingest_maintains_all_six_stores(spark, tmp_path):
             )
             q.awaitTermination(180)
             qe = run_streaming_embedding_ingest(
-                spark, incoming_emb, corpus, tmp_path / "ckpt_emb", once=True
+                spark,
+                incoming_emb,
+                corpus,
+                tmp_path / "ckpt_emb",
+                once=True,
+                maintain_ivfpq=True,
             )
             qe.awaitTermination(180)
 
             # every store appended a delta for this drop — never rebuilt
-            for kind in ALL + ("ivf", "pq"):
+            for kind in ALL + ("ivf", "pq", "ivfpq"):
                 layout, mod = layouts[kind]
                 man = json.loads((layout / mod.MANIFEST_NAME).read_text())
                 assert len(man["deltas"]) == i, (kind, man["deltas"])
@@ -862,6 +871,31 @@ def test_streaming_ingest_maintains_all_six_stores(spark, tmp_path):
             (r.vec_id, tuple(r.codes)) for r in want_codes.collect()
         )
         assert got_codes == want_codes_rows and len(got_codes) == emb.count()
+
+        # ---- CO-LOCATED IVFPQ store (eighth): pinned-quantizer contract —
+        # delta'd ⇒ NOT served to the raw names; its lists equal encoding
+        # AND assigning the grown corpus against its OWN stored quantizers.
+        assert ivfpqs.ivfpq_store_or_none(spark, corpus) is None
+        cent8, cb8, lists8 = ivfpqs._serve(spark, layouts["ivfpq"][0])
+        want8_codes = {
+            r.vec_id: tuple(r.codes)
+            for r in sm.pq_encode(
+                grown_emb.select("vec_id", "embedding"), cb8, m=8
+            ).collect()
+        }
+        want8_cells = {
+            r.vec_id: r.cluster_id
+            for r in sm.kmeans_assign(
+                grown_emb.select("vec_id", "embedding"), cent8
+            ).select("vec_id", "cluster_id").collect()
+        }
+        got8 = sorted(
+            (r.vec_id, tuple(r.codes), r.cluster_id) for r in lists8.collect()
+        )
+        assert got8 == sorted(
+            (v, want8_codes[v], want8_cells[v]) for v in want8_codes
+        )
+        assert len(got8) == emb.count()
     finally:
         docs.unpersist()
         emb.unpersist()
