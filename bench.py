@@ -129,6 +129,9 @@ HEADLINE = [
     # re-encoded per run would flag here as a timing jump
     "emb_pq_topk_stored",
     "emb_ann_ivfpq_stored",
+    # co-located IVFPQ (r13c): the partition-pruned inverted-list serving —
+    # at 2M the join-composed form loses to full ADC; this one wins
+    "emb_ann_ivfpq_colocated",
 ]
 
 # Queries whose plan CONSTRUCTION executes work (connected_components'
@@ -223,6 +226,11 @@ def main():
     from satsure_agri_datapipeline_spark.sources.pq_store import ensure_pq_store
 
     ensure_pq_store(spark, sf_dir, m=8, k=16, iterations=2, seed=0)
+    from satsure_agri_datapipeline_spark.sources.ivfpq_store import (
+        ensure_ivfpq_store,
+    )
+
+    ensure_ivfpq_store(spark, sf_dir, n_clusters=8, m=8, k=16, iterations=2, seed=0)
 
     from satsure_agri_datapipeline_spark.operators import dedup as _dedup
 

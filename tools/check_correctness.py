@@ -100,7 +100,12 @@ def main():
     for t in TABLES:
         p = Path(args.sf) / f"{t}.parquet"
         if p.exists():
-            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            # testdata tables are single parquet files; scaled corpora
+            # (tools/make_scaled_sf.py) are directories of part files
+            pat = f"{p}/**/*.parquet" if p.is_dir() else str(p)
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{pat}')"
+            )
 
     n_pass = n_fail = n_rows_only = 0
     results: dict[str, dict] = {}
