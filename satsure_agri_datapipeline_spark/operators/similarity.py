@@ -1507,3 +1507,139 @@ def hybrid_rrf_topk(
         .orderBy(F.desc("rrf_score"), doc_id_col)
         .limit(k)
     )
+
+
+def quantized_topk_to_vectorized(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """:func:`quantized_topk_to` on the Arrow/numpy fast path — same
+    contract and output schema. The fold form runs FIVE interpreted
+    Catalyst lambda passes per row (absmax fold, quantize transform,
+    dequantize transform, dot fold, norm fold): measured 76 s at 2M
+    vectors where the plain float scan takes 2.6 s — the quantized
+    serving path was 25× slower than the thing it approximates. The
+    kernel computes the identical op sequence in one Arrow batch pass.
+
+    Bit-parity is pinned the :func:`_pq_codes_df` way, not assumed:
+
+    - float32→float64 casts are exact; absmax is an order-insensitive
+      max; ``scale = absmax/127.0``, ``q = floor(x/scale + 0.5)``,
+      ``deq = q·scale`` are elementwise IEEE ops identical to the
+      expression form;
+    - dot and squared-norm accumulate SEQUENTIALLY in ascending position
+      order (explicit python loop over positions, one vectorized float64
+      add per step — the same ((0+d₀)+d₁)+… op sequence as the
+      ``F.aggregate`` fold; np.dot's pairwise summation would diverge in
+      the last ulp and is NOT used);
+    - rows with absmax ≤ 0 are dropped (the fold form's ``q IS NOT
+      NULL`` filter), a zero dequantized norm surfaces NULL cosine
+      exactly like ``try_divide`` (sorted last under the same DESC
+      NULLS LAST), and the query row is excluded;
+    - the kernel emits the RAW cosine; the 6-dp rounding and the
+      (cosine DESC, id ASC) TakeOrdered run JVM-side through the very
+      same expressions as the fold form.
+
+    The query vector is one collected row (plan-build collect, the
+    :func:`semantic_decontaminate_vectorized` precedent), dequantized by
+    the same numpy steps. A row whose dimension differs from the query's
+    raises (the PQ kernel's contract)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+
+    def _deq(vec):
+        v = np.asarray(vec, dtype=np.float64)
+        absmax = float(np.max(np.abs(v))) if v.size else 0.0
+        if not absmax > 0.0:
+            return None
+        scale = absmax / 127.0
+        q = np.floor(v / scale + 0.5)
+        return q * scale
+
+    qrow = (
+        df.where(F.col(id_col) == query_id).select(vec_col).limit(1).collect()
+    )
+    qv = _deq(qrow[0][0]) if qrow and qrow[0][0] is not None else None
+    id_field = df.schema[id_col]
+    out_schema = (
+        f"`{id_col}` {id_field.dataType.simpleString()}, __cos double"
+    )
+    empty = spark.createDataFrame(
+        [], f"`{id_col}` {id_field.dataType.simpleString()}, cosine_sim_q double"
+    )
+    if qv is None:
+        # no query row / zero-direction query: the fold form's cross join
+        # against an empty 1-row relation yields zero rows
+        return empty
+    dim = qv.shape[0]
+    nb = 0.0
+    for d in range(dim):
+        nb += qv[d] * qv[d]
+    nb = float(np.sqrt(nb))
+    bc = spark.sparkContext.broadcast((qv, nb))
+
+    def compute(batches):
+        b_qv, b_nb = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            vecs = pdf["__vec"]
+            ok = np.fromiter(
+                (v is not None for v in vecs), dtype=bool, count=n
+            )
+            ids = pdf["__id"].reset_index(drop=True)
+            if not ok.any():
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs[ok]])
+            if X.shape[1] != dim:
+                raise ValueError(
+                    f"quantized_topk_vectorized: row dim {X.shape[1]} != "
+                    f"query dim {dim}"
+                )
+            absmax = np.max(np.abs(X), axis=1)
+            keep = absmax > 0.0
+            if not keep.any():
+                continue
+            X = X[keep]
+            scale = (absmax[keep] / 127.0)[:, None]
+            DQ = np.floor(X / scale + 0.5) * scale
+            m_rows = DQ.shape[0]
+            dot = np.zeros(m_rows)
+            na2 = np.zeros(m_rows)
+            # sequential position order — the fold's exact IEEE sequence
+            for d in range(dim):
+                col = DQ[:, d]
+                dot = dot + col * b_qv[d]
+                na2 = na2 + col * col
+            denom = np.sqrt(na2) * b_nb
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / denom
+            cos_s = pd.Series(cos, dtype="Float64")
+            cos_s[denom == 0.0] = pd.NA  # try_divide's NULL
+            yield pd.DataFrame(
+                {
+                    "__id": ids[ok].reset_index(drop=True)[keep].reset_index(
+                        drop=True
+                    ),
+                    "__cos": cos_s,
+                }
+            ).rename(columns={"__id": id_col})
+
+    src = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    want = src.sparkSession.sparkContext.defaultParallelism
+    n_parts = src._jdf.queryExecution().toRdd().getNumPartitions()
+    if n_parts < want:
+        src = src.repartition(want)
+    scored = src.mapInPandas(compute, out_schema)
+    return (
+        scored.where(F.col(id_col) != query_id)
+        .select(F.col(id_col), F.round(F.col("__cos"), 6).alias("cosine_sim_q"))
+        .orderBy(F.desc("cosine_sim_q"), id_col)
+        .limit(k)
+    )

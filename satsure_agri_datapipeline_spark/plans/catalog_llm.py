@@ -1143,9 +1143,7 @@ def emb_cosine_topk(spark, sf_dir):
     return sim.brute_force_topk_to(emb, query_id=0, k=10)
 
 
-@query(
-    "emb_quantized_topk",
-    """
+_QUANTIZED_TOPK_ORACLE = """
     WITH deq AS (
         SELECT vec_id,
                list_transform(
@@ -1173,13 +1171,30 @@ def emb_cosine_topk(spark, sf_dir):
     FROM prods
     ORDER BY ROUND(dot / (na * nb), 6) DESC, vec_id
     LIMIT 10
-    """,
-)
+    """
+
+
+@query("emb_quantized_topk", _QUANTIZED_TOPK_ORACLE)
 def emb_quantized_topk(spark, sf_dir):
     """Cosine top-10 of vec_id=0 over INT8-quantized-then-dequantized
-    embeddings (operators/similarity.py quantized_topk_to) — the
-    vectors-at-rest-quantized serving path; divergence from emb_cosine_topk
-    is the measured quantization error."""
+    embeddings — the vectors-at-rest-quantized serving path; divergence
+    from emb_cosine_topk is the measured quantization error. Serves the
+    Arrow/numpy kernel (operators/similarity.py
+    quantized_topk_to_vectorized — the fold form's five interpreted
+    lambda passes per row ran 76 s at 2M vectors vs 2.6 s for the plain
+    float scan; the kernel preserves the fold's exact IEEE op sequence).
+    The Catalyst-fold twin emb_quantized_topk_fold shares this oracle as
+    the JVM-side hash pin — the decontaminate r12→r13 precedent."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.quantized_topk_to_vectorized(emb, query_id=0, k=10)
+
+
+@query("emb_quantized_topk_fold", _QUANTIZED_TOPK_ORACLE)
+def emb_quantized_topk_fold(spark, sf_dir):
+    """The SAME quantized-serving top-10 via the pure Catalyst HOF folds
+    (operators/similarity.py quantized_topk_to) — kept oracle-shared so
+    the expression form and the Arrow kernel are both hash-pinned to the
+    same DuckDB recompute every round."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.quantized_topk_to(emb, query_id=0, k=10)
 

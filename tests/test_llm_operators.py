@@ -1791,3 +1791,36 @@ def test_hybrid_rrf_fuses_both_systems(spark, bm25_docs):
     # rrf matches the hand formula for the fused doc
     expected = 1.0 / (60 + by_id[1].r_lex) + 1.0 / (60 + by_id[1].r_sem)
     assert by_id[1].rrf_score == pytest.approx(expected, abs=1e-6)
+
+
+def test_quantized_topk_vectorized_matches_fold(spark):
+    # corpus with a zero vector (excluded: carries no direction), a null
+    # embedding (dropped), and sign-varied values exercising floor-half-up
+    rows = [
+        (0, [1.0, 2.0, -3.0, 0.5]),
+        (1, [1.1, 1.9, -2.9, 0.4]),
+        (2, [-1.0, -2.0, 3.0, -0.5]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+        (4, None),
+        (5, [0.001, 0.002, -0.003, 0.004]),
+        (6, [100.0, -50.0, 25.0, -12.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fold = [tuple(r) for r in sim.quantized_topk_to(df, query_id=0, k=10).collect()]
+    vec = [
+        tuple(r)
+        for r in sim.quantized_topk_to_vectorized(df, query_id=0, k=10).collect()
+    ]
+    assert vec == fold and len(fold) > 0
+    # zero and null vectors never appear in either ranking
+    ranked = {r[0] for r in fold}
+    assert 3 not in ranked and 4 not in ranked
+
+
+def test_quantized_topk_vectorized_empty_query(spark):
+    # query vector with no direction (absmax == 0) -> zero rows, matching
+    # the fold form's empty cross join
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert sim.quantized_topk_to_vectorized(df, query_id=0, k=5).collect() == []
+    assert sim.quantized_topk_to(df, query_id=0, k=5).collect() == []
