@@ -825,14 +825,20 @@ def bm25_topk(
     literal shape ``(k1 + 1.0)`` / ``(1.0 - b)`` so both engines parse the
     same decimal literals instead of folding them differently.
 
-    Scale shape: one corpus scan tokenizes and measures dl; the tf relation
-    is filtered to the query terms BEFORE any aggregate, so every shuffle
-    after the scan is bounded by docs-that-match, not corpus size; df counts
-    re-aggregate the tf relation (≤ |terms| rows out); N/total-token
-    aggregates broadcast as one row. The dl side joins on ``id_col`` — at
-    100 TB serve it from the standing token-stats relation instead of
-    re-measuring (the postings themselves would come from an inverted index
-    partitioned by term range, :func:`inverted_index`'s discipline).
+    Scale shape: one corpus scan tokenizes, measures dl, and produces the
+    tf relation — filtered to the query terms BEFORE any aggregate, so
+    every shuffle after the scan is bounded by docs-that-match, not corpus
+    size. Document frequencies are a COUNT window over the tf relation's
+    term partitions (≤ |terms| partitions of matched-doc size) — NOT a
+    groupBy-plus-join back onto tf: Catalyst does not share subplans, so
+    the join form re-scanned and re-tokenized the whole corpus for the
+    dfreq branch (visible as a second Scan+Generate subtree in the
+    physical plan). The corpus-wide N/total-token aggregate is the one
+    remaining second scan (it needs unmatched docs too) and broadcasts as
+    one row — at 100 TB serve it and dl from the standing token-stats
+    relation instead of re-measuring (the postings themselves would come
+    from an inverted index partitioned by term range,
+    :func:`inverted_index`'s discipline).
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
@@ -854,7 +860,9 @@ def bm25_topk(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    tf = tf.withColumn(
+        "df_docs", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     avgdl = F.col("total_tokens").cast("double") / F.col("n_docs")
     idf_w = (F.col("n_docs") - F.col("df_docs") + F.lit(0.5)) / (
         F.col("df_docs") + F.lit(0.5)
@@ -863,10 +871,8 @@ def bm25_topk(
         F.col("tf")
         + F.lit(k1) * ((F.lit(1.0) - F.lit(b)) + F.lit(b) * (F.col("dl") / avgdl))
     )
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(corpus))
-        .select(id_col, "term", (idf_w * sat).alias("__s"))
+    scored = tf.crossJoin(F.broadcast(corpus)).select(
+        id_col, "term", (idf_w * sat).alias("__s")
     )
     per_term = [
         F.max(F.when(F.col("term") == t, F.col("__s"))).alias(f"__s{i}")
