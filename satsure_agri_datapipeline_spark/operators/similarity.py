@@ -1643,3 +1643,80 @@ def quantized_topk_to_vectorized(
         .orderBy(F.desc("cosine_sim_q"), id_col)
         .limit(k)
     )
+
+
+def ivfpq_recall_eval(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    fitted_ivf: tuple[DataFrame, DataFrame] | None = None,
+    fitted_pq: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Recall@k of the COMPOSED IVF-PQ search vs exact squared-L2 ground
+    truth — the measure-don't-guess gate (doc_lsh_eval r5, emb_ivf_eval /
+    pq_recall_eval r13) applied to the composition: IVFPQ loses recall two
+    ways (a true neighbor's cell not probed; ADC quantization reordering),
+    and only the composed measurement exposes their joint effect on THIS
+    corpus at THIS nprobe. One row: (n_truth, n_hits, recall_e4). The
+    exact ground truth always scans the float corpus; the candidate side
+    is :func:`ivfpq_topk` with whatever store halves are supplied."""
+    truth = (
+        df.crossJoin(
+            F.broadcast(
+                df.where(F.col(id_col) == query_id).select(
+                    F.transform(
+                        F.col(vec_col), lambda x: x.cast("double")
+                    ).alias("__q")
+                )
+            )
+        )
+        .where(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.col("__q"),
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, val: acc + val,
+                ),
+                6,
+            ).alias("__d"),
+        )
+        .orderBy(F.asc("__d"), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col)
+    )
+    got = ivfpq_topk(
+        df,
+        query_id,
+        k=k,
+        n_clusters=n_clusters,
+        nprobe=nprobe,
+        m=m,
+        n_codes=n_codes,
+        iterations=iterations,
+        vec_col=vec_col,
+        id_col=id_col,
+        fitted_ivf=fitted_ivf,
+        fitted_pq=fitted_pq,
+    ).select(id_col)
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    hits = got.join(F.broadcast(truth), id_col, "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return hits.crossJoin(n_truth).select(
+        "n_truth",
+        "n_hits",
+        F.expr("n_hits * 10000 div n_truth").alias("recall_e4"),
+    )

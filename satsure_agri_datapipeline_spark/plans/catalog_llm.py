@@ -1956,6 +1956,71 @@ _IVFPQ_ORACLE = f"""
     """
 
 
+# Recall gate for the composition: same training/probe/candidate CTEs as
+# _IVFPQ_ORACLE, final select replaced by the got/truth intersection count
+# (the emb_pq_eval tail). IVFPQ loses recall two ways — an unprobed cell
+# holding a true neighbor, and ADC quantization reordering — and only the
+# composed measurement exposes their joint effect.
+_IVFPQ_EVAL_ORACLE = f"""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    seeded AS (
+        SELECT vec_id, v,
+               ROW_NUMBER() OVER (
+                   ORDER BY ('0x' || substr(md5('0:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                            vec_id
+               ) AS rn
+        FROM base
+    ),
+    cent0 AS (
+        SELECT rn - 1 AS cluster_id, list_transform(v, x -> ROUND(x, 9)) AS c
+        FROM seeded WHERE rn <= 8
+    ),
+    {_kmeans_round_sql(1)},
+    {_kmeans_round_sql(2)},
+    {_kmeans_round_sql(3)},
+    {_PQ_TRAIN_SQL},
+    {_PQ_ADC_SQL},
+    qv AS (SELECT v AS q FROM base WHERE vec_id = 0),
+    probes AS (
+        SELECT c.cluster_id
+        FROM cent2 c CROSS JOIN qv
+        ORDER BY list_sum(list_transform(list_zip(qv.q, c.c),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+                 c.cluster_id ASC
+        LIMIT 2
+    ),
+    cand AS (
+        SELECT a.vec_id
+        FROM a3 a JOIN probes USING (cluster_id)
+        WHERE a.vec_id <> 0
+    ),
+    got AS (
+        SELECT adc.vec_id
+        FROM adc JOIN cand USING (vec_id)
+        ORDER BY ROUND(adc.dist, 6) ASC, adc.vec_id ASC
+        LIMIT 10
+    ),
+    truth AS (
+        SELECT vec_id FROM (
+            SELECT b.vec_id,
+                   ROUND(list_sum(list_transform(list_zip(b.v, qv.q),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d
+            FROM base b CROSS JOIN qv
+            WHERE b.vec_id <> 0
+        )
+        ORDER BY d ASC, vec_id ASC
+        LIMIT 10
+    )
+    SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM got JOIN truth USING (vec_id)) AS n_hits,
+           (SELECT COUNT(*) FROM got JOIN truth USING (vec_id)) * 10000
+               // (SELECT COUNT(*) FROM truth) AS recall_e4
+    """
+
+
 @query("emb_ann_ivfpq", _IVFPQ_ORACLE)
 def emb_ann_ivfpq(spark, sf_dir):
     """IVF-PQ composed ANN (operators/similarity.py ivfpq_topk — the FAISS
@@ -2017,6 +2082,25 @@ def emb_ann_ivfpq_colocated(spark, sf_dir):
     )
     return ivfpq_topk_from_lists(
         emb, cent, cb, lists, query_id=0, k=10, nprobe=2, m=_PQ_M
+    )
+
+
+@query("emb_ivfpq_eval", _IVFPQ_EVAL_ORACLE)
+def emb_ivfpq_eval(spark, sf_dir):
+    """Recall@10 of the composed IVF-PQ search vs exact squared-L2 ground
+    truth (operators/similarity.py ivfpq_recall_eval) — the
+    measure-don't-guess gate applied to the COMPOSITION: cell-miss and
+    quantization-reorder recall losses only show up measured jointly.
+    Serves both standing ANN stores (built on first use)."""
+    from satsure_agri_datapipeline_spark.sources.ivf_store import ensure_ivf_store
+    from satsure_agri_datapipeline_spark.sources.pq_store import ensure_pq_store
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = ensure_ivf_store(spark, sf_dir, k=8, iterations=2, seed=0)
+    pq = ensure_pq_store(spark, sf_dir, m=_PQ_M, k=_PQ_K, iterations=2, seed=0)
+    return sim.ivfpq_recall_eval(
+        emb, query_id=0, k=10, n_clusters=8, nprobe=2, m=_PQ_M, n_codes=_PQ_K,
+        iterations=2, fitted_ivf=ivf, fitted_pq=pq,
     )
 
 

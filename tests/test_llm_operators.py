@@ -1824,3 +1824,26 @@ def test_quantized_topk_vectorized_empty_query(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     assert sim.quantized_topk_to_vectorized(df, query_id=0, k=5).collect() == []
     assert sim.quantized_topk_to(df, query_id=0, k=5).collect() == []
+
+
+def test_ivfpq_recall_eval_bounds(vectors):
+    out = sim.ivfpq_recall_eval(
+        vectors, query_id=0, k=3, n_clusters=2, nprobe=1, m=2, n_codes=4
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_truth == 3 and 0 <= r.n_hits <= r.n_truth
+    assert r.recall_e4 == r.n_hits * 10000 // r.n_truth
+    # probing ALL cells = no cell pruning: the composed eval must equal the
+    # plain full-corpus ADC eval exactly. (Recall is NOT monotonic in
+    # nprobe: a larger candidate pool lets quantization-reordered impostors
+    # displace true neighbors from the top-k — first observed right here.)
+    full = sim.ivfpq_recall_eval(
+        vectors, query_id=0, k=3, n_clusters=2, nprobe=2, m=2, n_codes=4
+    ).collect()[0]
+    adc_only = sim.pq_recall_eval(
+        vectors, query_id=0, k=3, m=2, n_codes=4
+    ).collect()[0]
+    assert (full.n_truth, full.n_hits, full.recall_e4) == (
+        adc_only.n_truth, adc_only.n_hits, adc_only.recall_e4
+    )
