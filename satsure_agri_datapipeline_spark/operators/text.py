@@ -73,6 +73,36 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _half_up(x):
+    return F.floor(x + F.lit(0.5)).cast("long")
+
+
+def quality_score_col(txt: F.Column) -> F.Column:
+    """The composite quality score (×10⁴) as ONE column expression over the
+    text column — the join-free form consumers embed directly in a
+    projection/filter (optimization r13: plans/curation.py's stage 1 used
+    to JOIN :func:`quality_score`'s output back onto docs BY ID — a
+    self-join that scanned the corpus twice and paid an exchange for a
+    per-row expression). Identical arithmetic to :func:`quality_score`:
+    same sub-expressions, same half-up integer scaling."""
+    n_chars = F.length(txt)
+    toks = F.split(F.trim(txt), r"\s+")
+    n_tokens = F.greatest(F.size(toks), F.lit(1))
+    n_punct = F.length(F.regexp_replace(txt, r"[^.,;:!?]", ""))
+    stop_hits = _marker_token_count(txt, LANG_MARKERS["en"])
+    punct_e4 = _half_up(n_punct * 10000.0 / F.greatest(n_chars, F.lit(1)))
+    stop_e4 = _half_up(stop_hits * 10000.0 / n_tokens)
+    len_component = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    return _half_up(
+        (
+            0.5 * len_component
+            + 0.3 * F.least(stop_e4 / F.lit(2000.0), F.lit(1.0))
+            + 0.2 * (1.0 - F.least(punct_e4 / F.lit(1000.0), F.lit(1.0)))
+        )
+        * 10000
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic document-quality features + composite score:
     length band, punctuation ratio, stopword ratio.
@@ -88,9 +118,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     n_punct = F.length(F.regexp_replace(txt, r"[^.,;:!?]", ""))
     stop_hits = _marker_token_count(txt, LANG_MARKERS["en"])
 
-    def half_up(x):
-        return F.floor(x + F.lit(0.5)).cast("long")
-
+    half_up = _half_up
     punct_e4 = half_up(n_punct * 10000.0 / F.greatest(n_chars, F.lit(1)))
     stop_e4 = half_up(stop_hits * 10000.0 / n_tokens)
     len_component = F.least(n_chars / F.lit(500.0), F.lit(1.0))
@@ -304,29 +332,100 @@ def top_ngrams(
     k: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    combiner: bool = True,
 ) -> DataFrame:
     """Corpus-level top-k word n-grams by document frequency — vocabulary /
     boilerplate mining. Returns (ngram, n_docs, n_occurrences) ordered by
     n_docs desc with a deterministic ngram tiebreak.
 
-    Shape: flatMap (split + sequence/explode, no UDF) → one hash aggregate
-    keyed by ngram (map-side partial aggregation collapses repeats before
-    the shuffle) → TakeOrderedAndProject for the top-k. The only shuffle
-    carries (ngram, partial counts) — at 100 TB this is the canonical
-    word-count plan, and a ``max_df``-style cap is unnecessary because the
-    aggregate output is bounded by distinct-ngram cardinality, not corpus
-    size.
+    Default shape (optimization r13, ``combiner=True``): a per-task
+    ``mapInArrow`` combiner — tokenize each document once in the Python
+    worker, accumulate per-task (ngram → docs, occurrences) partials, and
+    emit ONE partial row per distinct ngram per task; the only shuffle is
+    the final ``groupBy(ngram).agg(sum, sum)`` over those partials. This
+    is the classic word-count combiner with the document-frequency count
+    folded in, legal because every document is exactly ONE input row, so a
+    per-task `set(grams)` per row IS a distinct-per-doc count — problem
+    knowledge the optimizer cannot derive (it would need to prove
+    ``id_col`` unique). It deletes both heavy plan features of the
+    expression form at once: the gram-row explode (corpus token count × n
+    rows through a Generate) and the ``countDistinct`` Expand (which
+    doubles those rows again through the exchange). PRECONDITION: one row
+    per document (the documents-table contract; a caller with duplicate
+    ``id_col`` rows would double-count n_docs — use ``combiner=False``).
+    Tokenization parity with the JVM form is byte-exact and tested:
+    Python ``[ \\t\\n\\x0b\\f\\r]+`` splitting IS Java ``\\s+`` (ASCII
+    class), ``strip(" ")`` IS Spark ``trim`` (spaces only), and
+    leading/trailing empty split fields match Spark's limit=-1 semantics.
+    Raced at sf0.1 (5 runs, alternating, noop sink): expression form
+    4.68 s → combiner 0.94 s (−80%), identical rows.
 
-    r13 (verdict task 6): the gram projection builds the full gram ARRAY
-    in one expression and explode_outer's it, instead of exploding an
-    index sequence and slicing ``split(trim(text))`` per index. The old
-    index form was the SURVEY §4.4 trap-1 shape twice over — the inferred
-    generate filter re-derived the split per document, and the
-    post-Generate slice re-ran it per GRAM row (tokens × split-cost per
-    document). Within one projection codegen's subexpression elimination
-    evaluates the split once; measured at 100×/500k docs: 80.4/85.0 s →
-    55.4/50.8 s (−36%), identical output."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    ``combiner=False`` — the pure-expression twin (the correctness
+    cross-check and the duplicate-id fallback): flatMap (split +
+    gram-array + explode_outer, no UDF) → ``countDistinct`` aggregate →
+    TakeOrderedAndProject. r13-opt fix over the r13-build form: the gram
+    array is built from a ``__toks`` column PROJECTED IN ITS OWN SELECT,
+    not inlined — lambda bodies are excluded from codegen subexpression
+    elimination, so the inlined ``slice(split(trim(text)), i, n)`` re-ran
+    the full split PER GRAM (O(tokens²) per doc; the §4.4 trap-1 shape a
+    third time, now inside the HOF). CollapseProject keeps the multi-use
+    non-cheap split out of the consuming projection (SPARK-36718), so it
+    evaluates once per document. Raced: 4.68 s → 2.05 s (−56%); the
+    combiner beats both.
+
+    At 100 TB the combiner is the right shape outright: one corpus scan,
+    text never crosses a shuffle, partial-map size is bounded by per-task
+    vocabulary (Heaps' law), and the single exchange carries
+    (ngram, two longs) rows — no ``max_df`` cap needed because aggregate
+    output is bounded by distinct-ngram cardinality, not corpus size."""
+    if combiner:
+        import pyarrow as pa
+
+        out_schema = pa.schema(
+            [("ngram", pa.string()), ("pd", pa.int64()), ("po", pa.int64())]
+        )
+
+        def partial_counts(batches):
+            from collections import Counter
+
+            ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s (ASCII class)
+            docs_c: Counter = Counter()
+            occ_c: Counter = Counter()
+            for batch in batches:
+                for text in batch.column(0).to_pylist():
+                    if text is None:
+                        continue
+                    w = ws.split(text.strip(" "))  # Spark trim: spaces only
+                    if len(w) < n:
+                        continue
+                    grams = [
+                        " ".join(w[i : i + n]) for i in range(len(w) - n + 1)
+                    ]
+                    occ_c.update(grams)
+                    docs_c.update(set(grams))
+            if docs_c:
+                yield pa.record_batch(
+                    [
+                        pa.array(list(docs_c.keys()), pa.string()),
+                        pa.array(list(docs_c.values()), pa.int64()),
+                        pa.array([occ_c[g] for g in docs_c], pa.int64()),
+                    ],
+                    schema=out_schema,
+                )
+
+        partials = df.select(text_col).mapInArrow(
+            partial_counts, "ngram string, pd long, po long"
+        )
+        return (
+            partials.groupBy("ngram")
+            .agg(F.sum("pd").alias("n_docs"), F.sum("po").alias("n_occurrences"))
+            .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "ngram")
+            .limit(k)
+        )
+    toks_df = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks")
+    )
+    toks = F.col("__toks")
     gram_arr = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -334,7 +433,7 @@ def top_ngrams(
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = df.select(
+    grams = toks_df.select(
         F.col(id_col), F.explode_outer(gram_arr).alias("ngram")
     ).where(F.col("ngram").isNotNull())
     return (

@@ -279,6 +279,29 @@ def test_top_ngrams(docs):
     assert all(r.n_occurrences >= r.n_docs for r in top)
 
 
+def test_top_ngrams_combiner_matches_expression_form(spark):
+    """The mapInArrow combiner (optimization r13 default) must reproduce the
+    pure-expression twin byte-for-byte, including the whitespace edges where
+    Python and Java split semantics could diverge: tabs/newlines inside text
+    (Java \\s is the ASCII class), trailing newline after a space-only trim
+    (limit=-1 keeps the trailing empty field on both sides), whitespace-only
+    and empty and NULL texts, and a doc shorter than n."""
+    rows = [
+        (0, "a b\tc\nd  e a b"),      # mixed ASCII whitespace, repeat gram
+        (1, " a b c \n"),             # trim strips spaces, NOT the newline
+        (2, "\t\n "),                  # whitespace-only -> no grams
+        (3, ""),                       # empty -> no grams
+        (4, None),                     # NULL text
+        (5, "single"),                 # shorter than n
+        (6, "a\u00a0b c d"),          # NBSP is NOT Java \s: one token "a\xa0b"
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = tx.top_ngrams(df, n=2, k=50, combiner=True).collect()
+    want = tx.top_ngrams(df, n=2, k=50, combiner=False).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert any(r.ngram == "a b" and r.n_docs == 2 for r in got)
+
+
 def test_tfidf_top_terms(docs):
     out = tx.tf_idf_top_terms(docs, k=2).collect()
     by_doc = {}
