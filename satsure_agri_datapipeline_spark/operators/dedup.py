@@ -982,19 +982,32 @@ def connected_components(
     which is what makes the threshold safe to size by edge count alone.
     """
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    n_edges = edges.count()
-    if n_edges <= driver_threshold:
+    # Size gate and collect in ONE job (optimization r13): probe with
+    # limit(threshold+1) instead of a separate count() — if the probe comes
+    # back with ≤ threshold rows the limit did not truncate and the frame IS
+    # the full edge list, so the count job (a second full execution of the
+    # pair lineage through the cache) disappears; if it comes back with
+    # threshold+1 rows the graph is big and the distributed path below
+    # proceeds (it never needed the exact count). At scale the probe is
+    # CHEAPER than the count it replaces: CollectLimit stops scheduling
+    # once threshold+1 rows are in hand, while count() always runs every
+    # partition. Collected via Arrow (``toPandas`` → two int64 numpy
+    # arrays, 16 bytes/edge ≈ 16 MB at the 1M default threshold).
+    pdf = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .limit(driver_threshold + 1)
+        .toPandas()
+    )
+    if len(pdf) <= driver_threshold:
         try:
-            pdf = (
-                edges.select(
-                    F.col(src_col).cast("long").alias("src"),
-                    F.col(dst_col).cast("long").alias("dst"),
-                ).toPandas()
-            )
             pairs = zip(pdf["src"].to_numpy().tolist(), pdf["dst"].to_numpy().tolist())
             return _driver_union_find(pairs, edges.sparkSession)
         finally:
             edges.unpersist()
+    del pdf
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))

@@ -2625,9 +2625,20 @@ def doc_curation_pipeline(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 97 == 0)
     store = shingle_store_or_none(spark, sf_dir, n=3, unit="word", seed=0)
+    # Optimization r13: serve the n=4 decon store by default too (the r9
+    # raw-names-serve-stores rule applied to stage 4) — per-run 4-gram
+    # hashing of the kept corpus becomes a store restriction, exactly as
+    # in the _capped production form. Identical result: the restriction is
+    # a superset of stage 4's input ids and the consumer is an anti-join
+    # (the r12 safety argument); the shared oracle stays hash-pinned.
+    decon = (
+        shingle_store_or_none(spark, sf_dir, n=4, unit="word", seed=0)
+        if store is not None
+        else None
+    )
     kept = curate_corpus(
         docs, bench, min_quality_e4=5000, jaccard_threshold=0.5,
-        shingle_n=3, decon_n=4, shingle_store=store,
+        shingle_n=3, decon_n=4, shingle_store=store, decon_store=decon,
     )
     return kept.select("doc_id").orderBy("doc_id")
 
@@ -2758,9 +2769,12 @@ def doc_curation_pipeline_stored(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 97 == 0)
     store = ensure_shingle_store(spark, sf_dir, n=3, unit="word", seed=0)
+    # Optimization r13: stage 4 likewise serves the n=4 store (built on
+    # first use, like the n=3 one) — see doc_curation_pipeline's note.
+    decon = ensure_shingle_store(spark, sf_dir, n=4, unit="word", seed=0)
     kept = curate_corpus(
         docs, bench, min_quality_e4=5000, jaccard_threshold=0.5,
-        shingle_n=3, decon_n=4, shingle_store=store,
+        shingle_n=3, decon_n=4, shingle_store=store, decon_store=decon,
     )
     return kept.select("doc_id").orderBy("doc_id")
 
