@@ -150,6 +150,24 @@ def _repartitioned(df: DataFrame, id_col: str) -> DataFrame:
     preempted worker among 32 sets the stage wall time). bench.py sets 8
     for sub-64 MB inputs; at real scale the default saturates the cluster
     and each task carries thousands of documents anyway.
+
+    Optimization-r13 note (examined, deliberately unchanged): this
+    repartition exchanges FULL DOCUMENT TEXT by id. That was load-bearing
+    when every consumer was a Python UDF pinned to a few-file scan; the
+    hot consumers are pure-JVM expression pipelines now
+    (``shingle_hash_arrays``, ``simhash``, ``span_hash_arrays``), so on a
+    corpus whose scan is already wide (dense multi-row-group files at real
+    scale) the exchange is a corpus-payload shuffle bought for nothing —
+    guide §8's central sin. A partition-count gate
+    (``df.rdd.getNumPartitions() >= parallelism`` → skip) was prototyped
+    and REVERTED this round: ``getNumPartitions`` overcounts effective
+    scan parallelism on row-group-sparse layouts (splits beyond row
+    groups schedule empty tasks), and the isolating measurement — the
+    shingle-hash stage over a 64-file/500k-doc corpus, forced vs skipped,
+    alternating — returned only host-stall noise (77 vs 234 s on
+    IDENTICAL forced runs; see OPTIMIZATION_r13.md). Until a quiet box
+    can measure it, the known-good behavior stays; see "Not yet
+    optimized".
     """
     import os  # noqa: PLC0415
 

@@ -455,6 +455,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     exploded: DataFrame | None = None,
+    bench_exploded: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination — flag training documents that share at
     least ``min_hits`` distinct word n-grams with a benchmark/eval corpus
@@ -483,12 +484,22 @@ def decontaminate(
     """
     from satsure_agri_datapipeline_spark.operators.dedup import shingle_hash_arrays
 
-    bench_sh = (
-        shingle_hash_arrays(benchmark, n=n, text_col=text_col, id_col=id_col)
-        .select(F.explode_outer("shs").alias("sh"))
-        .where(F.col("sh").isNotNull())
-        .distinct()
-    )
+    if bench_exploded is not None:
+        # Optimization r13: a pre-exploded (id, sh) relation for the
+        # BENCHMARK side — when the benchmark is a slice of the corpus the
+        # standing decon store covers, the caller restricts the store to
+        # the benchmark ids instead of paying a full corpus scan + per-run
+        # n-gram hashing just to extract the slice's hashes. Must be the
+        # benchmark's EXACT id set (unlike ``exploded``, a superset is NOT
+        # safe here: extra docs' shingles would join as false hits).
+        bench_sh = bench_exploded.select("sh").distinct()
+    else:
+        bench_sh = (
+            shingle_hash_arrays(benchmark, n=n, text_col=text_col, id_col=id_col)
+            .select(F.explode_outer("shs").alias("sh"))
+            .where(F.col("sh").isNotNull())
+            .distinct()
+        )
     if exploded is not None:
         train_rel = exploded.select(F.col(id_col), "sh")
     else:

@@ -2639,6 +2639,13 @@ def doc_curation_pipeline(spark, sf_dir):
     kept = curate_corpus(
         docs, bench, min_quality_e4=5000, jaccard_threshold=0.5,
         shingle_n=3, decon_n=4, shingle_store=store, decon_store=decon,
+        # the benchmark is BY CONSTRUCTION the doc_id%97 slice of the same
+        # corpus the store covers, so the store serves its hashes too --
+        # a pushed-down predicate on the store scan replaces a full docs
+        # scan + per-run 4-gram hashing of the benchmark slice
+        decon_bench_exploded=(
+            decon.where(F.col("doc_id") % 97 == 0) if decon is not None else None
+        ),
     )
     return kept.select("doc_id").orderBy("doc_id")
 
@@ -2748,6 +2755,9 @@ def doc_curation_pipeline_capped(spark, sf_dir):
         docs, bench, min_quality_e4=5000, jaccard_threshold=0.5,
         shingle_n=3, decon_n=4, shingle_store=store, max_shingle_df=10,
         decon_store=decon,
+        decon_bench_exploded=(
+            decon.where(F.col("doc_id") % 97 == 0) if decon is not None else None
+        ),
     )
     return kept.select("doc_id").orderBy("doc_id")
 
@@ -2775,6 +2785,7 @@ def doc_curation_pipeline_stored(spark, sf_dir):
     kept = curate_corpus(
         docs, bench, min_quality_e4=5000, jaccard_threshold=0.5,
         shingle_n=3, decon_n=4, shingle_store=store, decon_store=decon,
+        decon_bench_exploded=decon.where(F.col("doc_id") % 97 == 0),
     )
     return kept.select("doc_id").orderBy("doc_id")
 

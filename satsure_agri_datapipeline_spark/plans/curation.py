@@ -36,6 +36,7 @@ def curate_corpus(
     broadcast_id_limit: int = 2_000_000,
     max_shingle_df: int | None = None,
     decon_store: DataFrame | None = None,
+    decon_bench_exploded: DataFrame | None = None,
 ) -> DataFrame:
     """Return the curated corpus (same schema as ``docs``), keeping a doc iff
 
@@ -94,6 +95,7 @@ def curate_corpus(
         broadcast_id_limit=broadcast_id_limit,
         max_shingle_df=max_shingle_df,
         decon_store=decon_store,
+        decon_bench_exploded=decon_bench_exploded,
     )
     return kept
 
@@ -112,6 +114,7 @@ def _curate_staged(
     broadcast_id_limit: int = 2_000_000,
     max_shingle_df: int | None = None,
     decon_store: DataFrame | None = None,
+    decon_bench_exploded: DataFrame | None = None,
 ) -> tuple[DataFrame, dict]:
     """Shared staged lineage. With ``observe_stages`` each stage boundary
     carries a ``CollectMetrics`` row count (Spark dedupes the metric across
@@ -261,6 +264,12 @@ def _curate_staged(
         contaminated = tx.decontaminate(
             kept, benchmark, n=decon_n, text_col=text_col, id_col=id_col,
             exploded=decon_exploded,
+            # bench-side store restriction (optimization r13): only the
+            # caller can know the benchmark is a slice of the store's
+            # corpus, so it passes the exact-id restricted relation; an
+            # approximate/superset restriction would create false hits
+            # (see decontaminate's docstring).
+            bench_exploded=decon_bench_exploded,
         ).select(id_col)
         kept = mark(
             kept.join(contaminated, id_col, "left_anti"), "after_decontaminate"

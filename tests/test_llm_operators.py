@@ -646,6 +646,45 @@ def test_decontaminate_flags_overlapping_docs(spark):
     assert tx.decontaminate(train, bench, n=4, min_hits=2).count() == 0
 
 
+def test_decontaminate_bench_exploded_matches_raw_benchmark(spark):
+    """r13 optimization: a pre-exploded (id, sh) relation for the BENCHMARK
+    side (the decon-store restriction path) must yield byte-identical hits
+    to hashing the benchmark text per run."""
+    from pyspark.sql import functions as F
+
+    from satsure_agri_datapipeline_spark.operators import text as tx
+    from satsure_agri_datapipeline_spark.operators.dedup import shingle_hash_arrays
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (3, "beta gamma delta epsilon something else"),
+            (4, ""),  # empty doc: no shingles either way
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, "xxx beta gamma delta epsilon yyy"),
+            (101, "one two three four five ALIEN tokens"),
+            (102, "   "),  # whitespace-only benchmark doc
+        ],
+        "doc_id long, text string",
+    )
+    # what a fresh n=4 decon store restricted to the benchmark ids serves
+    bench_rel = (
+        shingle_hash_arrays(bench, n=4)
+        .select("doc_id", F.explode_outer("shs").alias("sh"))
+        .where(F.col("sh").isNotNull())
+    )
+    raw = sorted(map(tuple, tx.decontaminate(train, bench, n=4).collect()))
+    served = sorted(
+        map(tuple, tx.decontaminate(train, bench, n=4, bench_exploded=bench_rel).collect())
+    )
+    assert served == raw and len(raw) > 0
+
+
 def test_repetition_stats_exact_values(spark):
     from satsure_agri_datapipeline_spark.operators import text as tx
 
