@@ -941,7 +941,16 @@ def lowest_agreeing_band_predicate(band_bits: int, n_bands: int) -> F.Column:
 def _driver_union_find(edge_rows, spark):
     """Min-label union-find over a collected edge list. Result is identical
     to the distributed propagation (component id = min node id — a property
-    of the component, independent of traversal order)."""
+    of the component, independent of traversal order).
+
+    The returned relation carries a BROADCAST hint (optimization r13): its
+    exact row count is known HERE on the driver (≤ 2×driver_threshold nodes,
+    two longs each — ≤ ~32 MB at the 1M-edge default), and every consumer
+    joins it against a corpus-sized relation (``dedup_keep_canonical``'s
+    anti-join). Unhinted, that join planned as SortMergeJoin — an Exchange +
+    Sort over the SURVIVING CORPUS to avoid shuffling a relation we just
+    held in a Python dict. The distributed CC path returns no hint (its
+    result is corpus-scaled; AQE owns the choice there)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -959,7 +968,9 @@ def _driver_union_find(edge_rows, spark):
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     rows = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(rows, "node_id long, component_id long")
+    return F.broadcast(
+        spark.createDataFrame(rows, "node_id long, component_id long")
+    )
 
 
 def connected_components(
@@ -999,7 +1010,6 @@ def connected_components(
     threshold that is ~16 MB of driver memory instead of hundreds of MB,
     which is what makes the threshold safe to size by edge count alone.
     """
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     # Size gate and collect in ONE job (optimization r13): probe with
     # limit(threshold+1) instead of a separate count() — if the probe comes
     # back with ≤ threshold rows the limit did not truncate and the frame IS
@@ -1011,6 +1021,17 @@ def connected_components(
     # once threshold+1 rows are in hand, while count() always runs every
     # partition. Collected via Arrow (``toPandas`` → two int64 numpy
     # arrays, 16 bytes/edge ≈ 16 MB at the 1M default threshold).
+    #
+    # The probe runs UNPERSISTED (optimization r13, second pass): since the
+    # one-job gate landed, the driver path consumes ``edges`` exactly once,
+    # so the MEMORY_AND_DISK cache build inside the probe job (row
+    # serialization into storage memory for a relation nobody reads again)
+    # was pure overhead on the common path. The distributed path persists
+    # AFTER the probe, before ``sym`` fans the relation out into its two
+    # consuming selects — it re-executes the pair lineage once to populate
+    # the cache, which is no worse than before: at >threshold edges the
+    # probe's CollectLimit stopped early, so the old pre-probe persist had
+    # only cached whatever partial prefix the probe happened to schedule.
     pdf = (
         edges.select(
             F.col(src_col).cast("long").alias("src"),
@@ -1020,12 +1041,10 @@ def connected_components(
         .toPandas()
     )
     if len(pdf) <= driver_threshold:
-        try:
-            pairs = zip(pdf["src"].to_numpy().tolist(), pdf["dst"].to_numpy().tolist())
-            return _driver_union_find(pairs, edges.sparkSession)
-        finally:
-            edges.unpersist()
+        pairs = zip(pdf["src"].to_numpy().tolist(), pdf["dst"].to_numpy().tolist())
+        return _driver_union_find(pairs, edges.sparkSession)
     del pdf
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))

@@ -243,6 +243,18 @@ def test_dedup_keep_canonical(docs):
     assert kept == [0, 2, 4]
 
 
+def test_driver_cc_result_broadcasts_into_anti_join(docs):
+    # optimization r13: the driver union-find path knows its result's exact
+    # size, so it carries a broadcast hint — the canonical-dedup anti-join
+    # must plan BroadcastHashJoin (no Exchange+Sort over the corpus side),
+    # not SortMergeJoin, regardless of size estimates.
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5)
+    kept = dd.dedup_keep_canonical(docs, pairs)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_embedding_near_dup_pairs(vectors):
     pairs = sim.embedding_near_dup_pairs(vectors, threshold=0.999999, n_bits=4).collect()
     assert pairs, "identical-direction vectors must pair"
