@@ -963,8 +963,19 @@ def bm25_topk(
     with_t = base.select(
         id_col, "__t", F.size(F.split(F.col("__t"), r"\s+")).alias("dl")
     )
-    corpus = with_t.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
+    # The corpus-stats leg is its own scan (Catalyst shares no subplans) and
+    # needs only dl = token count: lowercasing never creates or destroys
+    # whitespace (no Unicode case mapping produces a character in Java's
+    # ASCII \s class), so this leg skips the full-corpus lower() the tf leg
+    # pays — guide §2.3, project only what the consumer needs (optimization
+    # r13; value-identity unit-tested).
+    corpus = df.where(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("total_tokens"),
     )
     # Candidate pre-filter BEFORE tokenize+explode: a doc can only match a
     # query term if that term appears as a SUBSTRING of its text — a

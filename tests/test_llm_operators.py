@@ -1839,6 +1839,31 @@ def test_bm25_validates_args(bm25_docs):
         tx.bm25_topk(bm25_docs, ["x", "x"])
 
 
+def test_bm25_stats_leg_case_insensitive(spark):
+    # optimization r13: the corpus-stats leg skips lower() — legal only
+    # because case mapping never creates or destroys whitespace, so dl and
+    # total_tokens are case-independent. Pin that with mixed-case text whose
+    # lowercase form the tf leg still matches.
+    rows = [
+        (0, "  RaRe COMMON\tCoMmOn  "),
+        (1, "Common COMMON common CoMmOn"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in tx.bm25_topk(df, ["rare", "common"], k=10).collect()}
+    # matching is on lowercased tokens (both docs match 'common')
+    assert out[0].n_terms_matched == 2 and out[1].n_terms_matched == 1
+    # identical scores to an all-lowercase corpus: stats leg saw the same
+    # dl / total_tokens despite never lowering
+    low = spark.createDataFrame(
+        [(i, t.lower()) for i, t in rows], "doc_id long, text string"
+    )
+    out_low = {
+        r.doc_id: r for r in tx.bm25_topk(low, ["rare", "common"], k=10).collect()
+    }
+    for i in (0, 1):
+        assert out[i].bm25_score == out_low[i].bm25_score
+
+
 def test_hybrid_rrf_fuses_both_systems(spark, bm25_docs):
     # vec 1 is nearly parallel to the query vec 0; vec 2 orthogonal; vec 9
     # exists only in the vector store (no doc 9 text matches)
