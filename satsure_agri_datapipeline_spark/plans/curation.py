@@ -133,19 +133,21 @@ def _curate_staged(
 
     docs = mark(docs, "input")
     # Stages 1+2 fused into ONE pass (optimization r13): quality score as an
-    # inline expression and the exact-dedup keeper as MIN(id) OVER
-    # (PARTITION BY digest) on a narrow (id, digest, score) projection.
-    # The previous form paid two diamonds — docs JOIN quality_score(docs)
-    # ON id (a self-join: two corpus scans + an exchange for a per-row
-    # expression), then kept SEMI-JOIN exact_duplicate_groups(kept) (the
-    # whole quality lineage re-executed for the keeper side + a digest
-    # aggregate + another join). Fused: one scan, one exchange of
-    # ~40 B/row (id + md5 hex), zero joins. Row set is identical by
-    # construction: the join was on a unique id (row-preserving), and
-    # min-id-over-digest-partition IS the exact_duplicate_groups keeper
-    # rule (NULL digests group together in windows exactly as in groupBy).
-    # Raced at sf0.1 (tools/race_curation_stage12.py, 5 runs, noop sink):
-    # best 1.062 s -> 0.608 s (-43%); output ids verified identical (3034).
+    # inline expression and the exact-dedup keeper as an AGGREGATE —
+    # groupBy(digest).agg(min(id)) on a narrow (id, digest, score)
+    # projection. The r13 first cut used MIN(id) OVER (PARTITION BY digest)
+    # + filter; downstream consumes ONLY the keeper id set (kept_ids), so
+    # the window's full-row pass-through bought nothing and cost a
+    # sort-within-partition plus a full-row exchange. The aggregate gets
+    # map-side partial aggregation (duplicate digests combine BEFORE the
+    # shuffle — on a dup-heavy corpus the exchange carries distinct digests
+    # per task, not rows) and no sort. Id set identical by construction:
+    # min-id-per-digest-group IS the exact_duplicate_groups keeper rule,
+    # and NULL digests form one group in both forms. The pre-fusion history
+    # (two diamonds: docs JOIN quality_score(docs) ON id, then
+    # kept SEMI-JOIN exact_duplicate_groups(kept)) and its race
+    # (1.062 s -> 0.608 s, tools/race_curation_stage12.py) are in
+    # OPTIMIZATION_r13.md §2; the window->aggregate re-cut is §9.
     scored = docs.select(
         F.col(id_col),
         F.md5(F.lower(F.trim(F.col(text_col)))).alias("__digest"),
@@ -154,12 +156,8 @@ def _curate_staged(
     kept_q = mark(
         scored.where(F.col("__q") >= min_quality_e4), "after_quality"
     )
-    from pyspark.sql import Window
-
     kept = mark(
-        kept_q.withColumn(
-            "__keep", F.min(id_col).over(Window.partitionBy("__digest"))
-        ).where(F.col(id_col) == F.col("__keep")),
+        kept_q.groupBy("__digest").agg(F.min(id_col).alias(id_col)),
         "after_exact",
     )
 
