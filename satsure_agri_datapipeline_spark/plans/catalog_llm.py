@@ -154,6 +154,35 @@ def _pair_family_degrade(sf_dir, name: str, default_bytes: int) -> bool:
     return True
 
 
+# --- Quality-kernel size gate (optimization r14) --------------------------
+#
+# The curation stage-1 quality score has two value-identical serving
+# shapes: the JVM three-regex-pass expression (text.quality_score_col) and
+# the one-pass Arrow kernel (text.quality_score_kernel_col). The kernel
+# pays a fixed Python-worker round-trip that only amortizes with corpus
+# bytes: raced −45% at 100× (1.2 GiB), ~tie at 10× (115 MiB), +35% at
+# sf0.1 (17 MiB) — tools/race_quality_kernel.py. Unlike the pair-family
+# gate this is pure routing: BOTH sides produce identical scores (the
+# curation oracle pins the composition either way), so the threshold only
+# has to sit near the measured break-even. ``SPARK_GRAFT_QUALITY_KERNEL``
+# overrides: on/1 forces the kernel, off/0/none forces the expression.
+QUALITY_KERNEL_GATE_BYTES = 64 * 1024**2
+
+
+def _quality_kernel_gate(sf_dir) -> bool:
+    from satsure_agri_datapipeline_spark.sources.store_util import (
+        source_total_bytes,
+    )
+
+    env = os.environ.get("SPARK_GRAFT_QUALITY_KERNEL", "").lower()
+    if env in ("on", "1", "kernel"):
+        return True
+    if env in ("off", "0", "none", "expr"):
+        return False
+    size = source_total_bytes(Path(sf_dir) / "documents.parquet")
+    return size >= QUALITY_KERNEL_GATE_BYTES
+
+
 def _jaccard_pairs_default(spark, sf_dir, docs, threshold=0.5, gate_name=None):
     """3-gram word Jaccard pairs for ALL downstream consumers (clusters,
     canonical dedup, edit-distance verify, triangles, keep-best): served
@@ -2646,6 +2675,7 @@ def doc_curation_pipeline(spark, sf_dir):
         decon_bench_exploded=(
             decon.where(F.col("doc_id") % 97 == 0) if decon is not None else None
         ),
+        quality_kernel=_quality_kernel_gate(sf_dir),
     )
     return kept.select("doc_id").orderBy("doc_id")
 
@@ -2758,6 +2788,7 @@ def doc_curation_pipeline_capped(spark, sf_dir):
         decon_bench_exploded=(
             decon.where(F.col("doc_id") % 97 == 0) if decon is not None else None
         ),
+        quality_kernel=_quality_kernel_gate(sf_dir),
     )
     return kept.select("doc_id").orderBy("doc_id")
 
@@ -2786,6 +2817,7 @@ def doc_curation_pipeline_stored(spark, sf_dir):
         docs, bench, min_quality_e4=5000, jaccard_threshold=0.5,
         shingle_n=3, decon_n=4, shingle_store=store, decon_store=decon,
         decon_bench_exploded=decon.where(F.col("doc_id") % 97 == 0),
+        quality_kernel=_quality_kernel_gate(sf_dir),
     )
     return kept.select("doc_id").orderBy("doc_id")
 

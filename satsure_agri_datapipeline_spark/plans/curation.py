@@ -37,6 +37,7 @@ def curate_corpus(
     max_shingle_df: int | None = None,
     decon_store: DataFrame | None = None,
     decon_bench_exploded: DataFrame | None = None,
+    quality_kernel: bool = False,
 ) -> DataFrame:
     """Return the curated corpus (same schema as ``docs``), keeping a doc iff
 
@@ -96,6 +97,7 @@ def curate_corpus(
         max_shingle_df=max_shingle_df,
         decon_store=decon_store,
         decon_bench_exploded=decon_bench_exploded,
+        quality_kernel=quality_kernel,
     )
     return kept
 
@@ -115,6 +117,7 @@ def _curate_staged(
     max_shingle_df: int | None = None,
     decon_store: DataFrame | None = None,
     decon_bench_exploded: DataFrame | None = None,
+    quality_kernel: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Shared staged lineage. With ``observe_stages`` each stage boundary
     carries a ``CollectMetrics`` row count (Spark dedupes the metric across
@@ -148,10 +151,20 @@ def _curate_staged(
     # kept SEMI-JOIN exact_duplicate_groups(kept)) and its race
     # (1.062 s -> 0.608 s, tools/race_curation_stage12.py) are in
     # OPTIMIZATION_r13.md §2; the window->aggregate re-cut is §9.
+    # ``quality_kernel`` (optimization r14): score via the one-pass Arrow
+    # kernel instead of the three-regex-pass JVM expression — identical
+    # per-doc values (operators/text.py:quality_score_kernel_col's parity
+    # ledger), −45% on this subplan at 100×. The caller size-gates: the
+    # Python round-trip only amortizes past ~100 MiB of corpus.
+    q_col = (
+        tx.quality_score_kernel_col(F.col(text_col))
+        if quality_kernel
+        else tx.quality_score_col(F.col(text_col))
+    )
     scored = docs.select(
         F.col(id_col),
         F.md5(F.lower(F.trim(F.col(text_col)))).alias("__digest"),
-        tx.quality_score_col(F.col(text_col)).alias("__q"),
+        q_col.alias("__q"),
     )
     kept_q = mark(
         scored.where(F.col("__q") >= min_quality_e4), "after_quality"

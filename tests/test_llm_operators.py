@@ -314,6 +314,64 @@ def test_top_ngrams_combiner_matches_expression_form(spark):
     assert any(r.ngram == "a b" and r.n_docs == 2 for r in got)
 
 
+def test_quality_kernel_matches_expression(spark):
+    """The Arrow quality kernel (optimization r14, the large-corpus serving
+    shape behind plans/catalog_llm._quality_kernel_gate) must reproduce the
+    JVM expression's e4 score EXACTLY on every edge the parity ledger
+    names: NULL/empty/whitespace-only text, non-space whitespace that
+    survives Spark's space-only trim (leading/trailing empty split
+    fields), adjacent stop markers sharing one bounding whitespace, NBSP
+    (whitespace in neither engine), non-ASCII and astral code points
+    (code-point length on both sides), the 500-char length-component cap,
+    and punctuation-only text."""
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, " "),
+        (3, "\t\n\x0b\f\r"),
+        (4, "the"),
+        (5, " the "),
+        (6, "of the and to in"),        # adjacent markers
+        (7, "\tthe and\t"),             # leading/trailing empty fields
+        (8, "a the b"),       # NBSP: one token, zero stop hits
+        (9, "naïve café, cliché! 𝄞 the 𝄞"),
+        (10, "x" * 600),                # length cap
+        (11, ".,;:!?.,;:!?"),           # punctuation-only
+        (12, "word " * 120 + "the."),   # long mixed
+        (13, "the  and\n\nof"),         # multi-whitespace runs
+        (14, "The AND Of"),             # markers are case-sensitive here
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = df.select(
+        "doc_id", tx.quality_score_col(F.col("text")).alias("q")
+    ).orderBy("doc_id").collect()
+    kern = df.select(
+        "doc_id", tx.quality_score_kernel_col(F.col("text")).alias("q")
+    ).orderBy("doc_id").collect()
+    assert [tuple(r) for r in kern] == [tuple(r) for r in expr]
+    # NULL text: Spark least() SKIPS nulls, so the expression yields the
+    # 8000 constant, not NULL — the kernel must reproduce that
+    assert expr[0].q == 8000 and kern[0].q == 8000
+
+
+def test_quality_kernel_gate_routes_by_size(monkeypatch, tmp_path):
+    """The size gate serves the expression below 64 MiB, the kernel above,
+    and honors the SPARK_GRAFT_QUALITY_KERNEL override in both directions."""
+    from satsure_agri_datapipeline_spark.plans import catalog_llm as cl
+
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "documents.parquet").write_bytes(b"x" * 1024)
+    assert cl._quality_kernel_gate(small) is False
+    monkeypatch.setenv("SPARK_GRAFT_QUALITY_KERNEL", "on")
+    assert cl._quality_kernel_gate(small) is True
+    monkeypatch.setenv("SPARK_GRAFT_QUALITY_KERNEL", "off")
+    assert cl._quality_kernel_gate(small) is False
+    monkeypatch.delenv("SPARK_GRAFT_QUALITY_KERNEL")
+    monkeypatch.setattr(cl, "QUALITY_KERNEL_GATE_BYTES", 512)
+    assert cl._quality_kernel_gate(small) is True
+
+
 def test_tfidf_top_terms(docs):
     out = tx.tf_idf_top_terms(docs, k=2).collect()
     by_doc = {}

@@ -32,66 +32,12 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-import numpy as np  # noqa: E402
-import pyarrow as pa  # noqa: E402
-import pyarrow.compute as pc  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
-from pyspark.sql.functions import arrow_udf  # noqa: E402
-
-WS_CLASS = "[ \t\n\x0b\f\r]"  # Java \s, ASCII — the committed parity class
 
 
-def kernel_score(texts: pa.Array) -> pa.Array:
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    valid = pc.is_valid(texts)
-    safe = pc.fill_null(texts, "")
-    n_chars = pc.utf8_length(safe).to_numpy(zero_copy_only=False).astype(np.int64)
-    trimmed = pc.utf8_trim(safe, " ")  # Spark trim: spaces only
-    # split(trim(x), \s+) with limit=-1 has size = whitespace-run count + 1
-    n_tokens = (
-        pc.count_substring_regex(trimmed, WS_CLASS + "+")
-        .to_numpy(zero_copy_only=False)
-        .astype(np.int64)
-        + 1
-    )
-    n_punct = (
-        pc.count_substring_regex(safe, "[.,;:!?]")
-        .to_numpy(zero_copy_only=False)
-        .astype(np.int64)
-    )
-    # stop hits: tokens exactly equal to a marker (padded-lookaround regex
-    # ≡ membership over the split tokens; empty split fields never match)
-    toks = pc.split_pattern_regex(trimmed, WS_CLASS + "+")
-    markers = pa.array(["the", "and", "of", "to", "in"], pa.string())
-    flat = pc.list_flatten(toks)  # no null lists after fill_null
-    hit = pc.is_in(flat, value_set=markers).to_numpy(zero_copy_only=False)
-    off = toks.offsets.to_numpy().astype(np.int64)
-    cs = np.zeros(len(flat) + 1, dtype=np.int64)
-    np.cumsum(hit.astype(np.int64), out=cs[1:])
-    stop_hits = cs[off[1:]] - cs[off[:-1]]
-    # arithmetic identical op-for-op to tx.quality_score_col (float64)
-    punct_e4 = np.floor(n_punct * 10000.0 / np.maximum(n_chars, 1) + 0.5)
-    stop_e4 = np.floor(stop_hits * 10000.0 / np.maximum(n_tokens, 1) + 0.5)
-    len_component = np.minimum(n_chars / 500.0, 1.0)
-    score = np.floor(
-        (
-            0.5 * len_component
-            + 0.3 * np.minimum(stop_e4 / 2000.0, 1.0)
-            + 0.2 * (1.0 - np.minimum(punct_e4 / 1000.0, 1.0))
-        )
-        * 10000
-        + 0.5
-    ).astype(np.int64)
-    return pc.if_else(valid, pa.array(score, pa.int64()), pa.nulls(len(texts), pa.int64()))
-
-
-quality_kernel = arrow_udf(kernel_score, "long")
-
-
-def quality_score_col_translate(txt):
-    """Variant B: quality_score_col with the punct regexp_replace swapped
-    for a translate length-diff (identical count, no regex engine)."""
+def quality_score_col_r13(txt):
+    """Variant A: the pre-r14 committed expression — n_punct via a
+    regexp_replace char-strip instead of the translate length-diff."""
     from satsure_agri_datapipeline_spark.operators.text import (
         LANG_MARKERS,
         _half_up,
@@ -101,7 +47,7 @@ def quality_score_col_translate(txt):
     n_chars = F.length(txt)
     toks = F.split(F.trim(txt), r"\s+")
     n_tokens = F.greatest(F.size(toks), F.lit(1))
-    n_punct = n_chars - F.length(F.translate(txt, ".,;:!?", ""))
+    n_punct = F.length(F.regexp_replace(txt, r"[^.,;:!?]", ""))
     stop_hits = _marker_token_count(txt, LANG_MARKERS["en"])
     punct_e4 = _half_up(n_punct * 10000.0 / F.greatest(n_chars, F.lit(1)))
     stop_e4 = _half_up(stop_hits * 10000.0 / n_tokens)
@@ -146,22 +92,22 @@ def main():
 
     variants = {}
     if "a" in args.variants:
-        variants["A expr (committed)"] = stage12(tx.quality_score_col(F.col("text")))
+        variants["A expr r13 regexp "] = stage12(quality_score_col_r13(F.col("text")))
     if "b" in args.variants:
-        variants["B expr translate  "] = stage12(
-            quality_score_col_translate(F.col("text"))
-        )
+        variants["B expr translate  "] = stage12(tx.quality_score_col(F.col("text")))
     if "c" in args.variants:
-        variants["C arrow kernel    "] = stage12(quality_kernel(F.col("text")))
+        variants["C arrow kernel    "] = stage12(
+            tx.quality_score_kernel_col(F.col("text"))
+        )
 
     # identity on the full per-doc score column first
     base = docs.select(
-        "doc_id", tx.quality_score_col(F.col("text")).alias("q")
+        "doc_id", quality_score_col_r13(F.col("text")).alias("q")
     ).orderBy("doc_id")
     base_rows = base.collect()
     for name, qcol in (
-        ("B", quality_score_col_translate(F.col("text"))),
-        ("C", quality_kernel(F.col("text"))),
+        ("B", tx.quality_score_col(F.col("text"))),
+        ("C", tx.quality_score_kernel_col(F.col("text"))),
     ):
         if name.lower() not in args.variants:
             continue
