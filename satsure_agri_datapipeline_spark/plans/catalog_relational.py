@@ -318,13 +318,34 @@ def cross_join_domain(spark, sf_dir):
     """,
 )
 def window_top_order_per_customer(spark, sf_dir):
-    """W2/O — ROW_NUMBER top-1 per group with deterministic tiebreak."""
+    """W2/O — top-1 order per customer with deterministic tiebreak.
+
+    Optimization r14 (guide §2.3 — aggregate before you shuffle): the r12
+    form was ROW_NUMBER() OVER (PARTITION BY cust ORDER BY price DESC, key)
+    + rn=1 filter — a full-row Exchange plus a per-partition Sort plus a
+    Window that materializes a rank for EVERY order just to keep one row
+    per customer. Top-1-per-group IS an aggregate: ``max(struct(price,
+    -orderkey, payload...))`` — map-side partial aggregation sends one row
+    per customer into the exchange instead of every order, and Sort +
+    Window disappear. Equivalence: o_orderkey is unique, so the struct max
+    is unique; (price DESC, key ASC) == argmax of (price, -key); NULL
+    prices lose under desc_nulls_last exactly as a NULL struct field loses
+    under max; payload fields never decide. Raced (rows asserted identical
+    first, tools/race_window_top.py): sf0.1 0.189 → 0.169 s, 100×
+    1.705 → 1.266 s (−26%), faster in every paired round at both scales."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
-    return (
-        o.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey", cents(F.col("o_totalprice")).alias("top_price_c"))
+    top = F.max(
+        F.struct(
+            F.col("o_totalprice").alias("p"),
+            (-F.col("o_orderkey")).alias("nk"),
+            F.col("o_orderkey").alias("k"),
+            cents(F.col("o_totalprice")).alias("c"),
+        )
+    ).alias("t")
+    return o.groupBy("o_custkey").agg(top).select(
+        "o_custkey",
+        F.col("t.k").alias("o_orderkey"),
+        F.col("t.c").alias("top_price_c"),
     )
 
 
