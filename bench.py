@@ -231,6 +231,14 @@ def main():
     )
 
     ensure_ivfpq_store(spark, sf_dir, n_clusters=8, m=8, k=16, iterations=2, seed=0)
+    # standing token-stats relation (r14): doc_bm25_topk / hybrid_rrf_topk
+    # serve N/avgdl from it by default — the retrieval family's last
+    # full-corpus text scan becomes a 16-byte-per-doc statistics read
+    from satsure_agri_datapipeline_spark.sources.token_stats_store import (
+        ensure_token_stats_store,
+    )
+
+    ensure_token_stats_store(spark, sf_dir)
 
     from satsure_agri_datapipeline_spark.operators import dedup as _dedup
 

@@ -1455,6 +1455,7 @@ def hybrid_rrf_topk(
     doc_id_col: str = "doc_id",
     vec_col: str = "embedding",
     vec_id_col: str = "vec_id",
+    bm25_stats: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid retrieval with Reciprocal Rank Fusion: fuse the BM25 lexical
     top-``depth`` (:func:`text.bm25_topk`) with the cosine semantic
@@ -1480,7 +1481,8 @@ def hybrid_rrf_topk(
     from .text import bm25_topk
 
     lex = bm25_topk(
-        docs, query_terms, k=depth, text_col=text_col, id_col=doc_id_col
+        docs, query_terms, k=depth, text_col=text_col, id_col=doc_id_col,
+        stats=bm25_stats,
     )
     wl = Window.orderBy(F.desc("bm25_score"), doc_id_col)
     lex_r = lex.select(

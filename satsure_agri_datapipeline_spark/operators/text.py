@@ -14,6 +14,7 @@ Arrow-vectorized map-only projection like operators/dedup.
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 
 import pandas as pd
@@ -449,8 +450,12 @@ def top_ngrams(
     Default shape (optimization r13, ``combiner=True``): a per-task
     ``mapInArrow`` combiner — tokenize each document once in the Python
     worker, accumulate per-task (ngram → docs, occurrences) partials, and
-    emit ONE partial row per distinct ngram per task; the only shuffle is
-    the final ``groupBy(ngram).agg(sum, sum)`` over those partials. This
+    emit one partial row per distinct ngram per FLUSH WINDOW (r14: the
+    partial map drains whenever it crosses a distinct-gram bound, so
+    per-task state is O(bound) instead of O(task vocabulary); duplicate
+    gram rows across flushes are absorbed by the aggregate); the only
+    shuffle is the final ``groupBy(ngram).agg(sum, sum)`` over those
+    partials. This
     is the classic word-count combiner with the document-frequency count
     folded in, legal because every document is exactly ONE input row, so a
     per-task `set(grams)` per row IS a distinct-per-doc count — problem
@@ -482,8 +487,9 @@ def top_ngrams(
     combiner beats both.
 
     At 100 TB the combiner is the right shape outright: one corpus scan,
-    text never crosses a shuffle, partial-map size is bounded by per-task
-    vocabulary (Heaps' law), and the single exchange carries
+    text never crosses a shuffle, partial-map size is bounded by the
+    flush threshold (r14; Heaps' law bounds it further on clean text),
+    and the single exchange carries
     (ngram, two longs) rows — no ``max_df`` cap needed because aggregate
     output is bounded by distinct-ngram cardinality, not corpus size."""
     if combiner:
@@ -492,6 +498,21 @@ def top_ngrams(
         out_schema = pa.schema(
             [("ngram", pa.string()), ("pd", pa.int64()), ("po", pa.int64())]
         )
+        # Per-task combiner state bound (optimization r14, VERDICT r13
+        # "what's wrong" #2 / guide §5): the r13 combiner held EVERY
+        # distinct gram of the task's partition in one Python dict until
+        # task end and emitted one giant RecordBatch — Heaps'-law bounded,
+        # but a multi-GB dict on 100 TB-class tasks with dirty text. Flush
+        # the partials whenever the map crosses this many distinct grams:
+        # emitting the same gram from several flushes is correct by
+        # construction (the downstream aggregate SUMs partials — that a
+        # task contributes one partial row per gram was never load-bearing,
+        # only per-DOC distinctness is, and a doc never spans a flush).
+        # 2^21 grams ≈ a few hundred MB peak dict — comfortably inside a
+        # worker, far above any real per-task vocabulary at healthy input
+        # split sizes. SPARK_GRAFT_TOP_NGRAMS_FLUSH overrides (tests pin
+        # the flush path with a tiny value).
+        flush_at = int(os.environ.get("SPARK_GRAFT_TOP_NGRAMS_FLUSH", str(1 << 21)))
 
         def partial_counts(batches):
             from collections import Counter
@@ -499,6 +520,20 @@ def top_ngrams(
             ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s (ASCII class)
             docs_c: Counter = Counter()
             occ_c: Counter = Counter()
+
+            def drain():
+                batch = pa.record_batch(
+                    [
+                        pa.array(list(docs_c.keys()), pa.string()),
+                        pa.array(list(docs_c.values()), pa.int64()),
+                        pa.array([occ_c[g] for g in docs_c], pa.int64()),
+                    ],
+                    schema=out_schema,
+                )
+                docs_c.clear()
+                occ_c.clear()
+                return batch
+
             for batch in batches:
                 for text in batch.column(0).to_pylist():
                     if text is None:
@@ -511,15 +546,10 @@ def top_ngrams(
                     ]
                     occ_c.update(grams)
                     docs_c.update(set(grams))
+                    if len(docs_c) >= flush_at:
+                        yield drain()
             if docs_c:
-                yield pa.record_batch(
-                    [
-                        pa.array(list(docs_c.keys()), pa.string()),
-                        pa.array(list(docs_c.values()), pa.int64()),
-                        pa.array([occ_c[g] for g in docs_c], pa.int64()),
-                    ],
-                    schema=out_schema,
-                )
+                yield drain()
 
         partials = df.select(text_col).mapInArrow(
             partial_counts, "ngram string, pd long, po long"
@@ -1020,6 +1050,7 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 lexical retrieval: the top-``k`` documents for a bag-of-words
     query — the keyword-search half of a hybrid (lexical + vector) RAG
@@ -1053,10 +1084,19 @@ def bm25_topk(
     dfreq branch (visible as a second Scan+Generate subtree in the
     physical plan). The corpus-wide N/total-token aggregate is the one
     remaining second scan (it needs unmatched docs too) and broadcasts as
-    one row — at 100 TB serve it and dl from the standing token-stats
-    relation instead of re-measuring (the postings themselves would come
-    from an inverted index partitioned by term range,
+    one row — unless ``stats`` serves it (the postings themselves would
+    come from an inverted index partitioned by term range,
     :func:`inverted_index`'s discipline).
+
+    ``stats`` (optimization r14, VERDICT r13 item 3): the standing per-doc
+    token-stats relation ``(doc_id, dl)`` from
+    ``sources/token_stats_store.py`` — built with the same filter and
+    token count as this leg, fingerprint-fresh or not served. When given,
+    N/total_tokens aggregate over the 16-byte-per-doc relation instead of
+    re-tokenizing the corpus: the retrieval family's LAST full-corpus text
+    scan becomes a statistics read. The tf leg keeps computing ``dl``
+    inline — it already splits the matched sliver's text for the explode,
+    so a dl-join would add an exchange to save nothing.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
@@ -1076,15 +1116,22 @@ def bm25_topk(
     # whitespace (no Unicode case mapping produces a character in Java's
     # ASCII \s class), so this leg skips the full-corpus lower() the tf leg
     # pays — guide §2.3, project only what the consumer needs (optimization
-    # r13; value-identity unit-tested).
-    corpus = df.where(
-        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
-    ).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(
-            F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-        ).alias("total_tokens"),
-    )
+    # r13; value-identity unit-tested). With a standing ``stats`` relation
+    # the scan disappears entirely (optimization r14).
+    if stats is not None:
+        corpus = stats.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_tokens"),
+        )
+    else:
+        corpus = df.where(
+            F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+        ).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+            ).alias("total_tokens"),
+        )
     # Candidate pre-filter BEFORE tokenize+explode: a doc can only match a
     # query term if that term appears as a SUBSTRING of its text — a
     # codegen'd Contains superset check, refined to exact token equality

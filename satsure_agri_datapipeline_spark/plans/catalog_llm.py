@@ -961,9 +961,19 @@ def doc_bm25_topk(spark, sf_dir):
     mixing, not just tf. Log-free rational idf + fixed-order pivot sum keep
     the doubles bit-identical across engines (see the operator docstring).
     The lexical half of hybrid retrieval; the vector half is emb_cosine_topk
-    / the ANN stores."""
+    / the ANN stores.
+
+    Optimization r14 (VERDICT r13 item 3): the corpus N/avgdl leg — the
+    retrieval family's last full-corpus text scan — serves the standing
+    token-stats store BY DEFAULT when fresh (the r9 raw-names rule);
+    SPARK_GRAFT_TOKEN_STATS_STORE=none exercises the raw path."""
+    from satsure_agri_datapipeline_spark.sources.token_stats_store import (
+        token_stats_store_or_none,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    return tx.bm25_topk(docs, ["dup", "spark", "vector"], k=10)
+    stats = token_stats_store_or_none(spark, sf_dir)
+    return tx.bm25_topk(docs, ["dup", "spark", "vector"], k=10, stats=stats)
 
 
 @query(
@@ -1038,10 +1048,15 @@ def hybrid_rrf_topk(spark, sf_dir):
     document corpus and the vector store. Both candidate sets are
     depth-bounded before the fusion join, so fusion cost is O(depth)
     regardless of corpus size."""
+    from satsure_agri_datapipeline_spark.sources.token_stats_store import (
+        token_stats_store_or_none,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.hybrid_rrf_topk(
-        docs, emb, ["dup", "spark", "vector"], query_vec_id=0, k=10, depth=50
+        docs, emb, ["dup", "spark", "vector"], query_vec_id=0, k=10, depth=50,
+        bm25_stats=token_stats_store_or_none(spark, sf_dir),
     )
 
 

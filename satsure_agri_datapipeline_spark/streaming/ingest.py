@@ -633,8 +633,10 @@ def run_streaming_document_ingest(
     avoid it entirely.
 
     ``maintain_stores`` ⊆ {"bands", "shingles", "spans", "simhash",
-    "digests"} ("spans" = the n=15 shingle store serving doc_dup_spans /
-    doc_span_dedup — same machinery, span-width shingles).
+    "digests", "token_stats"} ("spans" = the n=15 shingle store serving
+    doc_dup_spans / doc_span_dedup — same machinery, span-width shingles;
+    "token_stats" = the (doc_id, dl) relation serving BM25's N/avgdl leg,
+    r14).
     Returns the streaming query; ``once=True`` drains available files then
     stops (micro-batch catch-up mode).
 
@@ -703,6 +705,12 @@ def run_streaming_document_ingest(
             )
 
             ensure_digest_store(spark, corpus, subset="true")
+        if "token_stats" in maintain_stores:
+            from satsure_agri_datapipeline_spark.sources.token_stats_store import (
+                ensure_token_stats_store,
+            )
+
+            ensure_token_stats_store(spark, corpus)
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", str(checkpoint_dir)

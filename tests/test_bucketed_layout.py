@@ -1290,6 +1290,76 @@ def test_digest_store_lifecycle_and_default_serving(spark, tmp_path):
         )
 
 
+def test_token_stats_store_lifecycle_and_bm25_identity(spark, tmp_path):
+    """r14 (VERDICT r13 item 3): BM25's corpus N/avgdl leg gets the full
+    store lifecycle. ensure builds the (doc_id, dl) table; a data drop
+    appends ONLY the drop's rows (delta ∝ batch); or_none refuses stale /
+    knob-disabled; and bm25_topk through the store is row-identical to the
+    raw full-corpus recompute (scores are doubles derived from the same
+    integers, so bit-equality is the contract)."""
+    import json
+    import shutil
+
+    from satsure_agri_datapipeline_spark.operators import text as tx
+    from satsure_agri_datapipeline_spark.sources import token_stats_store as ts
+    from satsure_agri_datapipeline_spark.sources.store_util import layout_dir
+
+    src = tmp_path / "sftok"
+    docs_dir = src / "documents.parquet"
+    src.mkdir()
+    docs = load_table(spark, SF, "documents").limit(60).cache()
+    base = docs.where(F.col("doc_id") % 4 != 0)
+    drop = docs.where(F.col("doc_id") % 4 == 0)
+    _write_single_part(base, docs_dir, "base-000.parquet")
+    layout = layout_dir("token_stats", src.resolve(), 32)
+    try:
+        assert ts.token_stats_store_or_none(spark, src) is None
+
+        h1 = ts.ensure_token_stats_store(spark, src)
+        n1 = h1.count()
+        assert n1 > 0
+        assert ts.token_stats_store_or_none(spark, src) is not None
+
+        os.environ[ts.ENV_KNOB] = "none"
+        try:
+            assert ts.token_stats_store_or_none(spark, src) is None
+        finally:
+            del os.environ[ts.ENV_KNOB]
+
+        # ---- data drop: delta ∝ batch; or_none refuses append-stale ----
+        _write_single_part(drop, docs_dir, "drop-001.parquet")
+        assert ts.token_stats_store_or_none(spark, src) is None
+        h2 = ts.ensure_token_stats_store(spark, src)
+        assert h2.count() > n1
+        man = json.loads((layout / ts.MANIFEST_NAME).read_text())
+        assert man["deltas"] == [["drop-001.parquet"]]
+
+        # served stats == raw derivation, row for row
+        full = load_table(spark, src, "documents")
+        raw_rows = sorted(map(tuple, ts._stat_rows(full).collect()))
+        got_rows = sorted(map(tuple, h2.collect()))
+        assert got_rows == raw_rows
+
+        # bm25 through the store is bit-identical to the raw recompute
+        terms = ["dup", "spark", "vector"]
+        want = sorted(map(tuple, tx.bm25_topk(full, terms, k=10).collect()))
+        got = sorted(
+            map(tuple, tx.bm25_topk(full, terms, k=10, stats=h2).collect())
+        )
+        assert got == want and len(got) > 0
+
+        # ---- mutation → rebuild ----
+        _write_single_part(base.limit(10), docs_dir, "base-000.parquet")
+        h3 = ts.ensure_token_stats_store(spark, src)
+        man2 = json.loads((layout / ts.MANIFEST_NAME).read_text())
+        assert man2["deltas"] == []
+        assert h3.count() < n1
+    finally:
+        docs.unpersist()
+        spark.sql(f"DROP TABLE IF EXISTS {ts.TABLE}")
+        shutil.rmtree(layout, ignore_errors=True)
+
+
 def test_span_stats_served_from_n15_shingle_store_matches_raw(spark, tmp_path):
     """A span IS a word shingle at n=span_words: duplicated_span_stats fed
     the bucketed n=15 shingle store must match the raw computation exactly

@@ -314,6 +314,30 @@ def test_top_ngrams_combiner_matches_expression_form(spark):
     assert any(r.ngram == "a b" and r.n_docs == 2 for r in got)
 
 
+def test_top_ngrams_combiner_flush_path(spark, monkeypatch):
+    """r14 state bound: with the flush threshold forced to 2 distinct
+    grams, every task emits several partial batches and the same gram
+    appears in multiple partials — the downstream sum-aggregate must
+    absorb them into results identical to the unbounded (expression)
+    form. Uses the combiner-parity corpus plus repeats so flushes
+    actually split a gram's occurrences."""
+    monkeypatch.setenv("SPARK_GRAFT_TOP_NGRAMS_FLUSH", "2")
+    rows = [
+        (0, "a b c d e f g"),          # 6 bigrams -> 3 flushes in one doc's task
+        (1, "a b c d"),                 # repeats grams of doc 0
+        (2, "a b x y a b"),             # within-doc repeat across flush windows
+        (3, None),
+        (4, "q r"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    got = tx.top_ngrams(df, n=2, k=50, combiner=True).collect()
+    monkeypatch.delenv("SPARK_GRAFT_TOP_NGRAMS_FLUSH")
+    want = tx.top_ngrams(df, n=2, k=50, combiner=False).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    ab = [r for r in got if r.ngram == "a b"]
+    assert ab and ab[0].n_docs == 3 and ab[0].n_occurrences == 4
+
+
 def test_quality_kernel_matches_expression(spark):
     """The Arrow quality kernel (optimization r14, the large-corpus serving
     shape behind plans/catalog_llm._quality_kernel_gate) must reproduce the

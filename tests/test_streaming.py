@@ -713,8 +713,8 @@ def test_streaming_ingest_maintains_all_stores(spark, tmp_path):
         shutil.copy(part, dest / name)
         shutil.rmtree(stage, ignore_errors=True)
 
-    ALL = ("bands", "shingles", "spans", "simhash", "digests")
-    # standing corpus + all six stores built once at "ingest time"
+    ALL = ("bands", "shingles", "spans", "simhash", "digests", "token_stats")
+    # standing corpus + all stores built once at "ingest time"
     _one_part(docs.where(F.col("doc_id") % 3 == 0), docs_dir, "base-000.parquet")
     _one_part(emb.where(F.col("vec_id") % 3 == 0), emb_dir, "base-000.parquet")
     bs.ensure_band_store(spark, corpus)
@@ -729,6 +729,9 @@ def test_streaming_ingest_maintains_all_stores(spark, tmp_path):
     from satsure_agri_datapipeline_spark.sources import ivfpq_store as ivfpqs
 
     ivfpqs.ensure_ivfpq_store(spark, corpus)  # the eighth store (r13c)
+    from satsure_agri_datapipeline_spark.sources import token_stats_store as tss
+
+    tss.ensure_token_stats_store(spark, corpus)  # the ninth store (r14)
     layouts = {
         "bands": (layout_dir("bands", corpus.resolve(), 16, 4, 3, 32), bs),
         "shingles": (layout_dir("shingles", corpus.resolve(), 3, "word", 0, 32), ss),
@@ -738,6 +741,7 @@ def test_streaming_ingest_maintains_all_stores(spark, tmp_path):
         "ivf": (layout_dir("ivf", corpus.resolve(), 8, 2, 0), ivs),
         "pq": (layout_dir("pq", corpus.resolve(), 8, 16, 2, 0), pqs),
         "ivfpq": (layout_dir("ivfpq", corpus.resolve(), 8, 8, 16, 2, 0), ivfpqs),
+        "token_stats": (layout_dir("token_stats", corpus.resolve(), 32), tss),
     }
 
     try:
@@ -811,6 +815,22 @@ def test_streaming_ingest_maintains_all_stores(spark, tmp_path):
         )
         assert got_spans == want_spans and len(want_spans) > 0
 
+        # ---- token-stats (ninth store, r14): fresh after the drain, rows
+        # equal the raw derivation, and BM25 served through it is
+        # bit-identical to the full-corpus recompute
+        ts_store = tss.token_stats_store_or_none(spark, corpus)
+        assert ts_store is not None
+        from satsure_agri_datapipeline_spark.operators import text as tx
+
+        assert sorted(map(tuple, ts_store.collect())) == sorted(
+            map(tuple, tss._stat_rows(grown).collect())
+        )
+        terms = ["dup", "spark", "vector"]
+        want_bm = sorted(map(tuple, tx.bm25_topk(grown, terms, k=10).collect()))
+        got_bm = sorted(
+            map(tuple, tx.bm25_topk(grown, terms, k=10, stats=ts_store).collect())
+        )
+        assert got_bm == want_bm and len(got_bm) > 0
 
         # ---- incremental exact dedup vs the maintained digest store:
         # 3 replayed texts (must drop) + 3 genuinely new texts (must keep)
@@ -904,6 +924,7 @@ def test_streaming_ingest_maintains_all_stores(spark, tmp_path):
             ("bkt_shingles_w3_s0", None),
             (hs._table_name(32, 4), None),
             (gs._table_name("true"), None),
+            (tss.TABLE, None),
         ):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         for layout, _ in layouts.values():
