@@ -322,12 +322,15 @@ def window_top_order_per_customer(spark, sf_dir):
 
     Optimization r14 (guide §2.3 — aggregate before you shuffle): the r12
     form was ROW_NUMBER() OVER (PARTITION BY cust ORDER BY price DESC, key)
-    + rn=1 filter — a full-row Exchange plus a per-partition Sort plus a
-    Window that materializes a rank for EVERY order just to keep one row
-    per customer. Top-1-per-group IS an aggregate: ``max(struct(price,
-    -orderkey, payload...))`` — map-side partial aggregation sends one row
-    per customer into the exchange instead of every order, and Sort +
-    Window disappear. Equivalence: o_orderkey is unique, so the struct max
+    + rn=1 filter — a full-row Exchange plus a Window that materializes a
+    rank for EVERY order just to keep one row per customer. Top-1-per-group
+    IS an aggregate: ``max(struct(price, -orderkey, payload...))`` —
+    map-side PARTIAL aggregation sends one row per customer per map task
+    into the exchange instead of every order, and the Window node
+    disappears. (A struct-typed max has no mutable hash buffer, so both
+    aggregate halves plan as SortAggregate — a group-key sort remains on
+    each side; the race says the partial-agg exchange compression is the
+    term that matters.) Equivalence: o_orderkey is unique, so the struct max
     is unique; (price DESC, key ASC) == argmax of (price, -key); NULL
     prices lose under desc_nulls_last exactly as a NULL struct field loses
     under max; payload fields never decide. Raced (rows asserted identical
